@@ -1,0 +1,125 @@
+"""Incremental 2-D convolution layer (functional).
+
+Semantics mirror /root/reference/src/layers/conv2d.py:9-141, recast for the
+MXU:
+
+* Active output sites are a dilation of the incoming event mask
+  (replacing ``im2col_event``'s covered-set walk, cutils.pyx:71-129).
+* Instead of gathering only the touched columns, the default "dense" mode
+  computes the full conv (one big, regular MXU op — far faster on TPU than
+  an irregular gather at these resolutions) and *commits* it only at active
+  sites with a masked select; inactive sites keep their leak-decayed value.
+  The result is bit-for-bit the reference's update rule with static shapes.
+* The featuremap conv and the conv-actfn conv (reference runs two separate
+  Cython+GEMM passes, conv2d.py:118-123) are fused into a single batched
+  conv of ``[2, C, H, W]``.
+
+The math being replicated (conv2d.py:105-137):
+  1. ``before_sign = fm >= 0``
+  2. ``fm -= conv_actfn_state * delta_leak``      (leak propagation)
+  3. ``fm[active]  = conv(prev.featuremap)+b [active]``
+  4. ``cact[active] = conv(prev.conv_actfn) [active]`` (no bias)
+  5. out events = sites where any channel's sign changed, plus active sites.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from async_ev_cnn_tpu.layers.types import ConvState, LayerIO
+from async_ev_cnn_tpu.ops.conv import conv_out_shape, conv_pads, leaky_mask
+from async_ev_cnn_tpu.ops.masks import dilate_mask
+from async_ev_cnn_tpu.ops.numerics import snap
+
+
+class ConvSpec(NamedTuple):
+    in_shape: tuple[int, int, int]  # (C, H, W) of the previous layer
+    out_channels: int
+    ksize: tuple[int, int]
+    stride: int
+    alpha: float
+    padding: str  # 'SAME' | 'VALID'
+
+    @property
+    def pads(self):
+        _, h, w = self.in_shape
+        return conv_pads(h, w, *self.ksize, self.stride, self.padding)
+
+    @property
+    def out_shape(self) -> tuple[int, int, int]:
+        _, h, w = self.in_shape
+        oh, ow = conv_out_shape(h, w, *self.ksize, self.stride, self.padding)
+        return (self.out_channels, oh, ow)
+
+
+def _conv_pair(spec: ConvSpec, kernel, bias, featuremap, conv_actfn):
+    """One batched conv over [featuremap; conv_actfn]; bias only on the first."""
+    both = jnp.stack([featuremap, conv_actfn]).astype(jnp.float32)
+    out = lax.conv_general_dilated(
+        both,
+        kernel.astype(jnp.float32),
+        window_strides=(spec.stride, spec.stride),
+        padding=spec.pads,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )
+    return out[0] + bias.reshape(-1, 1, 1).astype(jnp.float32), out[1]
+
+
+def _make_io(spec: ConvSpec, state: ConvState, mask) -> LayerIO:
+    actfn = leaky_mask(state.featuremap, spec.alpha)
+    return LayerIO(
+        surface=state.featuremap,
+        layer_actfn=actfn,
+        # conv_actfn accessor is the *product* with the current layer mask
+        # (conv2d.py:90-94).  A bare product is duplication-safe: a single
+        # mul rounds identically in every fusion copy (see ops/numerics.py).
+        conv_actfn=state.conv_actfn * actfn,
+        mask=mask,
+    )
+
+
+def conv_init(
+    spec: ConvSpec, kernel, bias, prev_init_io: LayerIO
+) -> tuple[ConvState, LayerIO]:
+    """Initial state: dense conv of the predecessor's initial featuremap
+    (conv2d.py:59-63); conv-actfn starts at zero."""
+    fm, _ = _conv_pair(
+        spec, kernel, bias, prev_init_io.featuremap, jnp.zeros_like(prev_init_io.surface)
+    )
+    state = ConvState(featuremap=fm, conv_actfn=jnp.zeros(spec.out_shape, jnp.float32))
+    _, oh, ow = spec.out_shape
+    return state, _make_io(spec, state, jnp.zeros((oh, ow), bool))
+
+
+def conv_step(
+    spec: ConvSpec,
+    kernel,
+    bias,
+    state: ConvState,
+    prev_io: LayerIO,
+    delta_leak,
+) -> tuple[ConvState, LayerIO]:
+    active = dilate_mask(prev_io.mask, spec.ksize, spec.stride, spec.pads)
+
+    before_sign = state.featuremap >= 0
+    # The decrement is snapped so duplicated copies of this expression can
+    # never disagree about the updated sign (see ops/numerics.py).
+    fm_leaked = state.featuremap - snap(state.conv_actfn * delta_leak)
+
+    conv_fm, conv_cact = _conv_pair(
+        spec, kernel, bias, prev_io.featuremap, prev_io.conv_actfn
+    )
+
+    fm = jnp.where(active, conv_fm, fm_leaked)
+    cact = jnp.where(active, conv_cact, state.conv_actfn)
+
+    after_sign = fm >= 0
+    changed = jnp.any(before_sign != after_sign, axis=0)
+    out_mask = changed | active
+
+    new_state = ConvState(featuremap=fm, conv_actfn=cact)
+    return new_state, _make_io(spec, new_state, out_mask)

@@ -1,0 +1,220 @@
+"""Network assembly: chain event layers from a layer-DSL dict, plus the
+dense frame oracle over the same specs.
+
+The reference builds its chain by name-matching the config's ordered layer
+dict (``'conv' in name`` / ``'pool' in name``, with ``fc``/``flatten``
+deferred to a dense tail — /root/reference/src/models/event_numpy.py:53-73).
+We keep that contract, including the checkpoint weight-naming convention
+``w_<name>`` / ``b_<name>`` with HWIO kernels (event_numpy.py:64).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from async_ev_cnn_tpu.layers.conv2d import ConvSpec, conv_init, conv_step
+from async_ev_cnn_tpu.layers.integration import (
+    IntegrationSpec,
+    integration_init,
+    integration_step,
+)
+from async_ev_cnn_tpu.layers.maxpool import PoolSpec, pool_init, pool_step
+from async_ev_cnn_tpu.layers.types import EventChunk, LayerIO
+from async_ev_cnn_tpu.ops.conv import conv2d_dense, leaky
+from async_ev_cnn_tpu.ops.pool import maxpool_dense
+
+
+class LayerDef(NamedTuple):
+    kind: str  # 'intgr' | 'conv' | 'pool' | 'fc' | 'flatten'
+    name: str
+    spec: Any
+
+
+def _kernel_oihw(params, name):
+    """Checkpoint kernels are HWIO (TF convention, event_numpy.py:64);
+    the compute wants OIHW (conv2d.py:26)."""
+    return jnp.transpose(params[f"w_{name}"], (3, 2, 0, 1))
+
+
+def build_layer_defs(
+    layer_defs: "OrderedDict[str, list[int]]",
+    frame_h: int,
+    frame_w: int,
+    leak: float,
+    alpha: float,
+    padding: str,
+) -> tuple[list[LayerDef], list[LayerDef]]:
+    """Returns (event_layers, dense_tail) matching event_numpy.py:53-73."""
+    intgr = IntegrationSpec(leak=leak, h=frame_h, w=frame_w)
+    event_layers = [LayerDef("intgr", "intgr", intgr)]
+    tail: list[LayerDef] = []
+    prev_shape = intgr.out_shape
+    for name, size in layer_defs.items():
+        if "conv" in name:
+            kh, kw, cin, cout = size
+            if cin != prev_shape[0]:
+                raise ValueError(
+                    f"layer {name}: in_channels {cin} != previous out_channels {prev_shape[0]}"
+                )
+            spec = ConvSpec(
+                in_shape=prev_shape,
+                out_channels=cout,
+                ksize=(kh, kw),
+                stride=1,
+                alpha=alpha,
+                padding=padding,
+            )
+            event_layers.append(LayerDef("conv", name, spec))
+            prev_shape = spec.out_shape
+        elif "pool" in name:
+            spec = PoolSpec(in_shape=prev_shape, ksize=tuple(size), stride=size[0])
+            event_layers.append(LayerDef("pool", name, spec))
+            prev_shape = spec.out_shape
+        elif "fc" in name:
+            tail.append(LayerDef("fc", name, tuple(size)))
+        elif "flatten" in name:
+            tail.append(LayerDef("flatten", name, None))
+        else:
+            raise ValueError(f"unknown layer kind in name {name!r}")
+    return event_layers, tail
+
+
+class EventNetwork:
+    """The async event network: static specs + pure init/step over state.
+
+    Unlike the reference's mutable layer objects (layer.py:2-30), all state
+    is an explicit pytree so the whole step jits once and scans over chunks.
+    """
+
+    def __init__(
+        self,
+        layer_defs: "OrderedDict[str, list[int]]",
+        frame_h: int,
+        frame_w: int,
+        leak: float,
+        alpha: float = 0.1,
+        padding: str = "VALID",
+    ):
+        self.event_layers, self.dense_tail = build_layer_defs(
+            layer_defs, frame_h, frame_w, leak, alpha, padding
+        )
+        self.alpha = alpha
+        self.out_shape = self.event_layers[-1].spec.out_shape
+
+    # ---- state ----------------------------------------------------------
+
+    def init_state(self, params) -> tuple:
+        """Initial state for every layer; constructors run the dense init
+        chain exactly like the reference (conv2d.py:59-61, maxpool.py:31-35)."""
+        states = []
+        prev_io = None
+        for ld in self.event_layers:
+            if ld.kind == "intgr":
+                st, prev_io = integration_init(ld.spec)
+            elif ld.kind == "conv":
+                st, prev_io = conv_init(
+                    ld.spec, _kernel_oihw(params, ld.name), params[f"b_{ld.name}"], prev_io
+                )
+            else:  # pool
+                st, prev_io = pool_init(ld.spec, prev_io)
+            states.append(st)
+        return tuple(states)
+
+    # ---- forward --------------------------------------------------------
+
+    def forward(
+        self, params, state: tuple, chunk: EventChunk
+    ) -> tuple[tuple, "OrderedDict[str, LayerIO]"]:
+        """One micro-batch through every event layer; returns all taps."""
+        states = []
+        ios: "OrderedDict[str, LayerIO]" = OrderedDict()
+        delta_leak = None
+        prev_io = None
+        for ld, st in zip(self.event_layers, state):
+            if ld.kind == "intgr":
+                st, prev_io, delta_leak = integration_step(ld.spec, st, chunk)
+            elif ld.kind == "conv":
+                st, prev_io = conv_step(
+                    ld.spec,
+                    _kernel_oihw(params, ld.name),
+                    params[f"b_{ld.name}"],
+                    st,
+                    prev_io,
+                    delta_leak,
+                )
+            else:  # pool
+                st, prev_io = pool_step(ld.spec, st, prev_io, delta_leak)
+            states.append(st)
+            ios[ld.name] = prev_io
+        return tuple(states), ios
+
+    def apply_tail(self, params, featuremap_hwc: jnp.ndarray) -> jnp.ndarray:
+        """Dense fc/flatten tail over the last event layer's [H, W, C]
+        featuremap (event_numpy.py:75-88).  Empty for the shipped eFCN."""
+        x = featuremap_hwc
+        for ld in self.dense_tail:
+            if ld.kind == "flatten":
+                x = x.reshape(-1)
+            else:  # fc
+                x = leaky(x @ params[f"w_{ld.name}"] + params[f"b_{ld.name}"], self.alpha)
+        return x
+
+    def step(self, params, state: tuple, chunk: EventChunk):
+        """One micro-batch -> (new_state, output).  Output is the last event
+        layer's featuremap as [H, W, C] with the dense tail applied."""
+        state, ios = self.forward(params, state, chunk)
+        last = next(reversed(ios.values()))
+        out = self.apply_tail(params, jnp.transpose(last.featuremap, (1, 2, 0)))
+        return state, out
+
+    def scan(self, params, state: tuple, chunks: EventChunk):
+        """Scan over stacked chunks ``[T, E]``; returns (state, outputs [T, ...])."""
+
+        def body(st, chunk):
+            st, out = self.step(params, st, chunk)
+            return st, out
+
+        return jax.lax.scan(body, state, chunks)
+
+
+def dense_forward(
+    event_layers: list[LayerDef],
+    params,
+    frame: jnp.ndarray,
+    variant: str = "tf",
+    alpha: float = 0.1,
+) -> "OrderedDict[str, jnp.ndarray]":
+    """Dense frame oracle over the same specs; per-layer activated maps.
+
+    ``variant='tf'`` follows frame_tf.py:86-108 (conv -> leaky -> pool).
+    ``variant='numpy'`` additionally re-applies the activation after each
+    pool, reproducing frame_numpy.py:76-78 — which double-applies alpha to
+    negative pooled values (a reference quirk, kept behind this flag).
+    Pooling is VALID to match the event path's output shapes
+    (maxpool.py:27-28); frame_tf uses SAME pooling, identical whenever the
+    spatial size divides the pool stride (true for the eFCN configs).
+    """
+    outs: "OrderedDict[str, jnp.ndarray]" = OrderedDict()
+    x = frame if frame.ndim == 3 else frame[None]  # [C, H, W]
+    outs["intgr"] = x
+    for ld in event_layers:
+        if ld.kind == "intgr":
+            continue
+        if ld.kind == "conv":
+            spec: ConvSpec = ld.spec
+            x = conv2d_dense(
+                x, _kernel_oihw(params, ld.name), params[f"b_{ld.name}"],
+                spec.stride, spec.padding,
+            )
+            x = leaky(x, spec.alpha)
+        else:  # pool
+            spec: PoolSpec = ld.spec
+            x = maxpool_dense(x, spec.ksize, spec.stride, "VALID")
+            if variant == "numpy":
+                x = leaky(x, alpha)
+        outs[ld.name] = x
+    return outs

@@ -1,0 +1,119 @@
+"""Leaky-surface integration of event chunks.
+
+Replicates the exact clamp/leak ordering of the reference
+(/root/reference/src/layers/integration.py:53-91 and src/libs/viz.py:7-24):
+two sequential clamps — leak-subtract then clamp at zero, event-add then
+clamp at zero — not one fused clamp.
+
+Duplicate-pixel semantics: the reference uses numpy fancy-index ``+=``
+(integration.py:71), which does **not** accumulate duplicates — the last
+occurrence of a pixel in the chunk wins.  Since timestamps are
+non-decreasing, "last occurrence" == "max ts at that pixel", which we
+reproduce deterministically with a scatter-max of ts per pixel.
+
+Numerical consistency: every rounded product feeding the surface
+accumulation goes through ``ops.numerics.snap`` (see that module's
+docstring) so XLA's per-fusion FMA contraction cannot make duplicated
+copies of the arithmetic disagree about signs.  With snapped deltas the
+whole surface lives on a ``2**-20`` grid and its arithmetic is exact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from async_ev_cnn_tpu.ops.numerics import snap
+
+TS_SENTINEL = jnp.int32(-(2**31) + 1)
+
+
+def _event_ts_map(y, x, ts, valid, h: int, w: int) -> jnp.ndarray:
+    """Per-pixel max timestamp of the chunk's events; sentinel elsewhere."""
+    ts_map = jnp.full((h, w), TS_SENTINEL, jnp.int32)
+    yy = jnp.where(valid, y, h)  # out-of-range rows are dropped
+    return ts_map.at[yy, x].max(ts.astype(jnp.int32), mode="drop")
+
+
+def integrate_step(surface, prev_ts, y, x, ts, valid, leak: float):
+    """One chunk of leaky integration.
+
+    Args:
+      surface: f32 ``[H, W]`` current surface.
+      prev_ts: int32 scalar, timestamp of the previous chunk's last event.
+      y, x, ts, valid: padded chunk arrays ``[E]``.
+      leak: leak rate per microsecond.
+
+    Returns:
+      ``(new_surface, last_ts, out_mask, delta_leak)`` where ``out_mask`` is
+      the bool ``[H, W]`` event mask this layer emits (pixels that flipped
+      positive -> non-positive, plus the input pixels,
+      integration.py:76-83) and ``delta_leak`` the f32 scalar leak applied.
+    """
+    h, w = surface.shape
+    leak = jnp.float32(leak)
+    # An all-padding chunk (e.g. an empty µs time bin) is a no-op step:
+    # last_ts falls back to prev_ts so delta_leak is 0 and no event lands.
+    last_ts = jnp.maximum(
+        prev_ts, jnp.max(jnp.where(valid, ts, TS_SENTINEL))
+    ).astype(jnp.int32)
+    delta_leak = snap((last_ts - prev_ts).astype(jnp.float32) * leak)
+
+    before_pos = surface > 0
+    s1 = surface - delta_leak
+    after_leak_neg = s1 <= 0
+    s1 = jnp.where(after_leak_neg, jnp.float32(0), s1)
+
+    ts_map = _event_ts_map(y, x, ts, valid, h, w)
+    ev_mask = ts_map > TS_SENTINEL
+    contrib = jnp.float32(1) - snap((last_ts - ts_map).astype(jnp.float32) * leak)
+    s2 = s1 + jnp.where(ev_mask, contrib, jnp.float32(0))
+    after_ev_neg = s2 <= 0
+    s2 = jnp.where(after_ev_neg, jnp.float32(0), s2)
+
+    out_mask = (before_pos & (after_leak_neg | after_ev_neg)) | ev_mask
+    return s2, last_ts, out_mask, delta_leak
+
+
+@partial(jax.jit, static_argnames=("leak", "h", "w"))
+def _integrate_frame_jit(frame, prev_ts, y, x, ts, valid, leak, h, w):
+    last_ts = jnp.maximum(
+        prev_ts, jnp.max(jnp.where(valid, ts, TS_SENTINEL))
+    ).astype(jnp.int32)
+    leak = jnp.float32(leak)
+    f1 = frame - snap((last_ts - prev_ts).astype(jnp.float32) * leak)
+    f1 = jnp.where(f1 < 0, jnp.float32(0), f1)
+    ts_map = _event_ts_map(y, x, ts, valid, h, w)
+    ev_mask = ts_map > TS_SENTINEL
+    contrib = jnp.float32(1) - snap((last_ts - ts_map).astype(jnp.float32) * leak)
+    f2 = f1 + jnp.where(ev_mask, contrib, jnp.float32(0))
+    f2 = jnp.where(f2 < 0, jnp.float32(0), f2)
+    return f2, last_ts
+
+
+def integrate_frame(events, leak, frame_h, frame_w, prev_output=None):
+    """Standalone stateless-in/out frame accumulator.
+
+    API-parity port of the reference's visualisation-side accumulator
+    (/root/reference/src/libs/viz.py:7-24): ``events`` is ``[N, 3]`` rows of
+    ``(y, x, ts)``; returns ``(frame, last_ts)``.  Note viz.py clamps with
+    ``< 0`` (strict) whereas the integration layer clamps ``<= 0`` — both
+    zero out the same values, only the emitted-event bookkeeping differs,
+    and this function emits no events.
+    """
+    events = jnp.asarray(events)
+    y, x, ts = events[:, 0], events[:, 1], events[:, 2]
+    if prev_output is None:
+        frame = jnp.zeros((frame_h, frame_w), jnp.float32)
+        prev_ts = jnp.int32(0)
+    else:
+        frame, prev_ts = prev_output
+        frame = jnp.asarray(frame, jnp.float32)
+        prev_ts = jnp.asarray(prev_ts, jnp.int32)
+    valid = jnp.ones(y.shape, bool)
+    return _integrate_frame_jit(
+        frame, prev_ts, y.astype(jnp.int32), x.astype(jnp.int32),
+        ts.astype(jnp.int32), valid, float(leak), frame_h, frame_w
+    )

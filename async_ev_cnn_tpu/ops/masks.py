@@ -1,0 +1,104 @@
+"""Active-site mask algebra.
+
+This module is the TPU-native replacement for the reference's
+``im2col_event`` coordinate machinery (/root/reference/src/libs/cutils.pyx:26-134).
+
+The Cython kernel walks every event, enumerates the kernel placements whose
+receptive field contains it, and dedups the resulting output coordinates via
+a malloc'd ``out_covered`` bitmap (cutils.pyx:56,108-109).  The set it
+produces — "all output sites whose receptive field intersects an event" —
+is exactly a binary dilation of the event mask by the kernel footprint, i.e.
+a max ``reduce_window`` over the (padded) event mask.  Computing it that way
+gives static shapes, free dedup, and arbitrary-stride support (the Cython
+kernel only supports stride==1 or stride==k, cutils.pyx:78-89).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def dilate_mask(
+    mask: jnp.ndarray,
+    ksize: tuple[int, int],
+    stride: int,
+    pads: tuple[tuple[int, int], tuple[int, int]] = ((0, 0), (0, 0)),
+) -> jnp.ndarray:
+    """Output active mask = sites whose receptive field touches an input site.
+
+    Args:
+      mask: bool ``[H, W]`` input active sites.
+      ksize: ``(k_h, k_w)`` kernel footprint.
+      stride: conv/pool stride (any value; superset of cutils.pyx:78-89).
+      pads: explicit ((top, bottom), (left, right)) pads — the same pads the
+        conv applies, so the mask lives in output coordinates
+        (cf. conv2d.py:74-78 shifting event coords by the pad).
+
+    Returns:
+      bool ``[out_h, out_w]`` dilated active mask.
+    """
+    (pt, pb), (pl, pr) = pads
+    padded = jnp.pad(mask, ((pt, pb), (pl, pr)))
+    out = lax.reduce_window(
+        padded.astype(jnp.int32),
+        jnp.int32(0),
+        lax.max,
+        window_dimensions=ksize,
+        window_strides=(stride, stride),
+        padding="VALID",
+    )
+    return out > 0
+
+
+def pool_out_shape(in_h: int, in_w: int, ksize: tuple[int, int], stride: int):
+    """VALID pooling output shape (maxpool.py:27-28)."""
+    return (in_h - ksize[0]) // stride + 1, (in_w - ksize[1]) // stride + 1
+
+
+def window_view(x: jnp.ndarray, ksize: tuple[int, int], stride: int) -> jnp.ndarray:
+    """Non-overlapping window view ``[C, H, W] -> [C, oh, ow, kh*kw]``.
+
+    Requires ``stride == ksize`` (non-overlapping pooling — the only config
+    the reference's event path supports, cutils.pyx:83-89).  Implemented as
+    crop + reshape + transpose: zero-copy-ish under XLA, no gather needed.
+    """
+    k_h, k_w = ksize
+    if stride != k_h or stride != k_w:
+        raise NotImplementedError(
+            "window_view requires stride == ksize (non-overlapping pooling); "
+            f"got ksize={ksize} stride={stride}"
+        )
+    c, h, w = x.shape
+    oh, ow = pool_out_shape(h, w, ksize, stride)
+    x = x[:, : oh * k_h, : ow * k_w]
+    x = x.reshape(c, oh, k_h, ow, k_w)
+    x = x.transpose(0, 1, 3, 2, 4).reshape(c, oh, ow, k_h * k_w)
+    return x
+
+
+def chunk_to_mask(y, x, valid, h: int, w: int) -> jnp.ndarray:
+    """Scatter padded event coordinates into a bool ``[H, W]`` mask.
+
+    Out-of-range or invalid entries are dropped (the scatter uses 'drop'
+    mode), so padding slots can simply carry coordinate 0 with valid=False.
+    """
+    mask = jnp.zeros((h, w), bool)
+    yy = jnp.where(valid, y, h)  # out of range -> dropped
+    return mask.at[yy, x].set(True, mode="drop")
+
+
+def mask_to_topk_coords(mask: jnp.ndarray, capacity: int):
+    """Extract up to ``capacity`` active coordinates from a mask (rulebook).
+
+    Returns ``(ys, xs, valid)`` each ``[capacity]``; deterministic
+    (row-major) ordering.  Used by the sparse gather->GEMM->scatter path.
+    """
+    h, w = mask.shape
+    flat = mask.reshape(-1)
+    # top_k over {1,0} with index tiebreak: scale so earlier indices win.
+    n = h * w
+    score = flat.astype(jnp.int32) * (n + 1) - jnp.arange(n, dtype=jnp.int32)
+    _, idx = lax.top_k(score, capacity)
+    valid = flat[idx]
+    return (idx // w).astype(jnp.int32), (idx % w).astype(jnp.int32), valid

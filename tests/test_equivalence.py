@@ -1,0 +1,93 @@
+"""The async-vs-dense equivalence gate (port of the reference's only test,
+/root/reference/src/scripts/test_correctness.py, as SURVEY.md SS4 requires).
+
+A 2-conv/2-pool async network and the dense oracle run in lockstep on the
+same synthetic random stream; per-layer feature maps must agree to <= 1e-4
+(the BASELINE.md parity target) at every step.
+"""
+
+from collections import OrderedDict
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from async_ev_cnn_tpu.layers.network import EventNetwork
+from async_ev_cnn_tpu.utils.equivalence import make_stream, run_equivalence
+
+TOL = 1e-4
+
+
+def reference_test_net(frame_h=8, frame_w=8, leak=0.1, alpha=0.1, padding="SAME"):
+    """The exact small net of test_correctness.py:96-111: fixed 3x3 kernel
+    [[-2,-1,1]]x3, bias 10, intgr->conv->pool->conv->pool."""
+    k = np.array([[-2, -1, 1], [-2, -1, 1], [-2, -1, 1]], np.float32).reshape(3, 3, 1, 1)
+    layer_defs = OrderedDict(
+        [("conv1", [3, 3, 1, 1]), ("pool1", [2, 2]), ("conv2", [3, 3, 1, 1]), ("pool2", [2, 2])]
+    )
+    params = {
+        "w_conv1": jnp.asarray(k),
+        "b_conv1": jnp.asarray([10.0], jnp.float32),
+        "w_conv2": jnp.asarray(k),
+        "b_conv2": jnp.asarray([10.0], jnp.float32),
+    }
+    net = EventNetwork(layer_defs, frame_h, frame_w, leak, alpha, padding)
+    return net, params
+
+
+def _check(report, tol=TOL):
+    for name, diff in report.max_diff.items():
+        assert diff <= tol, (
+            f"layer {name}: max async-vs-dense diff {diff:.2e} > {tol} "
+            f"(worst step {report.worst_step[name]}); full report: {dict(report.max_diff)}"
+        )
+
+
+def test_equivalence_1k_steps(rng):
+    net, params = reference_test_net()
+    chunks = make_stream(rng, steps=1000, events_per_step=5, h=8, w=8)
+    _check(run_equivalence(net, params, chunks))
+
+
+def test_equivalence_single_event_steps(rng):
+    # batch size 1 exercises the per-event path (reference default).
+    net, params = reference_test_net()
+    chunks = make_stream(rng, steps=300, events_per_step=1, h=8, w=8)
+    _check(run_equivalence(net, params, chunks))
+
+
+def test_equivalence_valid_padding(rng):
+    net, params = reference_test_net(frame_h=12, frame_w=12, padding="VALID")
+    chunks = make_stream(rng, steps=300, events_per_step=5, h=12, w=12)
+    _check(run_equivalence(net, params, chunks))
+
+
+def test_equivalence_random_weights(rng):
+    # Random (non-degenerate) weights, multi-channel.
+    layer_defs = OrderedDict(
+        [("conv1", [3, 3, 1, 4]), ("pool1", [2, 2]), ("conv2", [3, 3, 4, 6]), ("pool2", [2, 2])]
+    )
+    params = {
+        "w_conv1": jnp.asarray(rng.randn(3, 3, 1, 4).astype(np.float32)),
+        "b_conv1": jnp.asarray(rng.randn(4).astype(np.float32)),
+        "w_conv2": jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32)),
+        "b_conv2": jnp.asarray(rng.randn(6).astype(np.float32)),
+    }
+    net = EventNetwork(layer_defs, 16, 16, leak=0.05, alpha=0.1, padding="SAME")
+    chunks = make_stream(rng, steps=400, events_per_step=8, h=16, w=16)
+    _check(run_equivalence(net, params, chunks))
+
+
+def test_equivalence_high_leak_sign_flips(rng):
+    # High leak forces constant positive->negative flips and pool recomputes.
+    net, params = reference_test_net(leak=0.5)
+    chunks = make_stream(rng, steps=300, events_per_step=3, h=8, w=8)
+    _check(run_equivalence(net, params, chunks))
+
+
+@pytest.mark.slow
+def test_equivalence_10k_steps(rng):
+    # The reference's full 10k-iteration horizon (test_correctness.py:175).
+    net, params = reference_test_net()
+    chunks = make_stream(rng, steps=10000, events_per_step=5, h=8, w=8)
+    _check(run_equivalence(net, params, chunks))

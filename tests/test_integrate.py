@@ -1,0 +1,142 @@
+"""Unit tests for leaky-surface integration semantics.
+
+The expected values are computed by an independent numpy model written from
+the reference's documented semantics (integration.py:53-91): leak-subtract
+then clamp, event-add (last duplicate wins) then clamp, event mask =
+(positive -> non-positive flips) | event pixels.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from async_ev_cnn_tpu.ops.integrate import integrate_frame, integrate_step
+
+
+def np_snap(x):
+    """The 2**-20 rounding fence of ops/numerics.py (np.round is also
+    half-to-even, matching jnp.round)."""
+    return np.float32(np.round(np.float32(x) * np.float32(2.0**20)) * np.float32(2.0**-20))
+
+
+def np_integrate(surface, prev_ts, y, x, ts, leak):
+    surface = surface.copy()
+    last_ts = int(ts.max())
+    delta = np_snap(np.float32(last_ts - prev_ts) * np.float32(leak))
+    before_pos = surface > 0
+    surface -= delta
+    after_leak_neg = surface <= 0
+    surface[after_leak_neg] = 0.0
+    # fancy-index += : last occurrence of a duplicate pixel wins
+    vals = np.float32(1.0) - np_snap((last_ts - ts).astype(np.float32) * np.float32(leak))
+    add = np.zeros_like(surface)
+    for yi, xi, vi in zip(y, x, vals):
+        add[yi, xi] = vi
+    surface = surface + add
+    after_ev_neg = surface <= 0
+    surface[after_ev_neg] = 0.0
+    mask = before_pos & (after_leak_neg | after_ev_neg)
+    mask[y, x] = True
+    return surface.astype(np.float32), last_ts, mask, np.float32(delta)
+
+
+def run_step(surface, prev_ts, y, x, ts, leak):
+    n = len(y)
+    s, t, m, d = integrate_step(
+        jnp.asarray(surface),
+        jnp.int32(prev_ts),
+        jnp.asarray(y, jnp.int32),
+        jnp.asarray(x, jnp.int32),
+        jnp.asarray(ts, jnp.int32),
+        jnp.ones(n, bool),
+        leak,
+    )
+    return np.asarray(s), int(t), np.asarray(m), float(d)
+
+
+def test_matches_numpy_model(rng):
+    h = w = 8
+    leak = 0.1
+    surface = np.zeros((h, w), np.float32)
+    prev_ts = 0
+    for step in range(50):
+        n = rng.randint(1, 6)
+        ts = np.sort(rng.randint(1, 10, size=n)).astype(np.int32) + prev_ts
+        y = rng.randint(0, h, size=n).astype(np.int32)
+        x = rng.randint(0, w, size=n).astype(np.int32)
+        exp_s, exp_t, exp_m, exp_d = np_integrate(surface, prev_ts, y, x, ts, leak)
+        got_s, got_t, got_m, got_d = run_step(surface, prev_ts, y, x, ts, leak)
+        np.testing.assert_allclose(got_s, exp_s, atol=1e-6)
+        assert got_t == exp_t
+        np.testing.assert_array_equal(got_m, exp_m)
+        assert abs(got_d - exp_d) < 1e-6
+        surface, prev_ts = exp_s, exp_t
+
+
+def test_duplicate_pixel_last_wins():
+    # Two events on the same pixel with different ts: the later (larger ts,
+    # smaller decay) contribution is kept, not the sum.
+    surface = np.zeros((4, 4), np.float32)
+    y = np.array([1, 1], np.int32)
+    x = np.array([2, 2], np.int32)
+    ts = np.array([5, 9], np.int32)
+    got_s, _, _, _ = run_step(surface, 0, y, x, ts, 0.01)
+    # last_ts = 9; contribution = 1 - (9-9)*0.01 = 1.0 (not 1.96)
+    assert got_s[1, 2] == np.float32(1.0)
+
+
+def test_leak_then_event_clamp_ordering():
+    # A pixel at 0.05 with delta_leak 0.1 must clamp to 0 *before* the event
+    # add; fusing into one clamp would give 0.05 - 0.1 + contrib instead.
+    surface = np.zeros((2, 2), np.float32)
+    surface[0, 0] = 0.05
+    y = np.array([0], np.int32)
+    x = np.array([0], np.int32)
+    ts = np.array([10], np.int32)  # prev_ts 0, leak 0.01 -> delta 0.1
+    got_s, _, mask, _ = run_step(surface, 0, y, x, ts, 0.01)
+    assert np.isclose(got_s[0, 0], 1.0)  # 0 (clamped) + 1.0
+    assert mask[0, 0]
+
+
+def test_positive_to_negative_emits_event():
+    surface = np.zeros((3, 3), np.float32)
+    surface[2, 2] = 0.05  # will be wiped by the leak -> must emit an event
+    y = np.array([0], np.int32)
+    x = np.array([0], np.int32)
+    ts = np.array([100], np.int32)
+    _, _, mask, _ = run_step(surface, 0, y, x, ts, 0.01)
+    assert mask[2, 2] and mask[0, 0]
+    assert not mask[1, 1]
+
+
+def test_empty_chunk_is_noop():
+    # An all-padding chunk (empty µs bin) must leave state untouched —
+    # not corrupt prev_ts with the sentinel.
+    import jax.numpy as jnp
+    surface = np.zeros((4, 4), np.float32)
+    surface[1, 1] = 0.5
+    s, t, m, d = integrate_step(
+        jnp.asarray(surface), jnp.int32(7),
+        jnp.zeros(3, jnp.int32), jnp.zeros(3, jnp.int32),
+        jnp.zeros(3, jnp.int32), jnp.zeros(3, bool), 0.1,
+    )
+    assert d == 0.0 and int(t) == 7
+    np.testing.assert_array_equal(np.asarray(s), surface)
+    assert not np.asarray(m).any()
+
+
+def test_integrate_frame_standalone(rng):
+    h, w, leak = 6, 7, 0.05
+    state = None
+    np_frame = np.zeros((h, w), np.float32)
+    np_prev = 0
+    for _ in range(20):
+        n = rng.randint(1, 5)
+        ts = np.sort(rng.randint(1, 8, size=n)) + np_prev
+        y = rng.randint(0, h, size=n)
+        x = rng.randint(0, w, size=n)
+        events = np.stack([y, x, ts], axis=-1).astype(np.int32)
+        frame, last = integrate_frame(events, leak, h, w, state)
+        state = [frame, last]
+        exp, np_prev, _, _ = np_integrate(np_frame, np_prev, y, x, ts.astype(np.int32), leak)
+        np_frame = exp
+        np.testing.assert_allclose(np.asarray(frame), exp, atol=1e-6)
