@@ -1,0 +1,252 @@
+"""Event-file format codecs: N-MNIST/N-Caltech101 binary, AEDAT 2.0/3.1, npy.
+
+Bit-level behavioral parity with /root/reference/src/readers/file_reader.py
+so datasets and files written by either implementation interoperate:
+
+* N-data (file_reader.py:24-74): 5 bytes/event — ``x=b0``, ``y=b1``,
+  ``p=bit7(b2)``, ``ts=23 bits of b2..b4``; rows with ``y==240`` are
+  timestamp-overflow markers adding 2^13 us to all later events and are
+  filtered out.  The writer packs the same 40-bit records (the reference
+  needed the ``bitstring`` package; here it's three numpy shifts).
+* AEDAT (file_reader.py:77-279): ``#!AER-DAT`` header sniffing; 2.0 =
+  big-endian int32 (address, timestamp) pairs with camera-specific masks
+  (DVS128); 3.1 = packet stream of 7-int32 headers + polarity events with
+  validity-bit filtering and 31-bit timestamp-overflow words.
+* npy (file_reader.py:282-299): ``[N, 4]`` arrays of (x, y, ts, p).
+
+Everything is vectorized numpy — no per-event Python loops (the AEDAT 3.1
+packet walk iterates packets, not events).  A C++ decoder with the same
+output contract lives in ``native/`` for host-side throughput.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+N_DATA_OVERFLOW_Y = 240
+N_DATA_OVERFLOW_INCREMENT = 2**13
+
+
+class FileReader:
+    """Format codec interface: ``read_example(path)`` ->
+    ``(length, x, y, ts, p)``; ``save_example(path, x, y, ts, p, version)``."""
+
+    def read_example(self, filename):
+        raise NotImplementedError
+
+    def save_example(self, filename, x, y, ts, p, version=None):
+        raise NotImplementedError
+
+
+class NReader(FileReader):
+    """N-MNIST / N-Caltech101 binary format."""
+
+    def read_example(self, filename):
+        raw = np.fromfile(filename, dtype=np.uint8)
+        return self.decode(raw)
+
+    @staticmethod
+    def decode(raw: np.ndarray):
+        raw = raw[: raw.size - raw.size % 5].reshape(-1, 5).astype(np.uint32)
+        x = raw[:, 0]
+        y = raw[:, 1]
+        p = (raw[:, 2] & 128) >> 7
+        ts = ((raw[:, 2] & 127) << 16) | (raw[:, 3] << 8) | raw[:, 4]
+
+        overflow = y == N_DATA_OVERFLOW_Y
+        # each overflow marker bumps every *subsequent* event by 2^13 us
+        ts = ts + N_DATA_OVERFLOW_INCREMENT * np.cumsum(overflow)
+        keep = ~overflow
+        x = x[keep].astype(np.int32)
+        y = y[keep].astype(np.int32)
+        ts = ts[keep].astype(np.int32)
+        p = p[keep].astype(np.int32)
+        return len(x), x, y, ts, p
+
+    @staticmethod
+    def encode(x, y, ts, p) -> np.ndarray:
+        out = np.empty((len(x), 5), np.uint8)
+        ts = np.asarray(ts, np.uint32)
+        out[:, 0] = np.asarray(x, np.uint32) & 0xFF
+        out[:, 1] = np.asarray(y, np.uint32) & 0xFF
+        out[:, 2] = ((np.asarray(p, np.uint32) & 1) << 7) | ((ts >> 16) & 0x7F)
+        out[:, 3] = (ts >> 8) & 0xFF
+        out[:, 4] = ts & 0xFF
+        return out.reshape(-1)
+
+    def save_example(self, filename, x, y, ts, p, version=None):
+        self.encode(x, y, ts, p).tofile(filename)
+
+
+_CAMERA_FORMATS = {
+    # x_mask, x_shift, y_mask, y_shift, p_mask, p_shift
+    "DVS128": (0xFE, 1, 0x7F00, 8, 0x1, 0),
+}
+
+
+class AerReader(FileReader):
+    """AEDAT 2.0 / 3.1 (jAER / cAER)."""
+
+    def __init__(self, camera: str = "DVS128"):
+        self._camera = camera
+
+    def _camera_format(self):
+        try:
+            return _CAMERA_FORMATS[self._camera]
+        except KeyError:
+            raise ValueError(f"unsupported camera {self._camera!r}") from None
+
+    # ---- decoding ---------------------------------------------------------
+
+    def read_example(self, filename):
+        with open(filename, "rb") as f:
+            version = "1.0"  # assumed when no header comment, per the spec
+            prev = 0
+            line = f.readline().decode("utf-8", "ignore")
+            while line.startswith("#"):
+                if line[:9] == "#!AER-DAT":
+                    version = line[9:12]
+                prev = f.tell()
+                line = f.readline().decode("utf-8", "ignore")
+            f.seek(prev)
+            payload = np.fromfile(f, dtype=np.int32)
+        if version == "2.0":
+            return self._decode_20(payload)
+        if version == "3.1":
+            return self._decode_31(payload)
+        raise NotImplementedError(f"AER-DAT version {version} not supported")
+
+    def _decode_20(self, payload: np.ndarray):
+        data = payload.byteswap()  # 2.0 payload is big-endian
+        addr = data[0::2]
+        ts = data[1::2]
+        x_mask, x_shift, y_mask, y_shift, p_mask, p_shift = self._camera_format()
+        x = ((addr & x_mask) >> x_shift).astype(np.int32)
+        y = ((addr & y_mask) >> y_shift).astype(np.int32)
+        p = ((addr & p_mask) >> p_shift).astype(np.int32)
+        return len(x), x, y, ts.astype(np.int32), p.astype(np.int32)
+
+    def _decode_31(self, payload: np.ndarray):
+        """Packet walk. Assumes POLARITY_EVENT packets (like the reference,
+        file_reader.py:127-133); other packet types are skipped by size."""
+        xs, ys, tss, ps = [], [], [], []
+        pos = 0
+        n = payload.size
+        while pos + 7 <= n:
+            header = payload[pos : pos + 7]
+            pos += 7
+            event_type = int(header[0]) >> 16
+            event_size, _, ts_overflow, _, event_number, event_valid = header[1:]
+            words = int(event_number) * int(event_size) // 4
+            body = payload[pos : pos + words]
+            pos += words
+            if not (event_valid and event_type == 1):
+                continue
+            data = body[0::2]
+            ts = body[1::2]
+            x = ((data >> 17) & 0x1FFF).astype(np.int32)
+            y = ((data >> 2) & 0x1FFF).astype(np.int32)
+            p = ((data >> 1) & 0x1).astype(np.int32)
+            valid = (data & 0x1).astype(bool)
+            ts64 = (np.int64(ts_overflow) << 31) | ts.astype(np.int64)
+            xs.append(x[valid])
+            ys.append(y[valid])
+            tss.append(ts64[valid])
+            ps.append(p[valid])
+        if not xs:
+            z = np.zeros(0, np.int32)
+            return 0, z, z, z.astype(np.int64), z
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        ts = np.concatenate(tss)
+        p = np.concatenate(ps)
+        return len(x), x, y, ts, p
+
+    # ---- encoding ---------------------------------------------------------
+
+    def _save_20(self, filename, x, y, ts, p):
+        header = (
+            "#!AER-DAT2.0\r\n"
+            "# This is a raw AE data file - do not edit\r\n"
+            "# Data format is int32 address, int32 timestamp (8 bytes total),"
+            " repeated for each event\r\n"
+            "# Timestamps tick is 1 us\r\n"
+            "# created " + time.ctime() + "\r\n"
+        )
+        _, x_shift, _, y_shift, _, p_shift = self._camera_format()
+        addr = (
+            ((np.asarray(y, np.uint32) & 0x7F) << y_shift)
+            | ((np.asarray(x, np.uint32) & 0x7F) << x_shift)
+            | ((np.asarray(p, np.uint32) & 0x7F) << p_shift)
+        )
+        pairs = np.stack([addr, np.asarray(ts, np.uint32)], axis=-1)
+        with open(filename, "wb") as f:
+            f.write(header.encode())
+            f.write(pairs.astype(">u4").tobytes())
+
+    def _save_31(self, filename, x, y, ts, p):
+        header = (
+            "#!AER-DAT3.1\r\n#Format: RAW\r\n"
+            f"#Source 1: {self._camera}\r\n"
+            "#Start-Time: " + time.strftime("%Y-%m-%d %H:%M:%S (TZ%z)") + "\r\n"
+            "#!END-HEADER\r\n"
+        )
+        ts = np.asarray(ts, np.int64)
+        x = np.asarray(x, np.int64)
+        y = np.asarray(y, np.int64)
+        p = np.asarray(p, np.int64)
+        overflow = (ts >> 31) & 0x7FFFFFFF
+        # split into blocks of constant overflow counter
+        boundaries = np.where(overflow[:-1] != overflow[1:])[0] + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [len(ts)]])
+        chunks = []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            head = np.array(
+                [1 << 16 | 1, 8, 4, int(overflow[s]), n, n, n], np.int32
+            )
+            data = (x[s:e] << 17) | (y[s:e] << 2) | (p[s:e] << 1) | 1
+            body = np.stack(
+                [data.astype(np.int32), (ts[s:e] & 0x7FFFFFFF).astype(np.int32)], axis=-1
+            )
+            chunks.append(head.tobytes())
+            chunks.append(body.tobytes())
+        with open(filename, "wb") as f:
+            f.write(header.encode())
+            for c in chunks:
+                f.write(c)
+
+    def save_example(self, filename, x, y, ts, p, version="3.1"):
+        if version == "2.0":
+            self._save_20(filename, x, y, ts, p)
+        elif version == "3.1":
+            self._save_31(filename, x, y, ts, p)
+        else:
+            raise NotImplementedError(f"AER-DAT writer for version {version}")
+
+
+class NumpyReader(FileReader):
+    """``.npy`` event arrays ``[N, 4]`` of (x, y, ts, p)."""
+
+    def read_example(self, filename):
+        events = np.load(filename)
+        x, y, ts, p = events[:, 0], events[:, 1], events[:, 2], events[:, 3]
+        return len(x), x, y, ts, p
+
+    def save_example(self, filename, x, y, ts, p, version=None):
+        np.save(filename, np.stack([x, y, ts, p], axis=-1))
+
+
+def factory(file_format: str) -> FileReader:
+    """Codec from a config string: 'n-data', 'aer-data[_CAMERA]', 'numpy'."""
+    if file_format.startswith("n-data"):
+        return NReader()
+    if file_format.startswith("aer-data"):
+        _, _, camera = file_format.partition("_")
+        return AerReader(camera or "DVS128")
+    if file_format.startswith("numpy"):
+        return NumpyReader()
+    raise ValueError(f"unknown file format {file_format!r}")

@@ -1,0 +1,243 @@
+"""The three network variants, mirroring the reference's model surface:
+
+* :class:`YoloEventJax`   — async event-driven network (the flagship),
+  TPU-native analog of ``YoloEventNumpy``
+  (/root/reference/src/models/event_numpy.py:12-105).
+* :class:`YoloFrameJax`   — dense frame network, one jitted XLA program,
+  analog of ``YoloFrameTf`` (src/models/frame_tf.py:11-127).
+* :class:`YoloFrameNumpy` — dense pure-numpy oracle / CPU baseline, analog
+  of ``YoloFrameNumpy`` (src/models/frame_numpy.py:9-106).
+
+All three share the constructor signature of the reference models
+(h_frame, w_frame, num_classes, cnn_layers, cnn_padding, h_cells, w_cells,
+num_bbox, alpha, leak, checkpoint) and the ``build_graph`` closure API, plus
+a functional (init_state/step/scan) API on the event model for jit/scan
+composition.  Weight naming follows the checkpoint contract ``w_<name>`` /
+``b_<name>`` with HWIO kernels (event_numpy.py:64).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from async_ev_cnn_tpu.layers.network import EventNetwork, dense_forward
+from async_ev_cnn_tpu.layers.types import EventChunk
+from async_ev_cnn_tpu.ops.conv import conv_out_shape, tf_same_pads
+from async_ev_cnn_tpu.utils.checkpoint import load_params, normalize_names
+
+
+class _YoloBase:
+    def __init__(
+        self,
+        h_frame: int,
+        w_frame: int,
+        num_classes: int,
+        cnn_layers: "OrderedDict[str, list[int]]",
+        cnn_padding: str,
+        h_cells: int,
+        w_cells: int,
+        num_bbox: int,
+        alpha: float,
+        leak: float,
+        checkpoint: str | None = None,
+    ):
+        self._h_frame = h_frame
+        self._w_frame = w_frame
+        self._num_classes = num_classes
+        self._cnn_layers = cnn_layers
+        self._padding = cnn_padding
+        self._h_cells = h_cells
+        self._w_cells = w_cells
+        self._num_bbox = num_bbox
+        self._alpha = alpha
+        self._leak = leak
+        self._weights: dict = {}
+        if checkpoint is not None:
+            self.restore(checkpoint)
+
+    @property
+    def grid_shape(self):
+        return (self._h_cells, self._w_cells, self._num_classes + self._num_bbox * 5)
+
+    def restore(self, checkpoint_path: str, restrict_vars=None) -> None:
+        """Load every checkpoint tensor into the weight dict
+        (event_numpy.py:34-51)."""
+        params = normalize_names(load_params(checkpoint_path))
+        if restrict_vars is not None:
+            params = {k: v for k, v in params.items() if k in restrict_vars}
+        self._weights.update(params)
+
+    def set_weights(self, params) -> None:
+        self._weights.update(params)
+
+    @property
+    def params(self):
+        return self._weights
+
+
+class YoloEventJax(_YoloBase):
+    """Event-driven YOLO: a stateful async network compiled to one XLA step.
+
+    Functional API (preferred):
+        ``state = net.init_state()``
+        ``state, grid = net.step(state, chunk)``        # one micro-batch
+        ``state, grids = net.scan(state, chunks)``      # stacked micro-batches
+
+    Closure API (reference parity, event_numpy.py:90-105):
+        ``graph = net.build_graph(None); out = graph(events, reset)``
+        where ``events`` is a host ``[N, 3]`` array of (y, x, ts) rows.
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.net = EventNetwork(
+            self._cnn_layers,
+            self._h_frame,
+            self._w_frame,
+            self._leak,
+            self._alpha,
+            self._padding,
+        )
+        self._jit_step = jax.jit(self._step_impl)
+        self._jit_scan = jax.jit(self._scan_impl)
+
+    # ---- functional API ---------------------------------------------------
+
+    def _device_params(self):
+        return {k: jnp.asarray(v) for k, v in self._weights.items()}
+
+    def init_state(self):
+        return self.net.init_state(self._device_params())
+
+    def _step_impl(self, params, state, chunk):
+        state, out = self.net.step(params, state, chunk)
+        return state, jnp.reshape(out, self.grid_shape)
+
+    def _scan_impl(self, params, state, chunks):
+        def body(st, chunk):
+            return self._step_impl(params, st, chunk)
+
+        return jax.lax.scan(body, state, chunks)
+
+    def step(self, state, chunk: EventChunk):
+        return self._jit_step(self._device_params(), state, chunk)
+
+    def scan(self, state, chunks: EventChunk):
+        return self._jit_scan(self._device_params(), state, chunks)
+
+    # ---- closure API (reference parity) ------------------------------------
+
+    def build_graph(self, _=None):
+        state = {"value": None, "capacity": None}
+
+        def graph(events, reset: bool):
+            events = np.asarray(events)
+            n = events.shape[0]
+            if reset or state["value"] is None:
+                state["value"] = self.init_state()
+            # pad to a stable power-of-two capacity to bound recompiles
+            cap = max(16, 1 << (n - 1).bit_length())
+            chunk = EventChunk.from_arrays(
+                events[:, 0], events[:, 1], events[:, 2], capacity=cap
+            )
+            state["value"], out = self.step(state["value"], chunk)
+            return np.asarray(out)
+
+        return graph
+
+
+class YoloFrameJax(_YoloBase):
+    """Dense frame YOLO as one jitted XLA program (the ``YoloFrameTf``
+    analog): conv -> leaky -> maxpool chain plus optional fc tail, fed with
+    an integrated frame."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        # reuse the event network's specs for an identical dense topology
+        self.net = EventNetwork(
+            self._cnn_layers,
+            self._h_frame,
+            self._w_frame,
+            self._leak,
+            self._alpha,
+            self._padding,
+        )
+        self._jit_forward = jax.jit(self._forward_impl)
+
+    def _forward_impl(self, params, frame):
+        outs = dense_forward(self.net.event_layers, params, frame[None], "tf")
+        last = next(reversed(outs.values()))
+        out = self.net.apply_tail(params, jnp.transpose(last, (1, 2, 0)))
+        return jnp.reshape(out, self.grid_shape)
+
+    def forward(self, frame):
+        params = {k: jnp.asarray(v) for k, v in self._weights.items()}
+        return self._jit_forward(params, jnp.asarray(frame, jnp.float32))
+
+    def build_graph(self, _=None):
+        def graph(frame):
+            return np.asarray(self.forward(frame))
+
+        return graph
+
+
+class YoloFrameNumpy(_YoloBase):
+    """Dense pure-numpy oracle (the ``YoloFrameNumpy`` analog) — the
+    framework's CPU-interpreted reference implementation and the baseline
+    for the events/sec speedup measurements.
+
+    Uses ``sliding_window_view`` + einsum rather than hand-rolled strides.
+    Note: the reference re-applies the activation after each pool
+    (frame_numpy.py:76-78), double-scaling negative pooled values by alpha;
+    that quirk is reproduced here for drop-in parity.
+    """
+
+    def _conv(self, x, name):
+        k = self._weights[f"w_{name}"]  # HWIO
+        b = self._weights[f"b_{name}"]
+        kh, kw, _, _ = k.shape
+        if self._padding == "SAME":
+            (pt, pb), (pl, pr) = tf_same_pads(x.shape[1], x.shape[2], kh, kw, 1)
+            x = np.pad(x, ((0, 0), (pt, pb), (pl, pr)))
+        win = np.lib.stride_tricks.sliding_window_view(x, (kh, kw), axis=(1, 2))
+        # win: [C, oh, ow, kh, kw]; kernel HWIO -> einsum over C, kh, kw
+        out = np.einsum("cyxhw,hwco->oyx", win, k, optimize=True) + b[:, None, None]
+        return out.astype(np.float32)
+
+    @staticmethod
+    def _pool(x, ksize, stride):
+        c, h, w = x.shape
+        kh, kw = ksize
+        oh, ow = (h - kh) // stride + 1, (w - kw) // stride + 1
+        win = np.lib.stride_tricks.sliding_window_view(x, (kh, kw), axis=(1, 2))
+        win = win[:, ::stride, ::stride][:, :oh, :ow]
+        return win.max(axis=(-1, -2))
+
+    def _leaky(self, x):
+        return np.maximum(x, x * self._alpha)
+
+    def forward(self, frame):
+        x = np.asarray(frame, np.float32)
+        x = x[None] if x.ndim == 2 else x
+        flat_tail = False
+        for name, size in self._cnn_layers.items():
+            if "conv" in name:
+                x = self._leaky(self._conv(x, name))
+            elif "pool" in name:
+                x = self._leaky(self._pool(x, size, size[0]))
+            elif "flatten" in name:
+                x = self._leaky(x.transpose(1, 2, 0).reshape(-1))
+                flat_tail = True
+            elif "fc" in name:
+                x = self._leaky(x @ self._weights[f"w_{name}"] + self._weights[f"b_{name}"])
+                flat_tail = True
+        if not flat_tail:
+            x = x.transpose(1, 2, 0)
+        return x.reshape(self.grid_shape)
+
+    def build_graph(self, _=None):
+        return self.forward

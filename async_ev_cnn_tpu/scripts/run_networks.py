@@ -1,0 +1,63 @@
+"""CLI entry point: run a network over a dataset's test split.
+
+Usage (parity with /root/reference/src/scripts/run_networks.py and
+README.md:29-36):
+
+    python -m async_ev_cnn_tpu.scripts.run_networks -c configs/efcn_event.yml
+
+The network class is selected by name from the config (``YoloEventJax``,
+``YoloFrameJax``, ``YoloFrameNumpy``; the reference's ``YoloEventNumpy`` /
+``YoloFrameTf`` names are accepted as aliases of the event / dense-jit
+variants for drop-in config compatibility).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from async_ev_cnn_tpu.data import detection_reader
+from async_ev_cnn_tpu.models import YoloEventJax, YoloFrameJax, YoloFrameNumpy
+from async_ev_cnn_tpu.utils.config import config
+from async_ev_cnn_tpu.utils.runner import EventRunner, FrameRunner
+
+_NETWORKS = {
+    "YoloEventJax": YoloEventJax,
+    "YoloFrameJax": YoloFrameJax,
+    "YoloFrameNumpy": YoloFrameNumpy,
+    # reference-name aliases
+    "YoloEventNumpy": YoloEventJax,
+    "YoloFrameTf": YoloFrameJax,
+}
+
+
+def main(argv=None):
+    args = config(argv)
+
+    reader = detection_reader.factory(args.input_data_dir, file_format=args.file_format)
+
+    try:
+        network_class = _NETWORKS[args.network]
+    except KeyError:
+        raise SystemExit(
+            f"unknown network {args.network!r}; choose one of {sorted(_NETWORKS)}"
+        )
+    network = network_class(
+        h_frame=args.frame_h, w_frame=args.frame_w,
+        num_classes=reader.num_classes(), cnn_layers=args.yolo_cnn_layers,
+        cnn_padding=args.yolo_cnn_padding, h_cells=args.yolo_num_cells_h,
+        w_cells=args.yolo_num_cells_w, num_bbox=args.yolo_num_bbox,
+        alpha=0.1, leak=args.leak, checkpoint=args.restore_net,
+    )
+    graph = network.build_graph(None)
+
+    runner_cls = EventRunner if isinstance(network, YoloEventJax) else FrameRunner
+    runner = runner_cls(args, reader)
+    stats = runner.run(graph)
+    print(json.dumps(stats))
+    return stats
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Model weight loading.
+
+Honors the reference's checkpoint contract — variables named ``w_conv1``,
+``b_conv1``, … ``w_fcN``/``b_fcN`` with HWIO conv kernels
+(/root/reference/src/models/event_numpy.py:34-51,64) — from either:
+
+* ``.npz`` archives (this framework's native format, written by
+  ``save_params``), or
+* legacy TensorFlow checkpoints.  TF checkpoints are read with the bundled
+  pure-Python TensorBundle reader (``utils/tf_bundle.py``) so no TF
+  dependency is required; if that fails and TensorFlow happens to be
+  importable, it is used as a fallback (mirroring
+  ``checkpoint_utils.load_checkpoint``).
+
+Latest-checkpoint resolution when a directory is given matches
+event_numpy.py:37-40.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+
+def latest_checkpoint(path: str) -> str:
+    """Resolve a directory to its newest checkpoint prefix.
+
+    Understands TF's ``checkpoint`` index file when present; otherwise picks
+    the newest ``*.npz`` or ``*.index`` (minus suffix) by mtime.
+    """
+    if not os.path.isdir(path):
+        return path
+    marker = os.path.join(path, "checkpoint")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            for line in f:
+                if line.startswith("model_checkpoint_path"):
+                    name = line.split(":", 1)[1].strip().strip('"')
+                    return name if os.path.isabs(name) else os.path.join(path, name)
+    candidates = []
+    for fn in os.listdir(path):
+        full = os.path.join(path, fn)
+        if fn.endswith(".npz"):
+            candidates.append((os.path.getmtime(full), full))
+        elif fn.endswith(".index"):
+            candidates.append((os.path.getmtime(full), full[: -len(".index")]))
+    if not candidates:
+        raise FileNotFoundError(f"no checkpoints found under {path}")
+    return max(candidates)[1]
+
+
+def _load_tf_checkpoint(prefix: str) -> Dict[str, np.ndarray]:
+    try:
+        from async_ev_cnn_tpu.utils.tf_bundle import load_tensor_bundle
+
+        return load_tensor_bundle(prefix)
+    except Exception as bundle_err:  # pragma: no cover - fallback path
+        try:
+            import tensorflow as tf  # type: ignore
+
+            reader = tf.train.load_checkpoint(prefix)
+            return {
+                key: np.asarray(reader.get_tensor(key))
+                for key in reader.get_variable_to_shape_map()
+            }
+        except ImportError:
+            raise bundle_err
+
+
+def load_params(path: str, restrict_vars=None) -> Dict[str, np.ndarray]:
+    """Load a weight dict from an .npz file or TF checkpoint (file or dir)."""
+    path = latest_checkpoint(path)
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            params = {k: z[k] for k in z.files}
+    else:
+        params = _load_tf_checkpoint(path)
+    if restrict_vars is not None:
+        params = {k: v for k, v in params.items() if k in restrict_vars}
+    return params
+
+
+def normalize_names(params: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Map object-graph checkpoint names to flat Saver-style names.
+
+    ``tf.train.Saver`` checkpoints (the reference's format,
+    frame_tf.py:32-61) already use flat names like ``w_conv1``;
+    ``tf.train.Checkpoint`` stores ``w_conv1/.ATTRIBUTES/VARIABLE_VALUE``.
+    Both normalize to the flat name.
+    """
+    out = {}
+    for key, value in params.items():
+        name = key.split("/.ATTRIBUTES/")[0] if "/.ATTRIBUTES/" in key else key
+        out.setdefault(name, value)
+    return out
+
+
+def save_params(path: str, params: Dict[str, np.ndarray]) -> None:
+    """Save weights in this framework's native .npz format."""
+    np.savez(path, **{k: np.asarray(v) for k, v in params.items()})

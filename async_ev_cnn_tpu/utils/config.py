@@ -1,0 +1,113 @@
+"""Configuration: YAML files with CLI overrides and the layer DSL.
+
+Capability parity with the reference's configargparse setup
+(/root/reference/src/scripts/config.py): ``-c <yaml>`` plus flag overrides,
+the ``conv1=3,3,1,16 pool1=2,2 …`` layer DSL (config.py:6-12), and the same
+flag set — without the configargparse dependency (plain argparse + pyyaml).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from collections import OrderedDict
+
+import yaml
+
+
+def layers_dict(text: str) -> "OrderedDict[str, list[int]]":
+    """Parse the layer DSL: ``'conv1=3,3,1,16 pool1=2,2 fc1=128,64 flatten1='``.
+
+    Matches config.py:6-12: space-separated ``name=dims`` items, dims
+    comma-separated ints.
+    """
+    try:
+        out: "OrderedDict[str, list[int]]" = OrderedDict()
+        for item in text.split(" "):
+            if not item:
+                continue
+            name, _, dims = item.partition("=")
+            out[name] = [int(d) for d in dims.split(",")] if dims else []
+        return out
+    except ValueError as e:
+        raise argparse.ArgumentTypeError(
+            "layer DSL must be 'name1=h1,w1,i1,o1 name2=h2,w2 ...' "
+            f"(failed on {text!r}: {e})"
+        )
+
+
+def layers_dsl(layer_defs: "OrderedDict[str, list[int]]") -> str:
+    """Inverse of :func:`layers_dict`."""
+    return " ".join(f"{k}={','.join(map(str, v))}" for k, v in layer_defs.items())
+
+
+def boolean(v: str) -> bool:
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("boolean value expected")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="async-ev-cnn-tpu runner")
+    p.add_argument("-c", "--config", default=None, help="YAML config file path")
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="Examples per reader batch.")
+    p.add_argument("--reader_threads", type=int, default=4,
+                   help="Parallel reader workers.")
+    p.add_argument("--input_data_dir", type=str, default="data/nmnist",
+                   help="Dataset directory.")
+    p.add_argument("--file_format", type=str, default="n-data",
+                   help="'n-data', 'aer-data[_CAMERA]' or 'numpy'.")
+    p.add_argument("--restore_net", type=str, default=None,
+                   help="Checkpoint file/dir (.npz or TF v2 bundle).")
+    p.add_argument("--network", type=str, default="YoloEventJax",
+                   help="'YoloEventJax', 'YoloFrameJax' or 'YoloFrameNumpy'.")
+    p.add_argument("--frame_h", type=int, default=124)
+    p.add_argument("--frame_w", type=int, default=124)
+    p.add_argument("--example_h", type=int, default=124)
+    p.add_argument("--example_w", type=int, default=124)
+    p.add_argument("--leak", type=float, default=0.00015,
+                   help="Surface leak per microsecond.")
+    p.add_argument("--frame_delay", type=int, default=50,
+                   help="Delay (ms) between displayed frames.")
+    p.add_argument("--yolo_cnn_layers", type=layers_dict, default=None,
+                   help="Layer DSL, e.g. 'conv1=3,3,1,16 pool1=2,2 ...'.")
+    p.add_argument("--yolo_cnn_padding", type=str, default="VALID")
+    p.add_argument("--yolo_num_cells_h", type=int, default=4)
+    p.add_argument("--yolo_num_cells_w", type=int, default=4)
+    p.add_argument("--yolo_num_bbox", type=int, default=2)
+    p.add_argument("--batch_event_size", type=int, default=1,
+                   help="Events per micro-batch.")
+    p.add_argument("--batch_event_usec", type=int, default=None,
+                   help="Micro-batch by time window (overrides event count).")
+    # TPU-native additions (not in the reference):
+    p.add_argument("--mode", type=str, default="dense",
+                   help="Async conv execution: 'dense' (masked commit) or "
+                        "'sparse' (rulebook gather->GEMM->scatter).")
+    p.add_argument("--num_streams", type=int, default=1,
+                   help="Independent event streams batched per step "
+                        "(sharded over the device mesh when >1).")
+    p.add_argument("--show_frames", type=boolean, default=False,
+                   help="Display predictions with OpenCV.")
+    p.add_argument("--profile", type=boolean, default=False,
+                   help="Capture a jax.profiler trace of the run.")
+    return p
+
+
+def config(argv=None) -> argparse.Namespace:
+    """Parse a config: YAML file values are defaults, CLI flags override."""
+    parser = build_parser()
+    args, _ = parser.parse_known_args(argv)
+    if args.config:
+        with open(args.config) as f:
+            file_cfg = yaml.safe_load(f) or {}
+        unknown = set(file_cfg) - {a.dest for a in parser._actions}
+        if unknown:
+            raise ValueError(f"unknown config keys in {args.config}: {sorted(unknown)}")
+        if "yolo_cnn_layers" in file_cfg and isinstance(file_cfg["yolo_cnn_layers"], str):
+            file_cfg["yolo_cnn_layers"] = layers_dict(file_cfg["yolo_cnn_layers"])
+        parser.set_defaults(**file_cfg)
+        args, _ = parser.parse_known_args(argv)
+    return args

@@ -1,0 +1,215 @@
+"""Streaming inference runners.
+
+Capability parity with /root/reference/src/libs/runner.py:11-128: iterate
+the test set, split each example's event stream into micro-batches by count
+(``batch_event_size``) or by time window (``batch_event_usec``), maintain
+the integrated frame alongside, feed the network, record wall-clock timings
+(running mean every 1000 steps), and optionally display predictions.
+
+TPU-native differences:
+
+* Event micro-batches are padded to a static capacity so the network step
+  compiles once; timing calls ``block_until_ready`` so numbers are honest.
+* ``events/sec`` is reported as the first-class metric next to sec/step.
+* The reference passes the *full* event array instead of the micro-batch to
+  the network (runner.py:88, a quirk); this runner feeds the micro-batch.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import numpy as np
+
+from async_ev_cnn_tpu.layers.types import EventChunk
+from async_ev_cnn_tpu.ops.integrate import integrate_frame
+from async_ev_cnn_tpu.utils import viz
+from async_ev_cnn_tpu.utils.transforms import data_transform
+
+
+def split_micro_batches(events: np.ndarray, batch_event_size=None, batch_event_usec=None):
+    """Split an ``[N, 3]`` (y, x, ts) stream into micro-batches.
+
+    By time window when ``batch_event_usec`` is given (runner.py:66-69),
+    else by count (runner.py:71-72).
+    """
+    if batch_event_usec is not None:
+        ts = events[:, -1]
+        bins = np.arange(0, ts[-1], batch_event_usec)
+        bin_ids = np.digitize(ts, bins)
+        split_at = np.where(bin_ids[:-1] != bin_ids[1:])[0] + 1
+        return np.array_split(events, split_at, axis=0)
+    num = int(np.ceil(events.shape[0] / batch_event_size))
+    return np.array_split(events, num, axis=0)
+
+
+class Runner:
+    """Base runner: reads batches, micro-batches events, times the network."""
+
+    profile_integration = True  # include frame integration in the timed span
+
+    def __init__(self, args, reader):
+        self.args = args
+        self.reader = reader
+        self.num_classes = reader.num_classes()
+        label_to_idx = reader.label_to_idx()
+        labels = np.array(list(label_to_idx.keys()))
+        order = np.argsort(np.array(list(label_to_idx.values())))
+        self.idx_to_label = labels[order]
+
+    def feed_network(self, network, events_batch, frame, reset_state):
+        raise NotImplementedError
+
+    def show_frames(self, net_out, frame):  # pragma: no cover - GUI path
+        drawn = viz.draw_bboxes(
+            net_out, frame, self.args.yolo_num_cells_h, self.args.yolo_num_cells_w,
+            self.num_classes, idx_to_label=self.idx_to_label, conf_threshold=0.1,
+            nms_threshold=0.0, use_nms=True, max_thickness=1, highlight_top_n=2,
+            resize_ratio=5,
+        )
+        for f in drawn:
+            viz.show_frame(f, self.args.frame_delay)
+
+    def run(self, network, max_examples=None, verbose=True):
+        """Inference over the test set; returns aggregate timing stats."""
+        args = self.args
+        step_times = []
+        total_events = 0
+        n = 0
+        num_batches = int(np.ceil(self.reader.test_size() / args.batch_size))
+        if max_examples is not None:
+            num_batches = min(num_batches, max_examples)
+
+        for i in range(num_batches):
+            t_read = time.time()
+            _, events = self.reader.next_batch(
+                args.batch_size, dataset="test",
+                preprocessing_fn=partial(data_transform, args=args),
+                concat_features=False, threads=args.reader_threads,
+            )
+            read_time = time.time() - t_read
+
+            frame_state = None
+            reset_state = True
+            for events_batch in split_micro_batches(
+                events, args.batch_event_size, args.batch_event_usec
+            ):
+                if self.profile_integration:
+                    t0 = time.time()
+                frame, prev_ts = integrate_frame(
+                    events_batch, args.leak, args.frame_h, args.frame_w, frame_state
+                )
+                frame_state = [frame, prev_ts]
+                if not self.profile_integration:
+                    t0 = time.time()
+
+                net_out = self.feed_network(network, events_batch, frame, reset_state)
+                jax.block_until_ready(net_out)
+                dt = time.time() - t0
+                step_times.append(dt)
+                total_events += len(events_batch)
+                n += 1
+                if verbose:
+                    print(f"Test batch {i + 1:<2} - sec/step: {dt:.4f}  "
+                          f"ev/s: {len(events_batch) / max(dt, 1e-9):,.0f}  "
+                          f"reading: {read_time:.3f} sec")
+                if n % 1000 == 0 and verbose:
+                    print(f"Mean fw time ({n} runs): {np.mean(step_times):.5f}")
+                if getattr(args, "show_frames", False):  # pragma: no cover
+                    self.show_frames(np.asarray(net_out), np.asarray(frame))
+                reset_state = False
+
+        times = np.array(step_times[1:] or step_times)  # drop compile step
+        return {
+            "steps": n,
+            "mean_sec_per_step": float(times.mean()),
+            "events_per_sec": float(total_events / max(np.array(step_times).sum(), 1e-9)),
+            "events_per_sec_steady": float(
+                (total_events / max(n, 1)) * len(times) / max(times.sum(), 1e-9)
+            ),
+        }
+
+
+class EventRunner(Runner):
+    """Drives :class:`YoloEventJax` through its stateful closure
+    (``NumpyEventRunner`` analog, runner.py:122-127)."""
+
+    profile_integration = False  # the event net does its own integration
+
+    def feed_network(self, network, events_batch, frame, reset_state):
+        return network(events_batch, reset_state)
+
+
+class FrameRunner(Runner):
+    """Drives a dense frame network on the accumulated frame per micro-batch
+    (``TfFrameRunner``/``NumpyFrameRunner`` analog, runner.py:106-119)."""
+
+    def feed_network(self, network, events_batch, frame, reset_state):
+        return network(np.asarray(frame))
+
+
+def runner_for(network_name: str):
+    return EventRunner if "Event" in network_name else FrameRunner
+
+
+class ScanEventRunner(Runner):
+    """Throughput mode (TPU-native, no reference analog): pre-chunks the
+    whole example into padded ``[T, E]`` chunks and runs one fused
+    ``lax.scan`` — one device dispatch per example instead of per
+    micro-batch."""
+
+    profile_integration = False
+
+    def run(self, model, max_examples=None, verbose=True):
+        args = self.args
+        cap = args.batch_event_size
+        times, total_events, examples = [], 0, 0
+        num_batches = int(np.ceil(self.reader.test_size() / args.batch_size))
+        if max_examples is not None:
+            num_batches = min(num_batches, max_examples)
+        state0 = model.init_state()
+        for i in range(num_batches):
+            _, events = self.reader.next_batch(
+                args.batch_size, dataset="test",
+                preprocessing_fn=partial(data_transform, args=args),
+                concat_features=False, threads=args.reader_threads,
+            )
+            chunks = pack_chunks(events, cap)
+            t0 = time.time()
+            _, outs = model.scan(state0, chunks)
+            jax.block_until_ready(outs)
+            dt = time.time() - t0
+            times.append(dt)
+            total_events += events.shape[0]
+            examples += 1
+            if verbose:
+                print(f"Example {i + 1}: {events.shape[0]} events in {dt:.4f}s "
+                      f"({events.shape[0] / max(dt, 1e-9):,.0f} ev/s)")
+        steady = np.array(times[1:] or times)
+        return {
+            "examples": examples,
+            "events_per_sec": float(total_events / max(sum(times), 1e-9)),
+            "events_per_sec_steady": float(
+                (total_events / max(examples, 1)) * len(steady) / max(steady.sum(), 1e-9)
+            ),
+        }
+
+
+def pack_chunks(events: np.ndarray, capacity: int) -> EventChunk:
+    """Pack an ``[N, 3]`` stream into stacked padded chunks ``[T, capacity]``."""
+    n = events.shape[0]
+    t = max(1, int(np.ceil(n / capacity)))
+    pad = t * capacity - n
+    y = np.concatenate([events[:, 0], np.zeros(pad, events.dtype)]).reshape(t, capacity)
+    x = np.concatenate([events[:, 1], np.zeros(pad, events.dtype)]).reshape(t, capacity)
+    ts = np.concatenate([events[:, 2], np.zeros(pad, events.dtype)]).reshape(t, capacity)
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)]).reshape(t, capacity)
+    import jax.numpy as jnp
+
+    return EventChunk(
+        y=jnp.asarray(y, jnp.int32), x=jnp.asarray(x, jnp.int32),
+        ts=jnp.asarray(ts, jnp.int32), p=jnp.zeros((t, capacity), jnp.int32),
+        valid=jnp.asarray(valid),
+    )

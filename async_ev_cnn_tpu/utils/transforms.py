@@ -1,0 +1,70 @@
+"""Event-stream preprocessing transforms.
+
+``center_crop`` is the reference's events+bboxes crop
+(/root/reference/src/libs/utils.py:4-35) with its two bugs fixed and
+documented:
+
+* the reference computes the crop window top from the **x** extent and left
+  from the **y** extent (axes swapped, utils.py:17-18) — here the window is
+  computed per-axis correctly;
+* the reference scales bboxes by ``old_w/old_h`` twice (utils.py:28-32) and
+  shifts both axes by ``new_x.min()`` (utils.py:33) — here boxes are scaled
+  once and shifted by the matching axis.
+
+``data_transform`` mirrors runner.py:24-33: rebase timestamps, center-crop
+to the network resolution, stack events as ``[y, x, ts]`` (polarity dropped,
+like the reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def center_crop(l, x, y, ts, p, bboxes, old_shape, new_shape):
+    """Crop events (and normalized xywh bboxes) to a centered window.
+
+    Events are shifted so the cropped extent starts at (0, 0); bboxes are
+    renormalized to the new window.  Returns
+    ``(length, x, y, ts, p, bboxes)``.
+    """
+    new_h, new_w = new_shape
+
+    x_min, x_max = int(x.min()), int(x.max())
+    y_min, y_max = int(y.min()), int(y.max())
+
+    left = x_min + (x_max - x_min - new_w) // 2
+    top = y_min + (y_max - y_min - new_h) // 2
+
+    inside = (x >= left) & (x < left + new_w) & (y >= top) & (y < top + new_h)
+    new_x, new_y, new_ts, new_p = x[inside], y[inside], ts[inside], p[inside]
+    if new_x.size == 0:
+        return 0, new_x, new_y, new_ts, new_p, np.zeros_like(bboxes)
+    shift_x = int(new_x.min())
+    shift_y = int(new_y.min())
+    new_x = new_x - shift_x
+    new_y = new_y - shift_y
+
+    if bboxes is not None and len(bboxes):
+        old_h, old_w = old_shape
+        bb = np.array(bboxes, np.float32, copy=True)
+        bb[:, [0, 2]] = np.clip(bb[:, [0, 2]] * old_w - shift_x, 0, new_w) / new_w
+        bb[:, [1, 3]] = np.clip(bb[:, [1, 3]] * old_h - shift_y, 0, new_h) / new_h
+    else:
+        bb = bboxes
+
+    return int(new_x.shape[0]), new_x, new_y, new_ts, new_p, bb
+
+
+def data_transform(l, x, y, ts, p, bboxes, args):
+    """Reference runner preprocessing (runner.py:24-33): rebase ts,
+    center-crop to (frame_h, frame_w), stack ``[y, x, ts]``."""
+    ts = ts - ts[0]
+    if args.frame_h != args.example_h or args.frame_w != args.example_w:
+        l, x, y, ts, p, bboxes = center_crop(
+            l, x, y, ts, p, bboxes,
+            (args.example_h, args.example_w),
+            (args.frame_h, args.frame_w),
+        )
+    events = np.stack([y, x, ts], axis=-1)
+    return l, events

@@ -1,0 +1,138 @@
+"""Benchmark: async eFCN streaming throughput on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": "events_per_sec_chip", "value": N, "unit": "events/s",
+   "vs_baseline": R, ...extras}
+
+Setup mirrors the reference's flagship config
+(/root/reference/configs/efcn_event.yml): eFCN at 160x224, leak 5e-5,
+micro-batches of 200 events, synthetic N-Caltech101-rate stream.  The
+measured number is steady-state events/sec through the stateful async
+network (fused lax.scan over padded chunks, one device).
+
+``vs_baseline`` is measured against a CPU reference proxy run in-process:
+the dense pure-numpy eFCN (YoloFrameNumpy — the reference's
+``efcn_frame_np`` path) re-run per 200-event micro-batch on the integrated
+frame, exactly how the reference's runner drives it (runner.py:74-88).
+The reference repo publishes no numbers (BASELINE.md), and its Cython async
+CPU path is the quantity the >=10x north star refers to; the dense-numpy
+proxy is the reproducible stand-in measured on this machine.  The paper
+(arXiv 1805.07931) reports the async CPU path at roughly 2-10x the dense
+CPU path, so treat vs_baseline / ~10 as a conservative lower bound on the
+vs-Cython ratio.
+"""
+
+import json
+import time
+from collections import OrderedDict
+
+import numpy as np
+
+
+EFCN_DSL = (
+    "conv1=3,3,1,16 pool1=2,2 conv2=3,3,16,32 pool2=2,2 conv3=3,3,32,64 "
+    "pool3=2,2 conv4=3,3,64,128 pool4=2,2 conv5=3,3,128,256 pool5=2,2 "
+    "conv6=1,1,256,512 conv7=1,1,512,110"
+)
+H, W = 160, 224
+LEAK = 5e-5
+CHUNK_EVENTS = 200
+CAPACITY = 256
+T_CHUNKS = 50  # chunks per scan = 10k events per dispatch
+
+
+def make_params(layer_defs, rng):
+    return {
+        key: val
+        for name, size in layer_defs.items()
+        if "conv" in name
+        for key, val in (
+            (f"w_{name}", rng.randn(*size[:2], size[2], size[3]).astype(np.float32) * 0.05),
+            (f"b_{name}", rng.randn(size[3]).astype(np.float32) * 0.05),
+        )
+    }
+
+
+def synth_stream(rng, steps, events_per_step, rate_us=15):
+    ts = np.cumsum(rng.randint(1, rate_us, size=steps * events_per_step)).astype(np.int32)
+    y = rng.randint(0, H, size=steps * events_per_step).astype(np.int32)
+    x = rng.randint(0, W, size=steps * events_per_step).astype(np.int32)
+    return np.stack([y, x, ts], axis=-1)
+
+
+def bench_tpu_async(params, layer_defs, events):
+    import jax
+    from async_ev_cnn_tpu.layers.network import EventNetwork
+    from async_ev_cnn_tpu.utils.runner import pack_chunks
+
+    net = EventNetwork(layer_defs, H, W, leak=LEAK, alpha=0.1, padding="SAME")
+    jparams = {k: __import__("jax.numpy", fromlist=["asarray"]).asarray(v) for k, v in params.items()}
+    state = net.init_state(jparams)
+    chunks = pack_chunks(events, CAPACITY)
+    scan = jax.jit(net.scan)
+
+    # warmup/compile
+    st, outs = scan(jparams, state, chunks)
+    jax.block_until_ready(outs)
+
+    n_events = events.shape[0]
+    times = []
+    st = state
+    for _ in range(3):
+        t0 = time.time()
+        st, outs = scan(jparams, st, chunks)
+        jax.block_until_ready(outs)
+        times.append(time.time() - t0)
+    dt = min(times)
+    return n_events / dt, dt
+
+
+def bench_cpu_dense_proxy(params, layer_defs, events, steps=5):
+    """Reference-style dense numpy eFCN per micro-batch on the integrated
+    frame (the efcn_frame_np path, runner.py:74-88)."""
+    from async_ev_cnn_tpu.models import YoloFrameNumpy
+
+    model = YoloFrameNumpy(
+        h_frame=H, w_frame=W, num_classes=100, cnn_layers=layer_defs,
+        cnn_padding="SAME", h_cells=5, w_cells=7, num_bbox=2,
+        alpha=0.1, leak=LEAK,
+    )
+    model.set_weights(params)
+    # steady-state: integrate first, time only the network forward like the
+    # reference's profile_integration=True runners
+    frame = np.random.RandomState(0).rand(H, W).astype(np.float32)
+    model.forward(frame)  # warm numpy caches
+    t0 = time.time()
+    for _ in range(steps):
+        model.forward(frame)
+    dt = (time.time() - t0) / steps
+    return CHUNK_EVENTS / dt, dt
+
+
+def main():
+    from async_ev_cnn_tpu.utils.config import layers_dict
+
+    layer_defs = layers_dict(EFCN_DSL)
+    rng = np.random.RandomState(0)
+    params = make_params(layer_defs, rng)
+    events = synth_stream(rng, T_CHUNKS, CHUNK_EVENTS)
+
+    tpu_eps, tpu_dt = bench_tpu_async(params, layer_defs, events)
+    cpu_eps, cpu_dt = bench_cpu_dense_proxy(params, layer_defs, events)
+
+    import jax
+
+    print(json.dumps({
+        "metric": "events_per_sec_chip",
+        "value": round(tpu_eps, 1),
+        "unit": "events/s",
+        "vs_baseline": round(tpu_eps / cpu_eps, 2),
+        "device": str(jax.devices()[0]),
+        "sec_per_10k_event_scan": round(tpu_dt, 4),
+        "baseline_cpu_dense_numpy_events_per_sec": round(cpu_eps, 1),
+        "config": "efcn_event (160x224, leak 5e-5, 200 ev/chunk)",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Checkpoint loading: npz round-trip and the pure-Python TensorBundle
+reader validated against real TensorFlow-written checkpoints (TF is present
+in the dev environment only; the reader itself has no TF dependency)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from async_ev_cnn_tpu.utils.checkpoint import latest_checkpoint, load_params, save_params
+
+tf = pytest.importorskip("tensorflow")
+
+
+@pytest.fixture
+def ckpt_vars(rng):
+    return {
+        "w_conv1": rng.randn(3, 3, 1, 16).astype(np.float32),
+        "b_conv1": rng.randn(16).astype(np.float32),
+        "w_conv2": rng.randn(3, 3, 16, 32).astype(np.float32),
+        "b_conv2": rng.randn(32).astype(np.float32),
+        "w_fc1": rng.randn(128, 64).astype(np.float32),
+        "b_fc1": rng.randn(64).astype(np.float32),
+        "step": np.int64(1234),
+    }
+
+
+def write_tf_checkpoint(tmp_path, variables):
+    tf_vars = {k: tf.Variable(v, name=k) for k, v in variables.items()}
+    ckpt = tf.train.Checkpoint(**tf_vars)
+    prefix = ckpt.write(os.path.join(tmp_path, "model.ckpt"))
+    return prefix
+
+
+def test_npz_roundtrip(tmp_path, ckpt_vars):
+    path = os.path.join(tmp_path, "weights.npz")
+    save_params(path, ckpt_vars)
+    loaded = load_params(path)
+    for k, v in ckpt_vars.items():
+        np.testing.assert_array_equal(loaded[k], v)
+
+
+def test_tf_bundle_reader_matches_tf(tmp_path, ckpt_vars):
+    from async_ev_cnn_tpu.utils.tf_bundle import list_variables, load_tensor_bundle
+
+    prefix = write_tf_checkpoint(tmp_path, ckpt_vars)
+    loaded = load_tensor_bundle(prefix)
+    # tf.train.Checkpoint nests names as "<name>/.ATTRIBUTES/VARIABLE_VALUE"
+    by_leaf = {}
+    for key, arr in loaded.items():
+        leaf = key.split("/")[0]
+        by_leaf[leaf] = arr
+    for k, v in ckpt_vars.items():
+        assert k in by_leaf, f"{k} missing from {sorted(by_leaf)}"
+        np.testing.assert_array_equal(by_leaf[k], v)
+    shapes = list_variables(prefix)
+    assert any(k.startswith("w_conv1") for k in shapes)
+
+
+def test_tf_bundle_many_vars_multiblock(tmp_path, rng):
+    # Enough variables to force multiple index blocks / prefix compression.
+    variables = {f"w_conv{i:03d}": rng.randn(7, 11).astype(np.float32) for i in range(120)}
+    prefix = write_tf_checkpoint(tmp_path, variables)
+    from async_ev_cnn_tpu.utils.tf_bundle import load_tensor_bundle
+
+    loaded = load_tensor_bundle(prefix)
+    found = 0
+    for key, arr in loaded.items():
+        leaf = key.split("/")[0]
+        if leaf in variables:
+            np.testing.assert_array_equal(arr, variables[leaf])
+            found += 1
+    assert found == 120
+
+
+def test_latest_checkpoint_resolution(tmp_path, ckpt_vars):
+    prefix = write_tf_checkpoint(tmp_path, ckpt_vars)
+    # tf.train.Checkpoint.write does not write a 'checkpoint' marker file;
+    # resolution should fall back to newest .index
+    resolved = latest_checkpoint(os.path.dirname(prefix))
+    assert resolved == prefix
+    params = load_params(os.path.dirname(prefix))
+    assert any("w_conv1" in k for k in params)

@@ -1,0 +1,81 @@
+"""End-to-end CLI test: synthetic detection dataset -> YAML config ->
+run_networks over the test split (the reference's README flow,
+README.md:29-36)."""
+
+import numpy as np
+import pytest
+
+from async_ev_cnn_tpu.data.file_reader import NReader
+from async_ev_cnn_tpu.utils.checkpoint import save_params
+
+
+@pytest.fixture
+def tiny_detection_root(tmp_path, rng):
+    reader = NReader()
+    root = tmp_path / "det"
+    (root / "annotations").mkdir(parents=True)
+    for split, k in (("train", 2), ("test", 2), ("validation", 1)):
+        d = root / split
+        d.mkdir()
+        for i in range(k):
+            n = 300
+            x = rng.randint(0, 24, n).astype(np.int32)
+            y = rng.randint(0, 20, n).astype(np.int32)
+            ts = np.sort(rng.randint(0, 60000, n)).astype(np.int32)
+            p = rng.randint(0, 2, n).astype(np.int32)
+            name = f"{split}_ex{i}"
+            reader.save_example(str(d / f"{name}.bin"), x, y, ts, p)
+            np.save(str(root / "annotations" / f"{name}.npy"),
+                    rng.rand(1, 6).astype(np.float32))
+    np.savez(str(root / "params.npz"), num_classes=3,
+             label_to_idx=np.array([("a", 0), ("b", 1), ("c", 2)], dtype=object))
+    return root
+
+
+def _write_cfg(tmp_path, root, network, ckpt):
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(
+        f"input_data_dir: {root}\n"
+        "file_format: n-data\n"
+        f"network: {network}\n"
+        f"restore_net: {ckpt}\n"
+        "leak: 1.0e-04\n"
+        "batch_size: 1\n"
+        "batch_event_size: 100\n"
+        "frame_h: 16\nframe_w: 20\nexample_h: 20\nexample_w: 24\n"
+        "yolo_cnn_layers: conv1=3,3,1,4 pool1=2,2 conv2=3,3,4,8 pool2=2,2 conv3=1,1,8,13\n"
+        "yolo_cnn_padding: SAME\n"
+        "yolo_num_cells_h: 4\nyolo_num_cells_w: 5\nyolo_num_bbox: 2\n"
+    )
+    return cfg
+
+
+@pytest.fixture
+def tiny_ckpt(tmp_path, rng):
+    params = {}
+    for name, (kh, kw, ci, co) in (
+        ("conv1", (3, 3, 1, 4)), ("conv2", (3, 3, 4, 8)), ("conv3", (1, 1, 8, 13))
+    ):
+        params[f"w_{name}"] = rng.randn(kh, kw, ci, co).astype(np.float32) * 0.2
+        params[f"b_{name}"] = rng.randn(co).astype(np.float32) * 0.1
+    path = str(tmp_path / "weights.npz")
+    save_params(path, params)
+    return path
+
+
+@pytest.mark.parametrize("network", ["YoloEventJax", "YoloFrameJax", "YoloEventNumpy"])
+def test_run_networks_cli(tmp_path, tiny_detection_root, tiny_ckpt, network):
+    from async_ev_cnn_tpu.scripts.run_networks import main
+
+    cfg = _write_cfg(tmp_path, tiny_detection_root, network, tiny_ckpt)
+    stats = main(["-c", str(cfg)])
+    assert stats["steps"] >= 2
+    assert stats["events_per_sec"] > 0
+
+
+def test_run_networks_usec_batching(tmp_path, tiny_detection_root, tiny_ckpt):
+    from async_ev_cnn_tpu.scripts.run_networks import main
+
+    cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", tiny_ckpt)
+    stats = main(["-c", str(cfg), "--batch_event_usec", "5000"])
+    assert stats["steps"] >= 2

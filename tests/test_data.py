@@ -1,0 +1,252 @@
+"""Data-plane tests: codec round-trips, dataset engine, detection variant."""
+
+import os
+
+import numpy as np
+import pytest
+
+from async_ev_cnn_tpu.data import detection_reader, event_reader
+from async_ev_cnn_tpu.data.file_reader import AerReader, NReader, NumpyReader, factory
+
+
+def random_events(rng, n=500, max_xy=128, max_ts=2**22):
+    x = rng.randint(0, max_xy, n).astype(np.int32)
+    y = rng.randint(0, min(max_xy, 239), n).astype(np.int32)  # 240 is reserved
+    ts = np.sort(rng.randint(0, max_ts, n)).astype(np.int32)
+    p = rng.randint(0, 2, n).astype(np.int32)
+    return x, y, ts, p
+
+
+# ---- format codecs ----------------------------------------------------------
+
+
+def test_ndata_roundtrip(tmp_path, rng):
+    x, y, ts, p = random_events(rng)
+    path = str(tmp_path / "ex.bin")
+    r = NReader()
+    r.save_example(path, x, y, ts, p)
+    l2, x2, y2, ts2, p2 = r.read_example(path)
+    assert l2 == len(x)
+    np.testing.assert_array_equal(x2, x)
+    np.testing.assert_array_equal(y2, y)
+    np.testing.assert_array_equal(ts2, ts)
+    np.testing.assert_array_equal(p2, p)
+
+
+def test_ndata_timestamp_overflow_markers():
+    # hand-build a stream with an overflow marker row (y == 240)
+    ev = NReader.encode([5, 0, 6], [7, 240, 8], [100, 0, 200], [1, 0, 0])
+    l, x, y, ts, p = NReader.decode(np.frombuffer(ev, np.uint8))
+    assert l == 2
+    np.testing.assert_array_equal(x, [5, 6])
+    np.testing.assert_array_equal(ts, [100, 200 + 2**13])  # post-marker bump
+
+
+def test_aedat20_roundtrip(tmp_path, rng):
+    # DVS128: 7-bit coords, polarity bit
+    x, y, ts, p = random_events(rng, n=300, max_xy=127)
+    path = str(tmp_path / "ex20.aedat")
+    r = AerReader("DVS128")
+    r.save_example(path, x, y, ts, p, version="2.0")
+    l2, x2, y2, ts2, p2 = r.read_example(path)
+    assert l2 == len(x)
+    np.testing.assert_array_equal(x2, x)
+    np.testing.assert_array_equal(y2, y)
+    np.testing.assert_array_equal(ts2, ts)
+    np.testing.assert_array_equal(p2, p)
+
+
+def test_aedat31_roundtrip_with_overflow(tmp_path, rng):
+    x, y, ts, p = random_events(rng, n=300, max_xy=1000)
+    # push some timestamps past the 31-bit overflow boundary
+    ts = ts.astype(np.int64) + np.int64(2**31) * (np.arange(300) >= 150)
+    path = str(tmp_path / "ex31.aedat")
+    r = AerReader("DVS128")
+    r.save_example(path, x, y, ts, p, version="3.1")
+    l2, x2, y2, ts2, p2 = r.read_example(path)
+    assert l2 == len(x)
+    np.testing.assert_array_equal(x2, x)
+    np.testing.assert_array_equal(y2, y)
+    np.testing.assert_array_equal(ts2, ts)
+    np.testing.assert_array_equal(p2, p)
+
+
+def test_npy_roundtrip(tmp_path, rng):
+    x, y, ts, p = random_events(rng, n=100)
+    path = str(tmp_path / "ex.npy")
+    r = NumpyReader()
+    r.save_example(path, x, y, ts, p)
+    l2, x2, y2, ts2, p2 = r.read_example(path)
+    assert l2 == 100
+    np.testing.assert_array_equal(x2, x)
+
+
+def test_format_factory():
+    assert isinstance(factory("n-data"), NReader)
+    assert isinstance(factory("aer-data_DVS128"), AerReader)
+    assert isinstance(factory("numpy"), NumpyReader)
+    with pytest.raises(ValueError):
+        factory("tiff")
+
+
+# ---- dataset engine ----------------------------------------------------------
+
+
+def make_class_dataset(tmp_path, rng, n_classes=3, per_class=10, split_dirs=False):
+    reader = NReader()
+    root = tmp_path / "ds"
+    for c in range(n_classes):
+        if split_dirs:
+            for split, k in (("train", per_class), ("validation", 2), ("test", 3)):
+                d = root / split / f"class{c}"
+                d.mkdir(parents=True, exist_ok=True)
+                for i in range(k):
+                    x, y, ts, p = random_events(rng, n=50)
+                    reader.save_example(str(d / f"ex{i}.bin"), x, y, ts, p)
+        else:
+            d = root / f"class{c}"
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(per_class):
+                x, y, ts, p = random_events(rng, n=50)
+                reader.save_example(str(d / f"ex{i}.bin"), x, y, ts, p)
+    return str(root)
+
+
+def test_stratified_split(tmp_path, rng):
+    root = make_class_dataset(tmp_path, rng, n_classes=3, per_class=10)
+    ds = event_reader.EventDataset(root, validation_frac=0.2, test_frac=0.3, seed=7)
+    assert ds.num_classes() == 3
+    assert ds.train_size() == 15 and ds.validation_size() == 6 and ds.test_size() == 9
+    # stratified: each class contributes proportionally to each split
+    for split in ("train", "validation", "test"):
+        labels = ds._labels[split]
+        for c in range(3):
+            assert labels.count(f"class{c}") == len(labels) // 3
+
+
+def test_split_dirs_layout(tmp_path, rng):
+    root = make_class_dataset(tmp_path, rng, split_dirs=True)
+    ds = event_reader.EventDataset(root)
+    assert ds.train_size() == 30 and ds.validation_size() == 6 and ds.test_size() == 9
+    assert ds.num_classes() == 3
+
+
+def test_next_batch_shapes_and_epoch_wrap(tmp_path, rng):
+    root = make_class_dataset(tmp_path, rng, n_classes=2, per_class=3)
+    ds = event_reader.EventDataset(root, validation_frac=0, test_frac=0, seed=3)
+    assert ds.train_size() == 6
+    lengths, label, x, y, ts, p = ds.next_batch(2, dataset="train")
+    assert lengths.shape == (2,) and label.shape == (2, 2)
+    assert x.shape[0] == 2 and x.shape[1] == max(lengths)
+    # 3 batches exhaust the epoch; 4th wraps with a reshuffle, no error
+    for _ in range(4):
+        ds.next_batch(2, dataset="train")
+
+
+def test_next_batch_single_example_bare(tmp_path, rng):
+    root = make_class_dataset(tmp_path, rng, n_classes=2, per_class=2)
+    ds = event_reader.EventDataset(root, validation_frac=0, test_frac=0.5, seed=3)
+    lengths, label, x, y, ts, p = ds.next_batch(1, dataset="test")
+    assert x.ndim == 1 and len(x) == lengths[0]
+
+
+def test_preprocessing_and_cache(tmp_path, rng):
+    root = make_class_dataset(tmp_path, rng, n_classes=2, per_class=2)
+    cache_dir = str(tmp_path / "cache")
+    ds = event_reader.EventDataset(root, validation_frac=0, test_frac=0,
+                                   tmp_dir=cache_dir, seed=5)
+    calls = []
+
+    def prep(length, label, x, y, ts, p):
+        calls.append(1)
+        return length, np.stack([y, x, ts], -1).astype(np.int32)
+
+    out1 = ds.next_batch(1, dataset="train", preprocessing_fn=prep)
+    n_calls = len(calls)
+    assert n_calls >= 1 and out1[1].shape[-1] == 3
+    # one full epoch later the same file comes back -> served from cache
+    for _ in range(3):
+        ds.next_batch(1, dataset="train", preprocessing_fn=prep)
+    assert len(os.listdir(cache_dir)) == 4
+    total_after_epoch = len(calls)
+    assert total_after_epoch == 4  # each file preprocessed exactly once
+
+
+def test_corrupt_file_skipped(tmp_path, rng, capsys):
+    root = make_class_dataset(tmp_path, rng, n_classes=2, per_class=2)
+    # corrupt one file: truncated to 3 bytes (not a multiple of 5 -> decodes
+    # to 0 events; make preprocessing choke on empty input instead)
+    bad = os.path.join(root, "class0", "ex0.bin")
+    with open(bad, "wb") as f:
+        f.write(b"\x00\x00\x00")
+
+    def prep(length, label, x, y, ts, p):
+        if length == 0:
+            raise ValueError("empty example")
+        return length, np.stack([y, x, ts], -1)
+
+    ds = event_reader.EventDataset(root, validation_frac=0, test_frac=0, seed=5)
+    for _ in range(4):
+        out = ds.next_batch(1, dataset="train", preprocessing_fn=prep)
+        assert out[0][0] > 0
+    assert "skipping unreadable example" in capsys.readouterr().out
+
+
+def test_save_restore_roundtrip(tmp_path, rng):
+    root = make_class_dataset(tmp_path, rng, n_classes=2, per_class=4)
+    ds = event_reader.EventDataset(root, validation_frac=0, test_frac=0.25, seed=9)
+    ds.next_batch(2, dataset="train")
+    save = str(tmp_path / "reader_state.npz")
+    ds.save(save)
+    ds2 = event_reader.factory(save)
+    assert ds2.num_classes() == 2
+    assert ds2._cursors["train"] == ds._cursors["train"]
+    assert ds2._files["train"] == ds._files["train"]
+    ds2.next_batch(1, dataset="train")
+
+
+def test_prefetcher_threads(tmp_path, rng):
+    root = make_class_dataset(tmp_path, rng, n_classes=2, per_class=4)
+    ds = event_reader.EventDataset(root, validation_frac=0, test_frac=0, seed=2)
+    pf = ds.start_prefetch(2, dataset="train", preprocessing_fn=None, num_workers=2)
+    try:
+        for _ in range(5):
+            batch = pf.get(timeout=10)
+            assert batch[0].shape == (2,)
+    finally:
+        pf.stop()
+
+
+# ---- detection dataset -------------------------------------------------------
+
+
+def make_detection_dataset(tmp_path, rng):
+    reader = NReader()
+    root = tmp_path / "det"
+    (root / "annotations").mkdir(parents=True)
+    for split, k in (("train", 4), ("test", 3), ("validation", 2)):
+        d = root / split
+        d.mkdir()
+        for i in range(k):
+            x, y, ts, p = random_events(rng, n=40)
+            name = f"{split}_ex{i}"
+            reader.save_example(str(d / f"{name}.bin"), x, y, ts, p)
+            boxes = rng.rand(2, 6).astype(np.float32)
+            np.save(str(root / "annotations" / f"{name}.npy"), boxes)
+    np.savez(str(root / "params.npz"), num_classes=5,
+             label_to_idx=np.array([("a", 0), ("b", 1)], dtype=object))
+    return str(root)
+
+
+def test_detection_dataset(tmp_path, rng):
+    root = make_detection_dataset(tmp_path, rng)
+    ds = detection_reader.factory(root, file_format="n-data")
+    assert ds.num_classes() == 5
+    assert ds.test_size() == 3 and ds.train_size() == 4
+
+    def prep(length, x, y, ts, p, bboxes):
+        assert bboxes.shape == (2, 6)
+        return length, np.stack([y, x, ts], -1).astype(np.int32)
+
+    lengths, events = ds.next_batch(1, dataset="test", preprocessing_fn=prep)
+    assert events.shape == (40, 3)

@@ -1,0 +1,174 @@
+"""Model-level tests: three-way consistency of the network variants (the
+reference's implicit cross-check, SURVEY.md SS4), config/DSL parsing, YOLO
+head decode, NMS."""
+
+import os
+from collections import OrderedDict
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from async_ev_cnn_tpu.layers.types import EventChunk
+from async_ev_cnn_tpu.models import YoloEventJax, YoloFrameJax, YoloFrameNumpy
+from async_ev_cnn_tpu.models.head import convert_bboxes, decode
+from async_ev_cnn_tpu.ops.integrate import integrate_frame
+from async_ev_cnn_tpu.utils.config import config, layers_dict, layers_dsl
+from async_ev_cnn_tpu.utils.nms import apply_nms, nms, nms_jax
+
+EFCN_DSL = "conv1=3,3,1,4 pool1=2,2 conv2=3,3,4,8 pool2=2,2 conv3=1,1,8,12"
+
+
+def tiny_model_args(num_classes=2, h=16, w=16):
+    layers = layers_dict(EFCN_DSL)
+    return dict(
+        h_frame=h, w_frame=w, num_classes=num_classes, cnn_layers=layers,
+        cnn_padding="SAME", h_cells=4, w_cells=4, num_bbox=2,
+        alpha=0.1, leak=0.01,
+    )
+
+
+def tiny_params(rng, layers):
+    params = {}
+    for name, size in layers.items():
+        if "conv" in name:
+            kh, kw, ci, co = size
+            params[f"w_{name}"] = rng.randn(kh, kw, ci, co).astype(np.float32) * 0.3
+            params[f"b_{name}"] = rng.randn(co).astype(np.float32) * 0.1
+    return params
+
+
+# ---- config / DSL ----------------------------------------------------------
+
+
+def test_layers_dict_roundtrip():
+    d = layers_dict(EFCN_DSL)
+    assert list(d) == ["conv1", "pool1", "conv2", "pool2", "conv3"]
+    assert d["conv1"] == [3, 3, 1, 4] and d["pool1"] == [2, 2]
+    assert layers_dsl(d) == EFCN_DSL
+
+
+def test_config_yaml_and_cli_override(tmp_path):
+    cfg = tmp_path / "t.yml"
+    cfg.write_text(
+        "leak: 5.0e-05\nframe_h: 160\nframe_w: 224\n"
+        f"yolo_cnn_layers: {EFCN_DSL}\nyolo_cnn_padding: SAME\n"
+    )
+    args = config(["-c", str(cfg)])
+    assert args.leak == 5e-5 and args.frame_h == 160
+    assert args.yolo_cnn_layers["conv3"] == [1, 1, 8, 12]
+    args = config(["-c", str(cfg), "--frame_h", "320"])
+    assert args.frame_h == 320  # CLI wins over file
+
+    bad = tmp_path / "bad.yml"
+    bad.write_text("not_a_flag: 1\n")
+    with pytest.raises(ValueError, match="unknown config keys"):
+        config(["-c", str(bad)])
+
+
+# ---- three-way model consistency -------------------------------------------
+
+
+def test_three_way_model_consistency(rng):
+    kwargs = tiny_model_args()
+    params = tiny_params(rng, kwargs["cnn_layers"])
+
+    ev = YoloEventJax(**kwargs)
+    fj = YoloFrameJax(**kwargs)
+    fn = YoloFrameNumpy(**kwargs)
+    for m in (ev, fj, fn):
+        m.set_weights(params)
+
+    # a short random stream
+    steps, n = 20, 10
+    prev = 0
+    frame_state = None
+    ev_graph = ev.build_graph(None)
+    reset = True
+    for t in range(steps):
+        ts = np.sort(rng.randint(1, 50, size=n)) + prev
+        prev = int(ts[-1])
+        y = rng.randint(0, 16, size=n)
+        x = rng.randint(0, 16, size=n)
+        events = np.stack([y, x, ts], axis=-1).astype(np.int32)
+        frame, last = integrate_frame(events, kwargs["leak"], 16, 16, frame_state)
+        frame_state = [frame, last]
+        out_ev = ev_graph(events, reset)
+        reset = False
+    out_fj = np.asarray(fj.build_graph(None)(np.asarray(frame)))
+    out_fn = fn.build_graph(None)(np.asarray(frame))
+
+    assert out_ev.shape == out_fj.shape == out_fn.shape == (4, 4, 12)
+    np.testing.assert_allclose(out_ev, out_fj, atol=1e-4)
+    # The numpy variant re-applies the activation after each pool — a
+    # reference quirk (frame_numpy.py:76-78) that cascades through deeper
+    # layers, so it is compared against the quirk-matching jax oracle.
+    from async_ev_cnn_tpu.layers.network import dense_forward
+
+    jp = {k: jnp.asarray(v) for k, v in params.items()}
+    outs = dense_forward(fj.net.event_layers, jp, jnp.asarray(frame)[None],
+                         "numpy", alpha=kwargs["alpha"])
+    exp_fn = np.asarray(next(reversed(outs.values()))).transpose(1, 2, 0).reshape(4, 4, 12)
+    np.testing.assert_allclose(out_fn, exp_fn, atol=1e-4)
+
+
+def test_event_graph_reset(rng):
+    kwargs = tiny_model_args()
+    params = tiny_params(rng, kwargs["cnn_layers"])
+    ev = YoloEventJax(**kwargs)
+    ev.set_weights(params)
+    g = ev.build_graph(None)
+    events = np.array([[2, 3, 10], [5, 5, 20]], np.int32)
+    a = g(events, True)
+    b = g(events, True)  # reset -> identical
+    np.testing.assert_array_equal(a, b)
+    c = g(events, False)  # stateful continuation -> different
+    assert not np.array_equal(a, c)
+
+
+# ---- YOLO head --------------------------------------------------------------
+
+
+def test_convert_bboxes_cell_offsets():
+    # one box centered in cell (1, 2) of a 4x4 grid on an 80x80 image
+    bboxes = np.zeros((4, 4, 2, 4), np.float32)
+    bboxes[1, 2, 0] = [0.5, 0.5, np.sqrt(0.25), np.sqrt(0.5)]
+    out = np.asarray(convert_bboxes(bboxes, 4, 4, 80, 80, sqrt=True))
+    x, y, w, h = out[1, 2, 0]
+    assert np.isclose(x, (0.5 + 2) / 4 * 80)
+    assert np.isclose(y, (0.5 + 1) / 4 * 80)
+    assert np.isclose(w, 0.25 * 80) and np.isclose(h, 0.5 * 80)
+
+
+def test_decode_shapes():
+    grid = np.random.RandomState(0).rand(5, 7, 110).astype(np.float32)
+    boxes, scores, probs = decode(grid, num_classes=100, num_bbox=2, h_image=160, w_image=224)
+    assert boxes.shape == (70, 4) and scores.shape == (70,) and probs.shape == (70, 100)
+
+
+# ---- NMS --------------------------------------------------------------------
+
+
+def test_nms_suppresses_overlaps():
+    boxes = np.array([[10, 10, 8, 8], [11, 11, 8, 8], [40, 40, 8, 8]], np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    picked = nms(boxes, scores, iou_threshold=0.3)
+    assert picked.tolist() == [0, 2]
+    keep = np.asarray(nms_jax(jnp.asarray(boxes), jnp.asarray(scores),
+                              jnp.ones(3, bool), 0.3))
+    assert keep.tolist() == [True, False, True]
+
+
+def test_apply_nms_batched_matches_reference_convention():
+    boxes = np.array([[[10, 10, 8, 8], [11, 11, 8, 8], [40, 40, 8, 8]]], np.float32)
+    scores = np.array([[0.9, 0.8, 0.7]], np.float32)
+    valid = np.array([[True, True, True]])
+    idx0, idx1 = apply_nms(boxes, scores, valid, iou_threshold=0.3)
+    assert idx0.tolist() == [0, 0] and sorted(idx1.tolist()) == [0, 2]
+
+
+def test_nms_jax_respects_valid_mask():
+    boxes = jnp.asarray([[10, 10, 8, 8], [40, 40, 8, 8]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8])
+    keep = np.asarray(nms_jax(boxes, scores, jnp.asarray([True, False]), 0.5))
+    assert keep.tolist() == [True, False]
