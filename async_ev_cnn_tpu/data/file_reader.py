@@ -41,9 +41,17 @@ class FileReader:
 
 
 class NReader(FileReader):
-    """N-MNIST / N-Caltech101 binary format."""
+    """N-MNIST / N-Caltech101 binary format.
+
+    Uses the native C++ decoder (``native/libevio.so``, OpenMP-batched) when
+    built; falls back to the vectorized numpy decode below.
+    """
 
     def read_example(self, filename):
+        from async_ev_cnn_tpu.data import native
+
+        if native.available():
+            return native.decode_ndata_file(filename)
         raw = np.fromfile(filename, dtype=np.uint8)
         return self.decode(raw)
 

@@ -1,0 +1,107 @@
+"""ctypes bindings for the native event decoder (``native/libevio.so``).
+
+Loaded lazily; every entry point degrades to the numpy codecs in
+``file_reader.py`` when the library isn't built.  Build with
+``make -C native``.  Disable explicitly with ``ASYNC_EV_NATIVE=0``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "..", "..", "native", "libevio.so")
+
+
+def get_lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("ASYNC_EV_NATIVE", "1") == "0":
+        return None
+    try:
+        lib = ctypes.CDLL(os.path.abspath(_lib_path()))
+    except OSError:
+        return None
+    lib.evio_decode_ndata_file.restype = ctypes.c_int64
+    lib.evio_decode_ndata_file.argtypes = [ctypes.c_char_p] + [
+        ctypes.POINTER(ctypes.c_int32)
+    ] * 4
+    lib.evio_decode_ndata.restype = ctypes.c_int64
+    lib.evio_decode_ndata.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ] + [ctypes.POINTER(ctypes.c_int32)] * 4
+    lib.evio_decode_ndata_batch.restype = None
+    lib.evio_decode_ndata_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ] + [ctypes.POINTER(ctypes.c_int32)] * 4 + [ctypes.POINTER(ctypes.c_int64)]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def decode_ndata_file(path: str):
+    """Native n-data decode; returns ``(length, x, y, ts, p)`` or None if the
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = os.path.getsize(path) // 5
+    x = np.empty(cap, np.int32)
+    y = np.empty(cap, np.int32)
+    ts = np.empty(cap, np.int32)
+    p = np.empty(cap, np.int32)
+    n = lib.evio_decode_ndata_file(path.encode(), _i32p(x), _i32p(y), _i32p(ts), _i32p(p))
+    if n < 0:
+        raise IOError(f"native decode failed for {path}")
+    return int(n), x[:n], y[:n], ts[:n], p[:n]
+
+
+def decode_ndata_batch(paths: list[str]):
+    """OpenMP-parallel batched decode of many n-data files.
+
+    Returns a list of ``(length, x, y, ts, p)`` tuples.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    caps = np.array([os.path.getsize(p) // 5 for p in paths], np.int64)
+    offsets = np.zeros(len(paths), np.int64)
+    np.cumsum(caps[:-1], out=offsets[1:])
+    total = int(caps.sum())
+    x = np.empty(total, np.int32)
+    y = np.empty(total, np.int32)
+    ts = np.empty(total, np.int32)
+    p = np.empty(total, np.int32)
+    lengths = np.empty(len(paths), np.int64)
+    c_paths = (ctypes.c_char_p * len(paths))(*[s.encode() for s in paths])
+    lib.evio_decode_ndata_batch(
+        c_paths, len(paths), offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _i32p(x), _i32p(y), _i32p(ts), _i32p(p),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    out = []
+    for i, path in enumerate(paths):
+        n = int(lengths[i])
+        if n < 0:
+            raise IOError(f"native decode failed for {path}")
+        o = int(offsets[i])
+        out.append((n, x[o : o + n].copy(), y[o : o + n].copy(),
+                    ts[o : o + n].copy(), p[o : o + n].copy()))
+    return out

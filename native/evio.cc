@@ -1,0 +1,139 @@
+// evio: native event-file decoding for the host-side data plane.
+//
+// The TPU-native analog of the reference's Cython layer: the device compute
+// path is XLA/Pallas, but file decoding is host work on the ingest path, so
+// it is implemented in C++ (OpenMP-parallel across the batch) and exposed
+// through a plain C ABI consumed via ctypes (no pybind11 dependency).
+//
+// Formats (bit-level parity with async_ev_cnn_tpu/data/file_reader.py and
+// /root/reference/src/readers/file_reader.py):
+//   * N-MNIST / N-Caltech101 binary: 5 bytes/event; x=b0, y=b1, p=bit7(b2),
+//     ts = 23 bits of b2..b4; rows with y==240 add 2^13 us to later events
+//     and are dropped.
+//   * AEDAT 2.0: big-endian int32 (address, timestamp) pairs, DVS128 masks.
+//
+// Build: make -C native   ->  libevio.so
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr uint32_t kOverflowY = 240;
+constexpr int32_t kOverflowIncrement = 1 << 13;
+
+struct Events {
+  int32_t *x, *y, *ts, *p;
+  int64_t n;
+};
+
+// Reads a whole file into a malloc'd buffer. Returns nullptr on failure.
+uint8_t* read_file(const char* path, int64_t* size) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  std::fseek(f, 0, SEEK_END);
+  *size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  uint8_t* buf = static_cast<uint8_t*>(std::malloc(*size));
+  if (buf && std::fread(buf, 1, *size, f) != static_cast<size_t>(*size)) {
+    std::free(buf);
+    buf = nullptr;
+  }
+  std::fclose(f);
+  return buf;
+}
+
+int64_t decode_ndata_buffer(const uint8_t* raw, int64_t size, Events out) {
+  const int64_t records = size / 5;
+  int64_t n = 0;
+  int32_t ts_offset = 0;
+  for (int64_t i = 0; i < records; ++i) {
+    const uint8_t* r = raw + i * 5;
+    const uint32_t y = r[1];
+    const int32_t ts =
+        ((static_cast<int32_t>(r[2]) & 127) << 16) |
+        (static_cast<int32_t>(r[3]) << 8) | r[4];
+    if (y == kOverflowY) {
+      ts_offset += kOverflowIncrement;
+      continue;
+    }
+    out.x[n] = r[0];
+    out.y[n] = static_cast<int32_t>(y);
+    out.ts[n] = ts + ts_offset;
+    out.p[n] = (r[2] & 128) >> 7;
+    ++n;
+  }
+  return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Number of events (upper bound: every record) in an n-data file of `size`
+// bytes.
+int64_t evio_ndata_capacity(int64_t size) { return size / 5; }
+
+// Decodes one n-data file. Caller allocates x/y/ts/p with capacity
+// evio_ndata_capacity(file size). Returns the event count, or -1 on I/O
+// error.
+int64_t evio_decode_ndata_file(const char* path, int32_t* x, int32_t* y,
+                               int32_t* ts, int32_t* p) {
+  int64_t size = 0;
+  uint8_t* buf = read_file(path, &size);
+  if (!buf) return -1;
+  const int64_t n = decode_ndata_buffer(buf, size, Events{x, y, ts, p, 0});
+  std::free(buf);
+  return n;
+}
+
+// Decodes an in-memory n-data buffer (for testing / mmap callers).
+int64_t evio_decode_ndata(const uint8_t* raw, int64_t size, int32_t* x,
+                          int32_t* y, int32_t* ts, int32_t* p) {
+  return decode_ndata_buffer(raw, size, Events{x, y, ts, p, 0});
+}
+
+// Batched decode: `num` files into one flat set of output arrays, each file
+// at offset offsets[i] (capacity prefix sums). lengths[i] receives the
+// event count of file i (or -1 on error). OpenMP-parallel across files.
+void evio_decode_ndata_batch(const char** paths, int64_t num,
+                             const int64_t* offsets, int32_t* x, int32_t* y,
+                             int32_t* ts, int32_t* p, int64_t* lengths) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int64_t i = 0; i < num; ++i) {
+    const int64_t off = offsets[i];
+    lengths[i] =
+        evio_decode_ndata_file(paths[i], x + off, y + off, ts + off, p + off);
+  }
+}
+
+// AEDAT 2.0 payload decode (payload = file minus '#' header lines), DVS128
+// masks. Returns the event count. Caller capacity: size / 8.
+int64_t evio_decode_aedat20(const uint8_t* payload, int64_t size, int32_t* x,
+                            int32_t* y, int32_t* ts, int32_t* p) {
+  const int64_t pairs = size / 8;
+  for (int64_t i = 0; i < pairs; ++i) {
+    const uint8_t* r = payload + i * 8;
+    const uint32_t addr = (static_cast<uint32_t>(r[0]) << 24) |
+                          (static_cast<uint32_t>(r[1]) << 16) |
+                          (static_cast<uint32_t>(r[2]) << 8) | r[3];
+    const uint32_t t = (static_cast<uint32_t>(r[4]) << 24) |
+                       (static_cast<uint32_t>(r[5]) << 16) |
+                       (static_cast<uint32_t>(r[6]) << 8) | r[7];
+    x[i] = static_cast<int32_t>((addr & 0xFEu) >> 1);
+    y[i] = static_cast<int32_t>((addr & 0x7F00u) >> 8);
+    p[i] = static_cast<int32_t>(addr & 0x1u);
+    ts[i] = static_cast<int32_t>(t);
+  }
+  return pairs;
+}
+
+}  // extern "C"

@@ -1,0 +1,66 @@
+"""Native C++ decoder vs numpy codec: identical outputs, incl. overflow
+markers.  Skipped when native/libevio.so hasn't been built."""
+
+import numpy as np
+import pytest
+
+from async_ev_cnn_tpu.data import native
+from async_ev_cnn_tpu.data.file_reader import NReader
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="libevio.so not built")
+
+
+def write_file(tmp_path, rng, n=1000, with_overflow=True):
+    x = rng.randint(0, 256, n).astype(np.int32)
+    y = rng.randint(0, 239, n).astype(np.int32)
+    ts = np.sort(rng.randint(0, 2**22, n)).astype(np.int32)
+    p = rng.randint(0, 2, n).astype(np.int32)
+    if with_overflow:
+        # splice overflow marker rows (y == 240) into the raw byte stream
+        y_marked = y.copy()
+        for i in (n // 8, n // 2):
+            y_marked[i] = 240
+        raw = NReader.encode(x, y_marked, ts, p)
+    else:
+        raw = NReader.encode(x, y, ts, p)
+    path = str(tmp_path / "ex.bin")
+    np.frombuffer(raw, np.uint8).tofile(path)
+    return path
+
+
+def test_native_matches_numpy(tmp_path, rng):
+    path = write_file(tmp_path, rng)
+    raw = np.fromfile(path, np.uint8)
+    l_np, *np_out = NReader.decode(raw)
+    l_nat, *nat_out = native.decode_ndata_file(path)
+    assert l_nat == l_np
+    for a, b in zip(nat_out, np_out):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_batch(tmp_path, rng):
+    paths = [write_file(tmp_path / f"{i}" if False else tmp_path, rng)
+             for i in range(1)]
+    paths = []
+    for i in range(5):
+        d = tmp_path / f"f{i}"
+        d.mkdir()
+        paths.append(write_file(d, rng, n=200 + i * 37))
+    outs = native.decode_ndata_batch(paths)
+    assert len(outs) == 5
+    for path, (l, x, y, ts, p) in zip(paths, outs):
+        raw = np.fromfile(path, np.uint8)
+        l2, x2, y2, ts2, p2 = NReader.decode(raw)
+        assert l == l2
+        np.testing.assert_array_equal(x, x2)
+        np.testing.assert_array_equal(ts, ts2)
+
+
+def test_nreader_uses_native(tmp_path, rng, monkeypatch):
+    path = write_file(tmp_path, rng)
+    out_native = NReader().read_example(path)
+    monkeypatch.setattr(native, "available", lambda: False)
+    out_numpy = NReader().read_example(path)
+    assert out_native[0] == out_numpy[0]
+    for a, b in zip(out_native[1:], out_numpy[1:]):
+        np.testing.assert_array_equal(a, b)
