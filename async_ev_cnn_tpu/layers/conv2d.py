@@ -42,6 +42,14 @@ class ConvSpec(NamedTuple):
     stride: int
     alpha: float
     padding: str  # 'SAME' | 'VALID'
+    mode: str = "dense"  # 'dense' | 'sparse'
+    capacity_frac: float = 0.25  # sparse rulebook capacity as out-site fraction
+
+    @property
+    def capacity(self) -> int:
+        _, oh, ow = self.out_shape
+        cap = max(8, int(oh * ow * self.capacity_frac))
+        return min(cap, oh * ow)
 
     @property
     def pads(self):
@@ -95,6 +103,37 @@ def conv_init(
     return state, _make_io(spec, state, jnp.zeros((oh, ow), bool))
 
 
+def _sparse_update(spec: ConvSpec, kernel, bias, state, prev_io, active, fm_leaked):
+    """Rulebook gather->GEMM->scatter update of the active sites, with a
+    lax.cond fallback to the dense-masked path on capacity overflow so
+    equivalence is never sacrificed (SURVEY.md's overflow policy)."""
+    from async_ev_cnn_tpu.ops.rulebook import rulebook_conv_pair, scatter_site_values
+
+    (pt, pb), (pl, pr) = spec.pads
+    pad_cfg = ((0, 0), (pt, pb), (pl, pr))
+    fm_in = jnp.pad(prev_io.featuremap, pad_cfg)
+    ca_in = jnp.pad(prev_io.conv_actfn, pad_cfg)
+    ys, xs, valid, fm_vals, ca_vals, overflow = rulebook_conv_pair(
+        fm_in, ca_in, active, kernel, bias, spec.stride, spec.capacity
+    )
+
+    def sparse_branch(_):
+        fm = scatter_site_values(fm_leaked, ys, xs, valid, fm_vals)
+        cact = scatter_site_values(state.conv_actfn, ys, xs, valid, ca_vals)
+        return fm, cact
+
+    def dense_branch(_):
+        conv_fm, conv_cact = _conv_pair(
+            spec, kernel, bias, prev_io.featuremap, prev_io.conv_actfn
+        )
+        return (
+            jnp.where(active, conv_fm, fm_leaked),
+            jnp.where(active, conv_cact, state.conv_actfn),
+        )
+
+    return lax.cond(overflow, dense_branch, sparse_branch, None)
+
+
 def conv_step(
     spec: ConvSpec,
     kernel,
@@ -110,12 +149,16 @@ def conv_step(
     # never disagree about the updated sign (see ops/numerics.py).
     fm_leaked = state.featuremap - snap(state.conv_actfn * delta_leak)
 
-    conv_fm, conv_cact = _conv_pair(
-        spec, kernel, bias, prev_io.featuremap, prev_io.conv_actfn
-    )
-
-    fm = jnp.where(active, conv_fm, fm_leaked)
-    cact = jnp.where(active, conv_cact, state.conv_actfn)
+    if spec.mode == "sparse":
+        fm, cact = _sparse_update(
+            spec, kernel, bias, state, prev_io, active, fm_leaked
+        )
+    else:
+        conv_fm, conv_cact = _conv_pair(
+            spec, kernel, bias, prev_io.featuremap, prev_io.conv_actfn
+        )
+        fm = jnp.where(active, conv_fm, fm_leaked)
+        cact = jnp.where(active, conv_cact, state.conv_actfn)
 
     after_sign = fm >= 0
     changed = jnp.any(before_sign != after_sign, axis=0)

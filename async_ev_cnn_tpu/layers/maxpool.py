@@ -41,9 +41,17 @@ class PoolSpec(NamedTuple):
 
 
 def _gather(spec: PoolSpec, array, idx):
-    """Pooled view of ``array`` at the stored indices: [C,H,W] -> [C,oh,ow]."""
+    """Pooled view of ``array`` at the stored indices: [C,H,W] -> [C,oh,ow].
+
+    Expressed as a one-hot select over the (small) window axis rather than a
+    gather: gathers with per-element indices serialize badly on TPU, while
+    compare+multiply+sum is pure VPU work — and exact (a single x*1 term),
+    so it is also duplication-safe (see ops/numerics.py).
+    """
     win = window_view(array, spec.ksize, spec.stride)  # [C, oh, ow, kk]
-    return jnp.take_along_axis(win, idx[..., None], axis=-1)[..., 0]
+    kk = win.shape[-1]
+    onehot = idx[..., None] == jnp.arange(kk, dtype=idx.dtype)
+    return jnp.sum(jnp.where(onehot, win, jnp.zeros((), win.dtype)), axis=-1)
 
 
 def _make_io(spec: PoolSpec, prev_io: LayerIO, idx, mask) -> LayerIO:

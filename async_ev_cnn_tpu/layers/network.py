@@ -47,8 +47,12 @@ def build_layer_defs(
     leak: float,
     alpha: float,
     padding: str,
+    conv_mode: str = "dense",
+    capacity_frac: float = 0.25,
 ) -> tuple[list[LayerDef], list[LayerDef]]:
     """Returns (event_layers, dense_tail) matching event_numpy.py:53-73."""
+    if conv_mode not in ("dense", "sparse"):
+        raise ValueError(f"conv_mode must be 'dense' or 'sparse', got {conv_mode!r}")
     intgr = IntegrationSpec(leak=leak, h=frame_h, w=frame_w)
     event_layers = [LayerDef("intgr", "intgr", intgr)]
     tail: list[LayerDef] = []
@@ -67,6 +71,8 @@ def build_layer_defs(
                 stride=1,
                 alpha=alpha,
                 padding=padding,
+                mode=conv_mode,
+                capacity_frac=capacity_frac,
             )
             event_layers.append(LayerDef("conv", name, spec))
             prev_shape = spec.out_shape
@@ -98,9 +104,12 @@ class EventNetwork:
         leak: float,
         alpha: float = 0.1,
         padding: str = "VALID",
+        conv_mode: str = "dense",
+        capacity_frac: float = 0.25,
     ):
         self.event_layers, self.dense_tail = build_layer_defs(
-            layer_defs, frame_h, frame_w, leak, alpha, padding
+            layer_defs, frame_h, frame_w, leak, alpha, padding,
+            conv_mode, capacity_frac,
         )
         self.alpha = alpha
         self.out_shape = self.event_layers[-1].spec.out_shape

@@ -44,6 +44,8 @@ class _YoloBase:
         alpha: float,
         leak: float,
         checkpoint: str | None = None,
+        conv_mode: str = "dense",
+        capacity_frac: float = 0.25,
     ):
         self._h_frame = h_frame
         self._w_frame = w_frame
@@ -55,6 +57,8 @@ class _YoloBase:
         self._num_bbox = num_bbox
         self._alpha = alpha
         self._leak = leak
+        self._conv_mode = conv_mode
+        self._capacity_frac = capacity_frac
         self._weights: dict = {}
         if checkpoint is not None:
             self.restore(checkpoint)
@@ -101,6 +105,8 @@ class YoloEventJax(_YoloBase):
             self._leak,
             self._alpha,
             self._padding,
+            conv_mode=self._conv_mode,
+            capacity_frac=self._capacity_frac,
         )
         self._jit_step = jax.jit(self._step_impl)
         self._jit_scan = jax.jit(self._scan_impl)

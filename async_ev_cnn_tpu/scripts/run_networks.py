@@ -49,6 +49,7 @@ def main(argv=None):
         cnn_padding=args.yolo_cnn_padding, h_cells=args.yolo_num_cells_h,
         w_cells=args.yolo_num_cells_w, num_bbox=args.yolo_num_bbox,
         alpha=0.1, leak=args.leak, checkpoint=args.restore_net,
+        conv_mode=args.mode,
     )
     graph = network.build_graph(None)
 

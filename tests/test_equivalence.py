@@ -18,7 +18,8 @@ from async_ev_cnn_tpu.utils.equivalence import make_stream, run_equivalence
 TOL = 1e-4
 
 
-def reference_test_net(frame_h=8, frame_w=8, leak=0.1, alpha=0.1, padding="SAME"):
+def reference_test_net(frame_h=8, frame_w=8, leak=0.1, alpha=0.1, padding="SAME",
+                       conv_mode="dense", capacity_frac=0.25):
     """The exact small net of test_correctness.py:96-111: fixed 3x3 kernel
     [[-2,-1,1]]x3, bias 10, intgr->conv->pool->conv->pool."""
     k = np.array([[-2, -1, 1], [-2, -1, 1], [-2, -1, 1]], np.float32).reshape(3, 3, 1, 1)
@@ -31,7 +32,8 @@ def reference_test_net(frame_h=8, frame_w=8, leak=0.1, alpha=0.1, padding="SAME"
         "w_conv2": jnp.asarray(k),
         "b_conv2": jnp.asarray([10.0], jnp.float32),
     }
-    net = EventNetwork(layer_defs, frame_h, frame_w, leak, alpha, padding)
+    net = EventNetwork(layer_defs, frame_h, frame_w, leak, alpha, padding,
+                       conv_mode=conv_mode, capacity_frac=capacity_frac)
     return net, params
 
 
@@ -83,6 +85,23 @@ def test_equivalence_high_leak_sign_flips(rng):
     net, params = reference_test_net(leak=0.5)
     chunks = make_stream(rng, steps=300, events_per_step=3, h=8, w=8)
     _check(run_equivalence(net, params, chunks))
+
+
+def test_equivalence_sparse_mode(rng):
+    # The rulebook gather->GEMM->scatter path must satisfy the same gate.
+    net, params = reference_test_net(frame_h=16, frame_w=16, leak=0.05,
+                                     conv_mode="sparse", capacity_frac=0.5)
+    chunks = make_stream(rng, steps=400, events_per_step=4, h=16, w=16)
+    _check(run_equivalence(net, params, chunks), tol=2e-4)
+
+
+def test_equivalence_sparse_overflow_fallback(rng):
+    # Tiny capacity forces constant overflow -> dense fallback must keep
+    # the gate green.
+    net, params = reference_test_net(frame_h=16, frame_w=16, leak=0.05,
+                                     conv_mode="sparse", capacity_frac=0.02)
+    chunks = make_stream(rng, steps=200, events_per_step=8, h=16, w=16)
+    _check(run_equivalence(net, params, chunks), tol=2e-4)
 
 
 @pytest.mark.slow

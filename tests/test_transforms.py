@@ -1,0 +1,52 @@
+"""Tests for event-stream preprocessing transforms."""
+
+import numpy as np
+
+from async_ev_cnn_tpu.utils.transforms import center_crop, data_transform
+
+
+def test_center_crop_events(rng):
+    # events spanning a 30x40 extent cropped to 10x12
+    n = 400
+    x = rng.randint(0, 40, n).astype(np.int32)
+    y = rng.randint(0, 30, n).astype(np.int32)
+    ts = np.sort(rng.randint(0, 1000, n)).astype(np.int32)
+    p = rng.randint(0, 2, n).astype(np.int32)
+    bboxes = np.array([[0.5, 0.5, 0.2, 0.2, 1, 0]], np.float32)
+
+    l, nx, ny, nts, np_, bb = center_crop(n, x, y, ts, p, bboxes, (30, 40), (10, 12))
+    assert l == len(nx)
+    assert nx.min() == 0 and ny.min() == 0
+    assert nx.max() < 12 and ny.max() < 10
+    # crop window is centered on the event extent per axis (the reference
+    # swaps the axes, utils.py:17-18 — fixed here)
+    assert 0.0 <= bb[0, 0] <= 1.0 and 0.0 <= bb[0, 1] <= 1.0
+
+
+def test_center_crop_noop_when_same_shape(rng):
+    class A:
+        frame_h = frame_w = 8
+        example_h = example_w = 8
+
+    n = 20
+    x = rng.randint(0, 8, n)
+    y = rng.randint(0, 8, n)
+    ts = np.sort(rng.randint(10, 100, n))
+    p = rng.randint(0, 2, n)
+    l, events = data_transform(n, x, y, ts, p, None, A())
+    assert events.shape == (n, 3)
+    assert events[0, 2] == 0  # ts rebased to zero
+    np.testing.assert_array_equal(events[:, 0], y)
+    np.testing.assert_array_equal(events[:, 1], x)
+
+
+def test_center_crop_empty_window():
+    # all events outside the crop window -> zero-length result, no crash
+    x = np.array([0, 39], np.int32)
+    y = np.array([0, 29], np.int32)
+    ts = np.array([1, 2], np.int32)
+    p = np.array([0, 1], np.int32)
+    l, nx, ny, nts, np_, bb = center_crop(
+        2, x, y, ts, p, np.zeros((1, 6), np.float32), (30, 40), (2, 2)
+    )
+    assert l == 0 and len(nx) == 0
