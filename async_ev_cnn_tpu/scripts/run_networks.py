@@ -55,7 +55,12 @@ def main(argv=None):
 
     runner_cls = EventRunner if isinstance(network, YoloEventJax) else FrameRunner
     runner = runner_cls(args, reader)
-    stats = runner.run(graph)
+    from async_ev_cnn_tpu.utils.profiling import trace
+
+    with trace("./jax_trace" if args.profile else None):
+        stats = runner.run(graph)
+    if args.profile:
+        print("profiler trace written to ./jax_trace")
     print(json.dumps(stats))
     return stats
 

@@ -109,6 +109,43 @@ def bench_cpu_dense_proxy(params, layer_defs, events, steps=5):
     return CHUNK_EVENTS / dt, dt
 
 
+def bench_tpu_serving(params, layer_defs, events, n_streams=8):
+    """Multi-stream serving on one chip: S independent streams vmapped
+    through the same stateful step (BASELINE.md config #5, single-chip)."""
+    import jax
+    import jax.numpy as jnp
+    from async_ev_cnn_tpu.layers.network import EventNetwork
+    from async_ev_cnn_tpu.utils.runner import pack_chunks
+
+    net = EventNetwork(layer_defs, H, W, leak=LEAK, alpha=0.1, padding="SAME")
+    jparams = {k: jnp.asarray(v) for k, v in params.items()}
+    base = net.init_state(jparams)
+    states = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_streams, *x.shape)), base)
+    chunks = pack_chunks(events, CAPACITY)
+    chunks = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[:, None], (a.shape[0], n_streams, *a.shape[1:])),
+        chunks,
+    )
+
+    @jax.jit
+    def scan(params, states, chunks):
+        def body(st, chunk):
+            return jax.vmap(lambda s, c: net.step(params, s, c))(st, chunk)
+
+        return jax.lax.scan(body, states, chunks)
+
+    st, outs = scan(jparams, states, chunks)
+    jax.block_until_ready(outs)
+    n_events = events.shape[0] * n_streams
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        st, outs = scan(jparams, st, chunks)
+        jax.block_until_ready(outs)
+        times.append(time.time() - t0)
+    return n_events / min(times)
+
+
 def main():
     from async_ev_cnn_tpu.utils.config import layers_dict
 
@@ -118,6 +155,7 @@ def main():
     events = synth_stream(rng, T_CHUNKS, CHUNK_EVENTS)
 
     tpu_eps, tpu_dt = bench_tpu_async(params, layer_defs, events)
+    serving_eps = bench_tpu_serving(params, layer_defs, events)
     cpu_eps, cpu_dt = bench_cpu_dense_proxy(params, layer_defs, events)
 
     import jax
@@ -129,6 +167,7 @@ def main():
         "vs_baseline": round(tpu_eps / cpu_eps, 2),
         "device": str(jax.devices()[0]),
         "sec_per_10k_event_scan": round(tpu_dt, 4),
+        "serving_events_per_sec_chip_8streams": round(serving_eps, 1),
         "baseline_cpu_dense_numpy_events_per_sec": round(cpu_eps, 1),
         "config": "efcn_event (160x224, leak 5e-5, 200 ev/chunk)",
     }))
