@@ -73,6 +73,7 @@ def _conv_pair(spec: ConvSpec, kernel, bias, featuremap, conv_actfn):
         padding=spec.pads,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,  # see ops/conv.py
     )
     return out[0] + bias.reshape(-1, 1, 1).astype(jnp.float32), out[1]
 

@@ -80,6 +80,10 @@ def conv2d_dense(
         padding=pads,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=jnp.float32,
+        # Full f32 MXU passes: the default demotes f32 operands to bf16 on
+        # TPU (~1e-2 relative error), which would poison the long-horizon
+        # async state and the <=1e-4 parity contract.
+        precision=lax.Precision.HIGHEST,
     )
     if bias is not None:
         out = out + bias.reshape(1, -1, 1, 1).astype(jnp.float32)

@@ -75,6 +75,7 @@ def rulebook_conv_pair(
     out = jnp.einsum(
         "nkd,do->nko", patches, kmat.astype(jnp.float32),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,  # see ops/conv.py
     )
     fm_vals = out[0] + bias.astype(jnp.float32)[None, :]
     return ys, xs, valid, fm_vals, out[1], overflow
