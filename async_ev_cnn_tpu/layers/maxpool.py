@@ -72,6 +72,23 @@ def pool_init(spec: PoolSpec, prev_init_io: LayerIO) -> tuple[PoolState, LayerIO
     return state, _make_io(spec, prev_init_io, idx, jnp.zeros((oh, ow), bool))
 
 
+def pool_step_full_recompute(
+    spec: PoolSpec, state: PoolState, prev_io: LayerIO, delta_leak
+) -> tuple[PoolState, LayerIO]:
+    """Simpler oracle variant: recompute the dense argmax of every window
+    each step and emit events where the winning index changed (the analog
+    of the reference's unused ``MaxPoolLayerPartiallyEvent``,
+    maxpool_partial.py:96-105).  Used as a mid-step oracle when debugging
+    the incremental pool; not the production path."""
+    surf_w = window_view(prev_io.surface, spec.ksize, spec.stride)
+    idx = jnp.argmax(surf_w, axis=-1).astype(jnp.int32)
+    ev_windows = dilate_mask(prev_io.mask, spec.ksize, spec.stride)
+    changed = jnp.any(idx != state.idx_max, axis=0)
+    active = ev_windows | changed
+    new_state = PoolState(idx_max=idx, recompute=state.recompute)
+    return new_state, _make_io(spec, prev_io, idx, active)
+
+
 def pool_step(
     spec: PoolSpec, state: PoolState, prev_io: LayerIO, delta_leak
 ) -> tuple[PoolState, LayerIO]:
