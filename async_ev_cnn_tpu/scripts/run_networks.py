@@ -20,7 +20,7 @@ import numpy as np
 from async_ev_cnn_tpu.data import detection_reader
 from async_ev_cnn_tpu.models import YoloEventJax, YoloFrameJax, YoloFrameNumpy
 from async_ev_cnn_tpu.utils.config import config
-from async_ev_cnn_tpu.utils.runner import EventRunner, FrameRunner
+from async_ev_cnn_tpu.utils.runner import EventRunner, FrameRunner, MultiStreamRunner
 
 _NETWORKS = {
     "YoloEventJax": YoloEventJax,
@@ -51,6 +51,17 @@ def main(argv=None):
         alpha=0.1, leak=args.leak, checkpoint=args.restore_net,
         conv_mode=args.mode,
     )
+    if args.num_streams > 1:
+        if not isinstance(network, YoloEventJax):
+            raise SystemExit("--num_streams > 1 requires an event network")
+        runner = MultiStreamRunner(args, reader)
+        from async_ev_cnn_tpu.utils.profiling import trace
+
+        with trace("./jax_trace" if args.profile else None):
+            stats = runner.run(network)
+        print(json.dumps(stats))
+        return stats
+
     graph = network.build_graph(None)
 
     runner_cls = EventRunner if isinstance(network, YoloEventJax) else FrameRunner

@@ -197,6 +197,82 @@ class ScanEventRunner(Runner):
         }
 
 
+class MultiStreamRunner(Runner):
+    """Serving mode: S independent examples stream concurrently, vmapped
+    and sharded over the device mesh (``--num_streams``).  Streams shorter
+    than the batch max are padded with all-invalid chunks, which are exact
+    no-op steps for every layer."""
+
+    profile_integration = False
+
+    def run(self, model, max_examples=None, verbose=True):
+        import jax
+        import jax.numpy as jnp
+
+        from async_ev_cnn_tpu.parallel import MultiStreamEngine, make_mesh
+
+        args = self.args
+        s = args.num_streams
+        cap = args.batch_event_size
+        n_dev = jax.device_count()
+        mesh = make_mesh(n_data=min(s, n_dev), n_model=1)
+        eng = MultiStreamEngine(model.net, mesh)
+        params = eng.place_params(model.params)
+
+        total_batches = int(np.ceil(self.reader.test_size() / s))
+        if max_examples is not None:
+            total_batches = min(total_batches, max_examples)
+        times, total_events = [], 0
+        for i in range(total_batches):
+            streams = []
+            for _ in range(s):
+                _, events = self.reader.next_batch(
+                    1, dataset="test",
+                    preprocessing_fn=partial(data_transform, args=args),
+                    concat_features=False, threads=args.reader_threads,
+                )
+                streams.append(pack_chunks(events, cap))
+                total_events += events.shape[0]
+            t_max = max(c.y.shape[0] for c in streams)
+            streams = [pad_chunks_t(c, t_max) for c in streams]
+            chunks = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *streams)
+            states = eng.init_states(params, s)
+            t0 = time.time()
+            states, outs = eng.scan(params, states, eng.place_chunks(chunks, leading_time=True))
+            jax.block_until_ready(outs)
+            dt = time.time() - t0
+            times.append(dt)
+            if verbose:
+                n_ev = sum(int(np.asarray(c.valid).sum()) for c in streams)
+                print(f"Serving batch {i + 1}: {s} streams x {t_max} chunks in "
+                      f"{dt:.4f}s ({n_ev / max(dt, 1e-9):,.0f} ev/s)")
+        steady = np.array(times[1:] or times)
+        per_batch_events = total_events / max(len(times), 1)
+        return {
+            "examples": total_batches * s,
+            "events_per_sec": float(total_events / max(sum(times), 1e-9)),
+            "events_per_sec_steady": float(
+                per_batch_events * len(steady) / max(steady.sum(), 1e-9)
+            ),
+        }
+
+
+def pad_chunks_t(chunks: EventChunk, t: int) -> EventChunk:
+    """Pad stacked chunks ``[T0, E]`` to ``[t, E]`` with all-invalid (no-op)
+    chunks."""
+    t0 = chunks.y.shape[0]
+    if t0 == t:
+        return chunks
+    import jax.numpy as jnp
+
+    def pad(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((t - t0, *a.shape[1:]), a.dtype)], axis=0
+        )
+
+    return EventChunk(*(pad(a) for a in chunks))
+
+
 def pack_chunks(events: np.ndarray, capacity: int) -> EventChunk:
     """Pack an ``[N, 3]`` stream into stacked padded chunks ``[T, capacity]``."""
     n = events.shape[0]

@@ -79,3 +79,18 @@ def test_run_networks_usec_batching(tmp_path, tiny_detection_root, tiny_ckpt):
     cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", tiny_ckpt)
     stats = main(["-c", str(cfg), "--batch_event_usec", "5000"])
     assert stats["steps"] >= 2
+
+
+def test_run_networks_multi_stream(tmp_path, tiny_detection_root, tiny_ckpt):
+    from async_ev_cnn_tpu.scripts.run_networks import main
+
+    cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", tiny_ckpt)
+    stats = main(["-c", str(cfg), "--num_streams", "2"])
+    assert stats["examples"] >= 2 and stats["events_per_sec"] > 0
+
+
+def test_correctness_script():
+    from async_ev_cnn_tpu.scripts.test_correctness import main
+
+    assert main(["--iterations", "200"]) == 0
+    assert main(["--iterations", "100", "--mode", "sparse", "--tolerance", "2e-4"]) == 0
