@@ -62,6 +62,18 @@ def main(argv=None):
         print(json.dumps(stats))
         return stats
 
+    if args.runner == "scan":
+        if not isinstance(network, YoloEventJax):
+            raise SystemExit("--runner scan requires an event network")
+        from async_ev_cnn_tpu.utils.runner import ScanEventRunner
+
+        runner = ScanEventRunner(args, reader)
+        stats = runner.run(network)
+        print(json.dumps(stats))
+        return stats
+    if args.runner != "step":
+        raise SystemExit(f"--runner must be 'step' or 'scan', got {args.runner!r}")
+
     graph = network.build_graph(None)
 
     runner_cls = EventRunner if isinstance(network, YoloEventJax) else FrameRunner

@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_streams", type=int, default=1,
                    help="Independent event streams batched per step "
                         "(sharded over the device mesh when >1).")
+    p.add_argument("--runner", type=str, default="step",
+                   help="Event-network execution: 'step' (per-micro-batch "
+                        "dispatch, latency mode) or 'scan' (whole example "
+                        "fused into one lax.scan, throughput mode).")
     p.add_argument("--show_frames", type=boolean, default=False,
                    help="Display predictions with OpenCV.")
     p.add_argument("--profile", type=boolean, default=False,

@@ -90,13 +90,15 @@ def draw_bboxes(
         x1, y1, x2, y2 = x - w / 2, y - h / 2, x + w / 2, y + h / 2
         if cv2 is not None:
             thick = max(1, int(conf * max_thickness))
-            overlay = np.zeros_like(img)
+            # OpenCV >= 5 draws text only on uint8 images
+            overlay = np.zeros(img.shape[:2] + (3,), np.uint8)
+            col255 = tuple(int(c * 255) for c in color)
             cv2.rectangle(overlay, (int(x1) - 1, int(y1) - 1), (int(x2) + 1, int(y2) + 1),
-                          color.tolist(), thick)
+                          col255, thick)
             txt = f"{labels[i]} {int(conf * 100)}%" if rank < highlight_top_n else str(labels[i])
             cv2.putText(overlay, txt, (int(x1) - 1, int(y1) - 3),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.35, color.tolist())
-            img = np.clip(img + alpha * overlay, 0, 1)
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.35, col255)
+            img = np.clip(img + alpha * overlay.astype(np.float32) / 255.0, 0, 1)
         else:
             img = _draw_rect_np(img, x1, y1, x2, y2, color, alpha)
 

@@ -89,6 +89,16 @@ def test_run_networks_multi_stream(tmp_path, tiny_detection_root, tiny_ckpt):
     assert stats["examples"] >= 2 and stats["events_per_sec"] > 0
 
 
+def test_run_networks_scan_runner(tmp_path, tiny_detection_root, tiny_ckpt):
+    from async_ev_cnn_tpu.scripts.run_networks import main
+
+    cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", tiny_ckpt)
+    stats = main(["-c", str(cfg), "--runner", "scan"])
+    assert stats["examples"] == 2 and stats["events_per_sec"] > 0
+    with pytest.raises(SystemExit):
+        main(["-c", str(cfg), "--runner", "warp"])
+
+
 def test_correctness_script():
     from async_ev_cnn_tpu.scripts.test_correctness import main
 
