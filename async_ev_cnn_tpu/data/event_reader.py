@@ -245,8 +245,36 @@ class EventDataset:
         preprocessing_fn=None,
         concat_features: bool = False,
         threads: int = 1,
+        multiple_examples: int = 1,
     ):
-        """Returns ``[lengths, feature0, ...]``; see module docstring."""
+        """Returns ``[lengths, feature0, ...]``; see module docstring.
+
+        ``multiple_examples > 1`` merges that many consecutive examples into
+        each batch item by concatenating their (post-preprocessing) features
+        along the event axis (event_reader.py:305-309 in the reference).
+        """
+        if multiple_examples > 1:
+            merged = []
+            for _ in range(batch_size):
+                parts = [
+                    self.next_batch(1, dataset, preprocessing_fn, False, 1)
+                    for _ in range(multiple_examples)
+                ]
+                length = int(sum(p[0][0] for p in parts))
+                feats = []
+                for fi in range(1, len(parts[0])):
+                    vals = [p[fi] for p in parts]
+                    if all(np.ndim(v) >= 1 and len(v) == int(p[0][0])
+                           for v, p in zip(vals, parts)):
+                        feats.append(np.concatenate(vals, axis=0))
+                    else:  # non-length features (e.g. labels): keep the first
+                        feats.append(vals[0])
+                merged.append((length, feats))
+            lengths = [m[0] for m in merged]
+            if batch_size == 1:
+                return [np.asarray(lengths), *merged[0][1]]
+            stacked = self._pad_stack([m[1] for m in merged], lengths)
+            return [np.asarray(lengths), *stacked]
         items = self._next_files(batch_size, dataset)
         if threads > 1 and batch_size > 1:
             with ThreadPoolExecutor(max_workers=threads) as pool:

@@ -30,7 +30,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from async_ev_cnn_tpu.layers.types import ConvState, LayerIO
-from async_ev_cnn_tpu.ops.conv import conv_out_shape, conv_pads, leaky_mask
+from async_ev_cnn_tpu.ops.conv import (
+    conv_out_shape,
+    conv_pads,
+    leaky_mask,
+    matmul_precision,
+)
 from async_ev_cnn_tpu.ops.masks import dilate_mask
 from async_ev_cnn_tpu.ops.numerics import snap
 
@@ -73,7 +78,7 @@ def _conv_pair(spec: ConvSpec, kernel, bias, featuremap, conv_actfn):
         padding=spec.pads,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,  # see ops/conv.py
+        precision=matmul_precision(),  # see ops/conv.py
     )
     return out[0] + bias.reshape(-1, 1, 1).astype(jnp.float32), out[1]
 

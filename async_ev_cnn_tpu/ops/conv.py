@@ -16,6 +16,31 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# Module-wide MXU precision for every conv/GEMM touching async state.
+# HIGHEST = full f32 passes (default; the <=1e-4 parity contract assumes
+# it).  'default' lets the TPU demote operands to bf16 (~1e-2 relative
+# error, ~20-25% faster end-to-end) — both network variants then share the
+# same rounding so async-vs-dense parity still holds, but absolute fidelity
+# to f32 references degrades.  Set via set_matmul_precision() or the CLI
+# --matmul_precision flag.
+_MATMUL_PRECISION = lax.Precision.HIGHEST
+
+
+def set_matmul_precision(name: str) -> None:
+    global _MATMUL_PRECISION
+    table = {
+        "highest": lax.Precision.HIGHEST,
+        "high": lax.Precision.HIGH,
+        "default": lax.Precision.DEFAULT,
+    }
+    if name not in table:
+        raise ValueError(f"matmul precision must be one of {sorted(table)}, got {name!r}")
+    _MATMUL_PRECISION = table[name]
+
+
+def matmul_precision():
+    return _MATMUL_PRECISION
+
 
 def tf_same_pads(in_h: int, in_w: int, k_h: int, k_w: int, stride: int):
     """TF SAME padding amounts ((top, bottom), (left, right)).
@@ -80,10 +105,7 @@ def conv2d_dense(
         padding=pads,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=jnp.float32,
-        # Full f32 MXU passes: the default demotes f32 operands to bf16 on
-        # TPU (~1e-2 relative error), which would poison the long-horizon
-        # async state and the <=1e-4 parity contract.
-        precision=lax.Precision.HIGHEST,
+        precision=_MATMUL_PRECISION,
     )
     if bias is not None:
         out = out + bias.reshape(1, -1, 1, 1).astype(jnp.float32)

@@ -35,6 +35,10 @@ _NETWORKS = {
 def main(argv=None):
     args = config(argv)
 
+    from async_ev_cnn_tpu.ops.conv import set_matmul_precision
+
+    set_matmul_precision(args.matmul_precision)
+
     reader = detection_reader.factory(args.input_data_dir, file_format=args.file_format)
 
     try:

@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Display predictions with OpenCV.")
     p.add_argument("--profile", type=boolean, default=False,
                    help="Capture a jax.profiler trace of the run.")
+    p.add_argument("--matmul_precision", type=str, default="highest",
+                   help="MXU precision for convs/GEMMs: 'highest' (full f32, "
+                        "the parity default), 'high', or 'default' (bf16 "
+                        "operands, ~25%% faster, ~1e-2 absolute fidelity).")
     return p
 
 

@@ -29,6 +29,21 @@ from collections import OrderedDict
 import numpy as np
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache — first compile of the big scan over
+    a tunneled TPU backend costs minutes; cache it across processes."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
+
 EFCN_DSL = (
     "conv1=3,3,1,16 pool1=2,2 conv2=3,3,16,32 pool2=2,2 conv3=3,3,32,64 "
     "pool3=2,2 conv4=3,3,64,128 pool4=2,2 conv5=3,3,128,256 pool5=2,2 "

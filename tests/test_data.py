@@ -205,6 +205,14 @@ def test_save_restore_roundtrip(tmp_path, rng):
     ds2.next_batch(1, dataset="train")
 
 
+def test_multiple_examples_merging(tmp_path, rng):
+    root = make_class_dataset(tmp_path, rng, n_classes=2, per_class=3)
+    ds = event_reader.EventDataset(root, validation_frac=0, test_frac=0, seed=4)
+    lengths, label, x, y, ts, p = ds.next_batch(1, dataset="train", multiple_examples=3)
+    assert lengths[0] == 150  # 3 x 50 events merged
+    assert len(x) == 150 and label.shape == (2,)
+
+
 def test_prefetcher_threads(tmp_path, rng):
     root = make_class_dataset(tmp_path, rng, n_classes=2, per_class=4)
     ds = event_reader.EventDataset(root, validation_frac=0, test_frac=0, seed=2)
