@@ -26,7 +26,7 @@ import numpy as np
 
 from async_ev_cnn_tpu.layers.network import EventNetwork, dense_forward
 from async_ev_cnn_tpu.layers.types import EventChunk
-from async_ev_cnn_tpu.ops.conv import conv_out_shape, tf_same_pads
+from async_ev_cnn_tpu.ops.conv import tf_same_pads
 from async_ev_cnn_tpu.utils.checkpoint import load_params, normalize_names
 
 
