@@ -246,12 +246,17 @@ class EventDataset:
         concat_features: bool = False,
         threads: int = 1,
         multiple_examples: int = 1,
+        features_to_pad_mask: bool = False,
     ):
         """Returns ``[lengths, feature0, ...]``; see module docstring.
 
         ``multiple_examples > 1`` merges that many consecutive examples into
         each batch item by concatenating their (post-preprocessing) features
         along the event axis (event_reader.py:305-309 in the reference).
+
+        ``features_to_pad_mask`` appends a bool ``[B, max_len]`` validity
+        mask (True for real entries, False for ragged padding) as the last
+        feature (the reference's pad-mask mode, event_reader.py:581-610).
         """
         if multiple_examples > 1:
             merged = []
@@ -291,11 +296,18 @@ class EventDataset:
         lengths = [r[0] for r in results]
         feats = [r[1] for r in results]
         if batch_size == 1:
-            return [np.asarray(lengths), *feats[0]]
+            out = [np.asarray(lengths), *feats[0]]
+            if features_to_pad_mask:
+                out.append(np.ones(lengths[0], bool))
+            return out
         stacked = self._pad_stack(feats, lengths)
         if concat_features:
             same_len = [f for f in stacked if f.ndim >= 2]
-            return [np.asarray(lengths), np.concatenate(same_len, axis=-1)]
+            stacked = [np.concatenate(same_len, axis=-1)]
+        if features_to_pad_mask:
+            max_len = max(lengths)
+            mask = np.arange(max_len)[None, :] < np.asarray(lengths)[:, None]
+            stacked.append(mask)
         return [np.asarray(lengths), *stacked]
 
     # ---- persistent prefetch --------------------------------------------------

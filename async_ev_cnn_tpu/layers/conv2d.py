@@ -47,7 +47,7 @@ class ConvSpec(NamedTuple):
     stride: int
     alpha: float
     padding: str  # 'SAME' | 'VALID'
-    mode: str = "dense"  # 'dense' | 'sparse'
+    mode: str = "dense"  # 'dense' | 'sparse' | 'sparse_pallas'
     capacity_frac: float = 0.25  # sparse rulebook capacity as out-site fraction
 
     @property
@@ -113,15 +113,33 @@ def _sparse_update(spec: ConvSpec, kernel, bias, state, prev_io, active, fm_leak
     """Rulebook gather->GEMM->scatter update of the active sites, with a
     lax.cond fallback to the dense-masked path on capacity overflow so
     equivalence is never sacrificed (SURVEY.md's overflow policy)."""
+    from async_ev_cnn_tpu.ops.masks import mask_to_topk_coords
     from async_ev_cnn_tpu.ops.rulebook import rulebook_conv_pair, scatter_site_values
 
     (pt, pb), (pl, pr) = spec.pads
     pad_cfg = ((0, 0), (pt, pb), (pl, pr))
     fm_in = jnp.pad(prev_io.featuremap, pad_cfg)
     ca_in = jnp.pad(prev_io.conv_actfn, pad_cfg)
-    ys, xs, valid, fm_vals, ca_vals, overflow = rulebook_conv_pair(
-        fm_in, ca_in, active, kernel, bias, spec.stride, spec.capacity
-    )
+    if spec.mode == "sparse_pallas":
+        import jax
+
+        from async_ev_cnn_tpu.ops.pallas_rulebook import rulebook_gather_gemm_pallas
+
+        ys, xs, valid = mask_to_topk_coords(active, spec.capacity)
+        overflow = jnp.sum(active) > spec.capacity
+        fm_vals, ca_vals = rulebook_gather_gemm_pallas(
+            jnp.transpose(fm_in, (1, 2, 0)),
+            jnp.transpose(ca_in, (1, 2, 0)),
+            jnp.transpose(kernel, (2, 3, 1, 0)),  # OIHW -> HWIO
+            bias,
+            ys, xs,
+            stride=spec.stride,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        ys, xs, valid, fm_vals, ca_vals, overflow = rulebook_conv_pair(
+            fm_in, ca_in, active, kernel, bias, spec.stride, spec.capacity
+        )
 
     def sparse_branch(_):
         fm = scatter_site_values(fm_leaked, ys, xs, valid, fm_vals)
@@ -155,7 +173,7 @@ def conv_step(
     # never disagree about the updated sign (see ops/numerics.py).
     fm_leaked = state.featuremap - snap(state.conv_actfn * delta_leak)
 
-    if spec.mode == "sparse":
+    if spec.mode in ("sparse", "sparse_pallas"):
         fm, cact = _sparse_update(
             spec, kernel, bias, state, prev_io, active, fm_leaked
         )

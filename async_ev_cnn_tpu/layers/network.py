@@ -51,8 +51,10 @@ def build_layer_defs(
     capacity_frac: float = 0.25,
 ) -> tuple[list[LayerDef], list[LayerDef]]:
     """Returns (event_layers, dense_tail) matching event_numpy.py:53-73."""
-    if conv_mode not in ("dense", "sparse"):
-        raise ValueError(f"conv_mode must be 'dense' or 'sparse', got {conv_mode!r}")
+    if conv_mode not in ("dense", "sparse", "sparse_pallas"):
+        raise ValueError(
+            f"conv_mode must be 'dense', 'sparse' or 'sparse_pallas', got {conv_mode!r}"
+        )
     intgr = IntegrationSpec(leak=leak, h=frame_h, w=frame_w)
     event_layers = [LayerDef("intgr", "intgr", intgr)]
     tail: list[LayerDef] = []

@@ -205,6 +205,21 @@ def test_save_restore_roundtrip(tmp_path, rng):
     ds2.next_batch(1, dataset="train")
 
 
+def test_features_to_pad_mask(tmp_path, rng):
+    root = make_class_dataset(tmp_path, rng, n_classes=2, per_class=3)
+    ds = event_reader.EventDataset(root, validation_frac=0, test_frac=0, seed=4)
+
+    def prep(length, label, x, y, ts, p):
+        keep = x < int(x.mean())  # variable lengths per example
+        return int(keep.sum()), np.stack([y[keep], x[keep], ts[keep]], -1)
+
+    lengths, events, mask = ds.next_batch(
+        3, dataset="train", preprocessing_fn=prep, features_to_pad_mask=True
+    )
+    assert mask.shape == (3, max(lengths))
+    np.testing.assert_array_equal(mask.sum(axis=1), lengths)
+
+
 def test_multiple_examples_merging(tmp_path, rng):
     root = make_class_dataset(tmp_path, rng, n_classes=2, per_class=3)
     ds = event_reader.EventDataset(root, validation_frac=0, test_frac=0, seed=4)

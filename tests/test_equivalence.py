@@ -95,6 +95,15 @@ def test_equivalence_sparse_mode(rng):
     _check(run_equivalence(net, params, chunks), tol=2e-4)
 
 
+def test_equivalence_sparse_pallas_mode(rng):
+    # The Pallas-backed rulebook path (interpret mode on CPU) must satisfy
+    # the same gate.
+    net, params = reference_test_net(frame_h=16, frame_w=16, leak=0.05,
+                                     conv_mode="sparse_pallas", capacity_frac=0.5)
+    chunks = make_stream(rng, steps=120, events_per_step=4, h=16, w=16)
+    _check(run_equivalence(net, params, chunks), tol=2e-4)
+
+
 def test_equivalence_sparse_overflow_fallback(rng):
     # Tiny capacity forces constant overflow -> dense fallback must keep
     # the gate green.
