@@ -9,7 +9,9 @@ the integrated frame alongside, feed the network, record wall-clock timings
 TPU-native differences:
 
 * Event micro-batches are padded to a static capacity so the network step
-  compiles once; timing calls ``block_until_ready`` so numbers are honest.
+  compiles once; timings synchronize by fetching (a slice of) the result
+  to host — on some tunneled backends ``block_until_ready`` returns before
+  the computation completes, silently under-measuring.
 * ``events/sec`` is reported as the first-class metric next to sec/step.
 * The reference passes the *full* event array instead of the micro-batch to
   the network (runner.py:88, a quirk); this runner feeds the micro-batch.
@@ -106,7 +108,7 @@ class Runner:
                     t0 = time.time()
 
                 net_out = self.feed_network(network, events_batch, frame, reset_state)
-                jax.block_until_ready(net_out)
+                net_out = np.asarray(net_out)  # host fetch = true sync point
                 dt = time.time() - t0
                 step_times.append(dt)
                 total_events += len(events_batch)
@@ -179,7 +181,7 @@ class ScanEventRunner(Runner):
             chunks = pack_chunks(events, cap)
             t0 = time.time()
             _, outs = model.scan(state0, chunks)
-            jax.block_until_ready(outs)
+            np.asarray(outs[-1])  # host fetch = true sync point
             dt = time.time() - t0
             times.append(dt)
             total_events += events.shape[0]
@@ -239,7 +241,7 @@ class MultiStreamRunner(Runner):
             states = eng.init_states(params, s)
             t0 = time.time()
             states, outs = eng.scan(params, states, eng.place_chunks(chunks, leading_time=True))
-            jax.block_until_ready(outs)
+            np.asarray(outs[-1])  # host fetch = true sync point
             dt = time.time() - t0
             times.append(dt)
             if verbose:

@@ -86,9 +86,14 @@ def bench_tpu_async(params, layer_defs, events):
     chunks = pack_chunks(events, CAPACITY)
     scan = jax.jit(net.scan)
 
+    def sync(outs):
+        # this backend's block_until_ready can return before completion;
+        # a host fetch is the only true synchronization point
+        return np.asarray(outs[-1])
+
     # warmup/compile
     st, outs = scan(jparams, state, chunks)
-    jax.block_until_ready(outs)
+    sync(outs)
 
     n_events = events.shape[0]
     times = []
@@ -96,7 +101,7 @@ def bench_tpu_async(params, layer_defs, events):
     for _ in range(3):
         t0 = time.time()
         st, outs = scan(jparams, st, chunks)
-        jax.block_until_ready(outs)
+        sync(outs)
         times.append(time.time() - t0)
     dt = min(times)
     return n_events / dt, dt
@@ -149,14 +154,17 @@ def bench_tpu_serving(params, layer_defs, events, n_streams=8):
 
         return jax.lax.scan(body, states, chunks)
 
+    def sync(outs):
+        return np.asarray(outs[-1])
+
     st, outs = scan(jparams, states, chunks)
-    jax.block_until_ready(outs)
+    sync(outs)
     n_events = events.shape[0] * n_streams
     times = []
     for _ in range(3):
         t0 = time.time()
         st, outs = scan(jparams, st, chunks)
-        jax.block_until_ready(outs)
+        sync(outs)
         times.append(time.time() - t0)
     return n_events / min(times)
 
