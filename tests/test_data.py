@@ -240,6 +240,16 @@ def test_prefetcher_threads(tmp_path, rng):
         pf.stop()
 
 
+def test_device_prefetch(tmp_path, rng):
+    from async_ev_cnn_tpu.data.prefetch import device_prefetch
+
+    batches = [np.full((4,), i, np.float32) for i in range(5)]
+    out = list(device_prefetch(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b), batches[i])
+
+
 # ---- detection dataset -------------------------------------------------------
 
 

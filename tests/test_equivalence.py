@@ -114,6 +114,28 @@ def test_equivalence_sparse_overflow_fallback(rng):
 
 
 @pytest.mark.slow
+def test_equivalence_full_efcn_scale(rng):
+    # The flagship N-Caltech101 geometry end-to-end: 160x224, 12 layers.
+    dsl = ("conv1=3,3,1,16 pool1=2,2 conv2=3,3,16,32 pool2=2,2 "
+           "conv3=3,3,32,64 pool3=2,2 conv4=3,3,64,128 pool4=2,2 "
+           "conv5=3,3,128,256 pool5=2,2 conv6=1,1,256,512 conv7=1,1,512,110")
+    from async_ev_cnn_tpu.utils.config import layers_dict
+
+    layer_defs = layers_dict(dsl)
+    params = {}
+    for name, size in layer_defs.items():
+        if "conv" in name:
+            kh, kw, ci, co = size
+            params[f"w_{name}"] = jnp.asarray(
+                rng.randn(kh, kw, ci, co).astype(np.float32) * 0.05)
+            params[f"b_{name}"] = jnp.asarray(
+                rng.randn(co).astype(np.float32) * 0.05)
+    net = EventNetwork(layer_defs, 160, 224, leak=5e-5, alpha=0.1, padding="SAME")
+    chunks = make_stream(rng, steps=30, events_per_step=200, h=160, w=224, max_dt=30)
+    _check(run_equivalence(net, params, chunks))
+
+
+@pytest.mark.slow
 def test_equivalence_10k_steps(rng):
     # The reference's full 10k-iteration horizon (test_correctness.py:175).
     net, params = reference_test_net()
