@@ -138,7 +138,14 @@ class AerReader(FileReader):
 
     def _decode_31(self, payload: np.ndarray):
         """Packet walk. Assumes POLARITY_EVENT packets (like the reference,
-        file_reader.py:127-133); other packet types are skipped by size."""
+        file_reader.py:127-133); other packet types are skipped by size.
+        Uses the native C++ packet walker when built."""
+        from async_ev_cnn_tpu.data import native
+
+        if native.available():
+            out = native.decode_aedat31(payload.view(np.uint8))
+            if out is not None:
+                return out
         xs, ys, tss, ps = [], [], [], []
         pos = 0
         n = payload.size

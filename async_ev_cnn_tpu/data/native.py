@@ -44,6 +44,15 @@ def get_lib():
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ] + [ctypes.POINTER(ctypes.c_int32)] * 4 + [ctypes.POINTER(ctypes.c_int64)]
+    try:
+        lib.evio_decode_aedat31.restype = ctypes.c_int64
+        lib.evio_decode_aedat31.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ]
+    except AttributeError:  # older library build
+        pass
     _LIB = lib
     return _LIB
 
@@ -71,6 +80,29 @@ def decode_ndata_file(path: str):
     if n < 0:
         raise IOError(f"native decode failed for {path}")
     return int(n), x[:n], y[:n], ts[:n], p[:n]
+
+
+def decode_aedat31(payload: np.ndarray):
+    """Native AEDAT 3.1 packet-walk decode of a header-stripped payload.
+
+    Returns ``(length, x, y, ts[int64], p)`` or None if unavailable.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "evio_decode_aedat31"):
+        return None
+    payload = np.ascontiguousarray(payload, np.uint8)
+    cap = payload.size // 8
+    x = np.empty(cap, np.int32)
+    y = np.empty(cap, np.int32)
+    ts = np.empty(cap, np.int64)
+    p = np.empty(cap, np.int32)
+    n = lib.evio_decode_aedat31(
+        payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), payload.size,
+        _i32p(x), _i32p(y), ts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _i32p(p),
+    )
+    n = int(n)
+    return n, x[:n], y[:n], ts[:n], p[:n]
 
 
 def decode_ndata_batch(paths: list[str]):

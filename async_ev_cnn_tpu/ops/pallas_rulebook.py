@@ -86,7 +86,7 @@ def rulebook_gather_gemm_pallas(
     ys: jnp.ndarray,        # [K] rulebook output rows
     xs: jnp.ndarray,        # [K] rulebook output cols
     stride: int = 1,
-    tile: int = 8,
+    tile: int = 32,
     interpret: bool = False,
 ):
     """Returns ``(fm_vals [K, O], cact_vals [K, O])`` for the rulebook sites."""

@@ -136,4 +136,42 @@ int64_t evio_decode_aedat20(const uint8_t* payload, int64_t size, int32_t* x,
   return pairs;
 }
 
+// AEDAT 3.1 payload decode (payload = file minus header lines): packet
+// stream of 7-int32 headers + POLARITY_EVENT bodies; validity-bit
+// filtering; 31-bit timestamp overflow counters widen ts to int64.
+// Caller capacity: size / 8. Returns the event count.
+int64_t evio_decode_aedat31(const uint8_t* payload, int64_t size, int32_t* x,
+                            int32_t* y, int64_t* ts, int32_t* p) {
+  const int32_t* words = reinterpret_cast<const int32_t*>(payload);
+  int64_t n_words = size / 4;
+  int64_t pos = 0;
+  int64_t n = 0;
+  while (pos + 7 <= n_words) {
+    const int32_t event_type = words[pos] >> 16;
+    const int32_t event_size = words[pos + 1];
+    const int64_t ts_overflow = static_cast<int64_t>(words[pos + 3]);
+    const int32_t event_number = words[pos + 4];
+    const int32_t event_valid = words[pos + 5];
+    pos += 7;
+    if (event_size <= 0) break;
+    const int64_t body_words =
+        static_cast<int64_t>(event_number) * event_size / 4;
+    if (pos + body_words > n_words) break;
+    if (event_valid && event_type == 1) {
+      for (int64_t e = 0; e < event_number; ++e) {
+        const uint32_t data = static_cast<uint32_t>(words[pos + 2 * e]);
+        if (!(data & 0x1u)) continue;  // validity bit
+        x[n] = static_cast<int32_t>((data >> 17) & 0x1FFFu);
+        y[n] = static_cast<int32_t>((data >> 2) & 0x1FFFu);
+        p[n] = static_cast<int32_t>((data >> 1) & 0x1u);
+        ts[n] = (ts_overflow << 31) |
+                static_cast<int64_t>(words[pos + 2 * e + 1]);
+        ++n;
+      }
+    }
+    pos += body_words;
+  }
+  return n;
+}
+
 }  // extern "C"
