@@ -271,6 +271,18 @@ def make_detection_dataset(tmp_path, rng):
     return str(root)
 
 
+def test_detection_save_restore(tmp_path, rng):
+    root = make_detection_dataset(tmp_path, rng)
+    ds = detection_reader.factory(root, file_format="n-data")
+    ds.next_batch(1, dataset="test")
+    save = str(tmp_path / "det_state.npz")
+    ds.save(save)
+    ds2 = detection_reader.factory(save)
+    assert ds2.num_classes() == 5
+    assert ds2._cursors["test"] == ds._cursors["test"]
+    ds2.next_batch(1, dataset="test")
+
+
 def test_detection_dataset(tmp_path, rng):
     root = make_detection_dataset(tmp_path, rng)
     ds = detection_reader.factory(root, file_format="n-data")
