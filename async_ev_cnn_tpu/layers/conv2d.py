@@ -47,14 +47,23 @@ class ConvSpec(NamedTuple):
     stride: int
     alpha: float
     padding: str  # 'SAME' | 'VALID'
-    mode: str = "dense"  # 'dense' | 'sparse' | 'sparse_pallas'
+    mode: str = "dense"  # 'dense' | 'sparse' | 'sparse_pallas' | 'window'
     capacity_frac: float = 0.25  # sparse rulebook capacity as out-site fraction
+    window_frac: float = 0.25  # window-mode extent as a fraction of each axis
 
     @property
     def capacity(self) -> int:
         _, oh, ow = self.out_shape
         cap = max(8, int(oh * ow * self.capacity_frac))
         return min(cap, oh * ow)
+
+    @property
+    def window(self) -> tuple[int, int]:
+        """Static window extent (out coords) for 'window' mode, multiple of 8."""
+        _, oh, ow = self.out_shape
+        wh = min(oh, max(8, (int(oh * self.window_frac) + 7) // 8 * 8))
+        ww = min(ow, max(8, (int(ow * self.window_frac) + 7) // 8 * 8))
+        return wh, ww
 
     @property
     def pads(self):
@@ -158,6 +167,66 @@ def _sparse_update(spec: ConvSpec, kernel, bias, state, prev_io, active, fm_leak
     return lax.cond(overflow, dense_branch, sparse_branch, None)
 
 
+def _window_update(spec: ConvSpec, kernel, bias, state, prev_io, active, fm_leaked):
+    """Compute the conv only inside a static-size window around the active
+    bounding box (events cluster spatially on real DVS streams), with a
+    lax.cond fallback to the dense-masked path when the box doesn't fit.
+
+    Asymptotically this restores the reference's O(active-region) update
+    cost while keeping every shape static and the conv MXU-shaped."""
+    from async_ev_cnn_tpu.ops.masks import mask_bounding_box
+
+    if spec.stride != 1:
+        raise NotImplementedError("window mode requires stride 1")
+    wh, ww = spec.window
+    o, oh, ow = spec.out_shape
+    kh, kw = spec.ksize
+    y0, x0, y1, x1, any_active = mask_bounding_box(active)
+    fits = (y1 - y0 < wh) & (x1 - x0 < ww)
+    oy = jnp.clip(y0, 0, oh - wh)
+    ox = jnp.clip(x0, 0, ow - ww)
+
+    def window_branch(_):
+        (pt, pb), (pl_, pr) = spec.pads
+        pad_cfg = ((0, 0), (pt, pb), (pl_, pr))
+        c = prev_io.surface.shape[0]
+        fm_in = jnp.pad(prev_io.featuremap, pad_cfg)
+        ca_in = jnp.pad(prev_io.conv_actfn, pad_cfg)
+        both = jnp.stack([
+            lax.dynamic_slice(fm_in, (0, oy, ox), (c, wh + kh - 1, ww + kw - 1)),
+            lax.dynamic_slice(ca_in, (0, oy, ox), (c, wh + kh - 1, ww + kw - 1)),
+        ])
+        out = lax.conv_general_dilated(
+            both, kernel.astype(jnp.float32), (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(),
+        )
+        conv_fm_w = out[0] + bias.reshape(-1, 1, 1).astype(jnp.float32)
+        conv_ca_w = out[1]
+        act_w = lax.dynamic_slice(active, (oy, ox), (wh, ww))
+        fm_le_w = lax.dynamic_slice(fm_leaked, (0, oy, ox), (o, wh, ww))
+        ca_st_w = lax.dynamic_slice(state.conv_actfn, (0, oy, ox), (o, wh, ww))
+        fm = lax.dynamic_update_slice(
+            fm_leaked, jnp.where(act_w, conv_fm_w, fm_le_w), (0, oy, ox)
+        )
+        cact = lax.dynamic_update_slice(
+            state.conv_actfn, jnp.where(act_w, conv_ca_w, ca_st_w), (0, oy, ox)
+        )
+        return fm, cact
+
+    def dense_branch(_):
+        conv_fm, conv_cact = _conv_pair(
+            spec, kernel, bias, prev_io.featuremap, prev_io.conv_actfn
+        )
+        return (
+            jnp.where(active, conv_fm, fm_leaked),
+            jnp.where(active, conv_cact, state.conv_actfn),
+        )
+
+    return lax.cond(fits, window_branch, dense_branch, None)
+
+
 def conv_step(
     spec: ConvSpec,
     kernel,
@@ -173,7 +242,11 @@ def conv_step(
     # never disagree about the updated sign (see ops/numerics.py).
     fm_leaked = state.featuremap - snap(state.conv_actfn * delta_leak)
 
-    if spec.mode in ("sparse", "sparse_pallas"):
+    if spec.mode == "window":
+        fm, cact = _window_update(
+            spec, kernel, bias, state, prev_io, active, fm_leaked
+        )
+    elif spec.mode in ("sparse", "sparse_pallas"):
         fm, cact = _sparse_update(
             spec, kernel, bias, state, prev_io, active, fm_leaked
         )

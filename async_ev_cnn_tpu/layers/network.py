@@ -49,11 +49,13 @@ def build_layer_defs(
     padding: str,
     conv_mode: str = "dense",
     capacity_frac: float = 0.25,
+    window_frac: float = 0.25,
 ) -> tuple[list[LayerDef], list[LayerDef]]:
     """Returns (event_layers, dense_tail) matching event_numpy.py:53-73."""
-    if conv_mode not in ("dense", "sparse", "sparse_pallas"):
+    if conv_mode not in ("dense", "sparse", "sparse_pallas", "window"):
         raise ValueError(
-            f"conv_mode must be 'dense', 'sparse' or 'sparse_pallas', got {conv_mode!r}"
+            "conv_mode must be 'dense', 'sparse', 'sparse_pallas' or "
+            f"'window', got {conv_mode!r}"
         )
     intgr = IntegrationSpec(leak=leak, h=frame_h, w=frame_w)
     event_layers = [LayerDef("intgr", "intgr", intgr)]
@@ -75,6 +77,7 @@ def build_layer_defs(
                 padding=padding,
                 mode=conv_mode,
                 capacity_frac=capacity_frac,
+                window_frac=window_frac,
             )
             event_layers.append(LayerDef("conv", name, spec))
             prev_shape = spec.out_shape
@@ -108,10 +111,11 @@ class EventNetwork:
         padding: str = "VALID",
         conv_mode: str = "dense",
         capacity_frac: float = 0.25,
+        window_frac: float = 0.25,
     ):
         self.event_layers, self.dense_tail = build_layer_defs(
             layer_defs, frame_h, frame_w, leak, alpha, padding,
-            conv_mode, capacity_frac,
+            conv_mode, capacity_frac, window_frac,
         )
         self.alpha = alpha
         self.out_shape = self.event_layers[-1].spec.out_shape

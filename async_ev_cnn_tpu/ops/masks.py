@@ -15,6 +15,7 @@ kernel only supports stride==1 or stride==k, cutils.pyx:78-89).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -86,6 +87,33 @@ def chunk_to_mask(y, x, valid, h: int, w: int) -> jnp.ndarray:
     mask = jnp.zeros((h, w), bool)
     yy = jnp.where(valid, y, h)  # out of range -> dropped
     return mask.at[yy, x].set(True, mode="drop")
+
+
+def mask_bounding_box(mask: jnp.ndarray):
+    """Bounding box of the True sites of ``mask`` ``[H, W]``.
+
+    Returns ``(y0, x0, y1, x1, any_active)`` with inclusive extents; when
+    nothing is active the box is (0, 0, 0, 0).
+    """
+    h, w = mask.shape
+    rows = jnp.any(mask, axis=1)
+    cols = jnp.any(mask, axis=0)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)[:, 0]
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)[:, 0]
+    big = jnp.int32(1 << 30)
+    y0 = jnp.min(jnp.where(rows, ridx, big))
+    y1 = jnp.max(jnp.where(rows, ridx, -1))
+    x0 = jnp.min(jnp.where(cols, cidx, big))
+    x1 = jnp.max(jnp.where(cols, cidx, -1))
+    any_active = jnp.any(rows)
+    zero = jnp.int32(0)
+    return (
+        jnp.where(any_active, y0, zero),
+        jnp.where(any_active, x0, zero),
+        jnp.where(any_active, y1, zero),
+        jnp.where(any_active, x1, zero),
+        any_active,
+    )
 
 
 def mask_to_topk_coords(mask: jnp.ndarray, capacity: int):

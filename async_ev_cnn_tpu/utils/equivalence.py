@@ -37,9 +37,16 @@ def make_stream(
     h: int,
     w: int,
     max_dt: int = 10,
+    clustered: bool = False,
+    cluster_radius: int = 4,
 ) -> EventChunk:
     """Synthetic stream like test_correctness.py:164-169: each step has
-    ``events_per_step`` random events with sorted, strictly-advancing ts."""
+    ``events_per_step`` random events with sorted, strictly-advancing ts.
+
+    ``clustered=True`` emits events around a slowly drifting center instead
+    of uniformly — the spatial statistics of real DVS streams (object edges)
+    and the regime the 'window' conv mode targets.
+    """
     ts_steps = []
     prev = 0
     for _ in range(steps):
@@ -47,8 +54,16 @@ def make_stream(
         prev = int(ts[-1])
         ts_steps.append(ts)
     ts = np.stack(ts_steps).astype(np.int32)
-    y = rng.randint(0, h, size=(steps, events_per_step)).astype(np.int32)
-    x = rng.randint(0, w, size=(steps, events_per_step)).astype(np.int32)
+    if clustered:
+        cy = (h / 2 + h / 3 * np.sin(np.arange(steps) * 0.05))[:, None]
+        cx = (w / 2 + w / 3 * np.cos(np.arange(steps) * 0.04))[:, None]
+        y = np.clip(np.round(cy + rng.randn(steps, events_per_step) * cluster_radius), 0, h - 1)
+        x = np.clip(np.round(cx + rng.randn(steps, events_per_step) * cluster_radius), 0, w - 1)
+        y = y.astype(np.int32)
+        x = x.astype(np.int32)
+    else:
+        y = rng.randint(0, h, size=(steps, events_per_step)).astype(np.int32)
+        x = rng.randint(0, w, size=(steps, events_per_step)).astype(np.int32)
     p = np.zeros_like(y)
     valid = np.ones((steps, events_per_step), bool)
     return EventChunk(

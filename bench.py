@@ -75,12 +75,25 @@ def synth_stream(rng, steps, events_per_step, rate_us=15):
     return np.stack([y, x, ts], axis=-1)
 
 
-def bench_tpu_async(params, layer_defs, events):
+def clustered_stream(rng, steps, events_per_step, radius=8, rate_us=15):
+    """Events around a drifting center — real DVS spatial statistics."""
+    n = steps * events_per_step
+    ts = np.cumsum(rng.randint(1, rate_us, size=n)).astype(np.int32)
+    t = np.arange(n) / events_per_step
+    cy = H / 2 + H / 3 * np.sin(t * 0.05)
+    cx = W / 2 + W / 3 * np.cos(t * 0.04)
+    y = np.clip(np.round(cy + rng.randn(n) * radius), 0, H - 1).astype(np.int32)
+    x = np.clip(np.round(cx + rng.randn(n) * radius), 0, W - 1).astype(np.int32)
+    return np.stack([y, x, ts], axis=-1)
+
+
+def bench_tpu_async(params, layer_defs, events, conv_mode="dense"):
     import jax
     from async_ev_cnn_tpu.layers.network import EventNetwork
     from async_ev_cnn_tpu.utils.runner import pack_chunks
 
-    net = EventNetwork(layer_defs, H, W, leak=LEAK, alpha=0.1, padding="SAME")
+    net = EventNetwork(layer_defs, H, W, leak=LEAK, alpha=0.1, padding="SAME",
+                       conv_mode=conv_mode)
     jparams = {k: __import__("jax.numpy", fromlist=["asarray"]).asarray(v) for k, v in params.items()}
     state = net.init_state(jparams)
     chunks = pack_chunks(events, CAPACITY)
@@ -180,6 +193,9 @@ def main():
     tpu_eps, tpu_dt = bench_tpu_async(params, layer_defs, events)
     serving_eps = bench_tpu_serving(params, layer_defs, events)
     cpu_eps, cpu_dt = bench_cpu_dense_proxy(params, layer_defs, events)
+    # window mode on clustered (real-DVS-statistics) streams
+    clustered = clustered_stream(rng, T_CHUNKS, CHUNK_EVENTS)
+    window_eps, _ = bench_tpu_async(params, layer_defs, clustered, conv_mode="window")
 
     import jax
 
@@ -191,6 +207,7 @@ def main():
         "device": str(jax.devices()[0]),
         "sec_per_10k_event_scan": round(tpu_dt, 4),
         "serving_events_per_sec_chip_8streams": round(serving_eps, 1),
+        "window_mode_clustered_events_per_sec": round(window_eps, 1),
         "baseline_cpu_dense_numpy_events_per_sec": round(cpu_eps, 1),
         "config": "efcn_event (160x224, leak 5e-5, 200 ev/chunk)",
     }))

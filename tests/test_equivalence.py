@@ -104,6 +104,24 @@ def test_equivalence_sparse_pallas_mode(rng):
     _check(run_equivalence(net, params, chunks), tol=2e-4)
 
 
+def test_equivalence_window_mode_clustered(rng):
+    # Window mode on clustered events (its target regime): the conv runs in
+    # a moving sub-window; must still match dense exactly.
+    net, params = reference_test_net(frame_h=32, frame_w=32, leak=0.05,
+                                     conv_mode="window")
+    chunks = make_stream(rng, steps=400, events_per_step=6, h=32, w=32,
+                         clustered=True, cluster_radius=3)
+    _check(run_equivalence(net, params, chunks), tol=2e-4)
+
+
+def test_equivalence_window_mode_uniform_fallback(rng):
+    # Uniform events overflow the window every step -> dense fallback path.
+    net, params = reference_test_net(frame_h=16, frame_w=16, leak=0.05,
+                                     conv_mode="window")
+    chunks = make_stream(rng, steps=200, events_per_step=8, h=16, w=16)
+    _check(run_equivalence(net, params, chunks), tol=2e-4)
+
+
 def test_equivalence_sparse_overflow_fallback(rng):
     # Tiny capacity forces constant overflow -> dense fallback must keep
     # the gate green.
