@@ -116,6 +116,27 @@ def mask_bounding_box(mask: jnp.ndarray):
     )
 
 
+def mask_to_block_coords(mask: jnp.ndarray, capacity: int, block_w: int = 8):
+    """Extract up to ``capacity`` active 1 x ``block_w`` site blocks.
+
+    Blocks are x-aligned strips; a block is active when any of its sites is.
+    Returns ``(by, bx, valid)`` each ``[capacity]`` with ``bx`` in block
+    units, plus the total active-block count for overflow checks.  The
+    block granularity turns per-site DMAs into per-strip DMAs in the Pallas
+    rulebook kernel (8x fewer, overlap-free).
+    """
+    h, w = mask.shape
+    wb = -(-w // block_w)
+    padded = jnp.pad(mask, ((0, 0), (0, wb * block_w - w)))
+    blocks = lax.reduce_window(
+        padded.astype(jnp.int32), jnp.int32(0), lax.max,
+        window_dimensions=(1, block_w), window_strides=(1, block_w),
+        padding="VALID",
+    ) > 0
+    by, bx, valid = mask_to_topk_coords(blocks, capacity)
+    return by, bx, valid, jnp.sum(blocks)
+
+
 def mask_to_topk_coords(mask: jnp.ndarray, capacity: int):
     """Extract up to ``capacity`` active coordinates from a mask (rulebook).
 
