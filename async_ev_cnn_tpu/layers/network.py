@@ -52,10 +52,10 @@ def build_layer_defs(
     window_frac: float = 0.25,
 ) -> tuple[list[LayerDef], list[LayerDef]]:
     """Returns (event_layers, dense_tail) matching event_numpy.py:53-73."""
-    if conv_mode not in ("dense", "sparse", "sparse_pallas", "window"):
+    if conv_mode not in ("auto", "dense", "sparse", "sparse_pallas", "window"):
         raise ValueError(
-            "conv_mode must be 'dense', 'sparse', 'sparse_pallas' or "
-            f"'window', got {conv_mode!r}"
+            "conv_mode must be 'auto', 'dense', 'sparse', 'sparse_pallas' "
+            f"or 'window', got {conv_mode!r}"
         )
     intgr = IntegrationSpec(leak=leak, h=frame_h, w=frame_w)
     event_layers = [LayerDef("intgr", "intgr", intgr)]
@@ -68,6 +68,12 @@ def build_layer_defs(
                 raise ValueError(
                     f"layer {name}: in_channels {cin} != previous out_channels {prev_shape[0]}"
                 )
+            if conv_mode == "auto":
+                # measured crossover (docs/performance.md): the full dense
+                # conv wins below ~0.15 MPix; the sparse rulebook wins above.
+                mode = "sparse_pallas" if prev_shape[1] * prev_shape[2] >= 150_000 else "dense"
+            else:
+                mode = conv_mode
             spec = ConvSpec(
                 in_shape=prev_shape,
                 out_channels=cout,
@@ -75,7 +81,7 @@ def build_layer_defs(
                 stride=1,
                 alpha=alpha,
                 padding=padding,
-                mode=conv_mode,
+                mode=mode,
                 capacity_frac=capacity_frac,
                 window_frac=window_frac,
             )

@@ -104,6 +104,25 @@ def test_equivalence_sparse_pallas_mode(rng):
     _check(run_equivalence(net, params, chunks), tol=2e-4)
 
 
+def test_equivalence_variable_length_chunks(rng):
+    # Ragged micro-batches: each chunk has a random number of valid events
+    # (padding slots must be exact no-ops).
+    import jax
+
+    net, params = reference_test_net()
+    chunks = make_stream(rng, steps=300, events_per_step=6, h=8, w=8)
+    counts = rng.randint(1, 7, size=300)
+    keep = np.arange(6)[None, :] < counts[:, None]
+    chunks = chunks._replace(valid=jnp.asarray(keep))
+    _check(run_equivalence(net, params, chunks))
+
+
+def test_equivalence_auto_mode(rng):
+    net, params = reference_test_net(conv_mode="auto")  # 8x8 -> dense picked
+    chunks = make_stream(rng, steps=200, events_per_step=5, h=8, w=8)
+    _check(run_equivalence(net, params, chunks))
+
+
 def test_equivalence_window_mode_clustered(rng):
     # Window mode on clustered events (its target regime): the conv runs in
     # a moving sub-window; must still match dense exactly.
