@@ -70,7 +70,16 @@ def _load_tf_checkpoint(prefix: str) -> Dict[str, np.ndarray]:
 
 
 def load_params(path: str, restrict_vars=None) -> Dict[str, np.ndarray]:
-    """Load a weight dict from an .npz file or TF checkpoint (file or dir)."""
+    """Load a weight dict from an .npz file, TF checkpoint (file or dir),
+    or Orbax checkpoint directory."""
+    if os.path.isdir(path) and (
+        os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))
+        or os.path.exists(os.path.join(path, "_METADATA"))
+    ):
+        params = load_params_orbax(path)
+        if restrict_vars is not None:
+            params = {k: v for k, v in params.items() if k in restrict_vars}
+        return params
     path = latest_checkpoint(path)
     if path.endswith(".npz"):
         with np.load(path) as z:
@@ -100,3 +109,25 @@ def normalize_names(params: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 def save_params(path: str, params: Dict[str, np.ndarray]) -> None:
     """Save weights in this framework's native .npz format."""
     np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+
+
+def save_params_orbax(directory: str, params) -> None:
+    """Save a weight pytree as an Orbax checkpoint (the JAX-ecosystem
+    format, for interop with flax/optax training stacks)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.abspath(directory),
+            {k: np.asarray(v) for k, v in params.items()},
+            force=True,
+        )
+
+
+def load_params_orbax(directory: str) -> Dict[str, np.ndarray]:
+    """Load a weight dict from an Orbax checkpoint directory."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(directory))
+    return {k: np.asarray(v) for k, v in restored.items()}

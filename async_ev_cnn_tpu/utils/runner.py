@@ -152,10 +152,6 @@ class FrameRunner(Runner):
         return network(np.asarray(frame))
 
 
-def runner_for(network_name: str):
-    return EventRunner if "Event" in network_name else FrameRunner
-
-
 class ScanEventRunner(Runner):
     """Throughput mode (TPU-native, no reference analog): pre-chunks the
     whole example into padded ``[T, E]`` chunks and runs one fused

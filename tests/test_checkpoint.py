@@ -73,6 +73,17 @@ def test_tf_bundle_many_vars_multiblock(tmp_path, rng):
     assert found == 120
 
 
+def test_orbax_roundtrip(tmp_path, ckpt_vars):
+    from async_ev_cnn_tpu.utils.checkpoint import save_params_orbax
+
+    d = str(tmp_path / "orbax_ckpt")
+    params = {k: v for k, v in ckpt_vars.items() if k != "step"}
+    save_params_orbax(d, params)
+    loaded = load_params(d)
+    for k, v in params.items():
+        np.testing.assert_array_equal(loaded[k], v)
+
+
 def test_latest_checkpoint_resolution(tmp_path, ckpt_vars):
     prefix = write_tf_checkpoint(tmp_path, ckpt_vars)
     # tf.train.Checkpoint.write does not write a 'checkpoint' marker file;
