@@ -69,7 +69,7 @@ class DetectionDataset(EventDataset):
         return np.zeros((0, 6), np.float32)
 
     def _load_one(self, filename, label, preprocessing_fn):
-        cache = self._cache_path(filename)
+        cache = self._cache_path(filename, preprocessing_fn)
         if cache and os.path.exists(cache):
             with np.load(cache, allow_pickle=False) as z:
                 feats = [z[k] for k in sorted(z.files)]

@@ -178,17 +178,36 @@ class EventDataset:
 
     # ---- example pipeline ------------------------------------------------------
 
-    def _cache_path(self, filename: str):
+    def _cache_path(self, filename: str, preprocessing_fn=None):
         if self._tmp_dir is None:
             return None
         rel = os.path.relpath(filename, self._data_dir).replace(os.sep, "__")
-        return os.path.join(self._tmp_dir, rel + ".npz")
+        # Key by a fingerprint of the preprocessing closure so changing the
+        # transform invalidates the cache (the reference keys by path only,
+        # event_reader.py:498-506, and silently serves stale entries).
+        fp = self._preprocessing_fingerprint(preprocessing_fn)
+        return os.path.join(self._tmp_dir, f"{rel}.{fp}.npz")
+
+    @staticmethod
+    def _preprocessing_fingerprint(preprocessing_fn) -> str:
+        if preprocessing_fn is None:
+            return "raw"
+        try:
+            import hashlib
+
+            import dill
+
+            return hashlib.sha1(
+                dill.dumps(preprocessing_fn, recurse=False)
+            ).hexdigest()[:10]
+        except Exception:
+            return "fn"
 
     def read_example(self, filename: str):
         return self._codec.read_example(filename)
 
     def _load_one(self, filename: str, label: str, preprocessing_fn):
-        cache = self._cache_path(filename)
+        cache = self._cache_path(filename, preprocessing_fn)
         if cache and os.path.exists(cache):
             with np.load(cache, allow_pickle=False) as z:
                 feats = [z[k] for k in sorted(z.files)]

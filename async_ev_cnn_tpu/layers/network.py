@@ -68,12 +68,15 @@ def build_layer_defs(
                 raise ValueError(
                     f"layer {name}: in_channels {cin} != previous out_channels {prev_shape[0]}"
                 )
-            if conv_mode == "auto":
+            layer_mode = getattr(layer_defs, "modes", {}).get(name, conv_mode)
+            if layer_mode not in ("auto", "dense", "sparse", "sparse_pallas", "window"):
+                raise ValueError(f"layer {name}: unknown conv mode {layer_mode!r}")
+            if layer_mode == "auto":
                 # measured crossover (docs/performance.md): the full dense
                 # conv wins below ~0.15 MPix; the sparse rulebook wins above.
                 mode = "sparse_pallas" if prev_shape[1] * prev_shape[2] >= 150_000 else "dense"
             else:
-                mode = conv_mode
+                mode = layer_mode
             spec = ConvSpec(
                 in_shape=prev_shape,
                 out_channels=cout,

@@ -15,19 +15,35 @@ from collections import OrderedDict
 import yaml
 
 
-def layers_dict(text: str) -> "OrderedDict[str, list[int]]":
-    """Parse the layer DSL: ``'conv1=3,3,1,16 pool1=2,2 fc1=128,64 flatten1='``.
+class LayerDSL(OrderedDict):
+    """Ordered layer-definition dict with optional per-layer conv modes.
 
-    Matches config.py:6-12: space-separated ``name=dims`` items, dims
-    comma-separated ints.
+    ``modes`` maps layer name -> conv execution mode for layers annotated
+    with ``@mode`` in the DSL (e.g. ``conv1=3,3,1,16@window``).
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.modes: dict = {}
+
+
+def layers_dict(text: str) -> "LayerDSL":
+    """Parse the layer DSL: ``'conv1=3,3,1,16 pool1=2,2 fc1=128,64'``.
+
+    Matches config.py:6-12 (space-separated ``name=dims`` items, dims
+    comma-separated ints) plus an optional per-layer conv execution mode
+    suffix: ``conv1=3,3,1,16@window``.
     """
     try:
-        out: "OrderedDict[str, list[int]]" = OrderedDict()
+        out = LayerDSL()
         for item in text.split(" "):
             if not item:
                 continue
             name, _, dims = item.partition("=")
+            dims, _, mode = dims.partition("@")
             out[name] = [int(d) for d in dims.split(",")] if dims else []
+            if mode:
+                out.modes[name] = mode
         return out
     except ValueError as e:
         raise argparse.ArgumentTypeError(
@@ -38,7 +54,11 @@ def layers_dict(text: str) -> "OrderedDict[str, list[int]]":
 
 def layers_dsl(layer_defs: "OrderedDict[str, list[int]]") -> str:
     """Inverse of :func:`layers_dict`."""
-    return " ".join(f"{k}={','.join(map(str, v))}" for k, v in layer_defs.items())
+    modes = getattr(layer_defs, "modes", {})
+    return " ".join(
+        f"{k}={','.join(map(str, v))}" + (f"@{modes[k]}" if k in modes else "")
+        for k, v in layer_defs.items()
+    )
 
 
 def boolean(v: str) -> bool:

@@ -172,6 +172,25 @@ def test_preprocessing_and_cache(tmp_path, rng):
     assert total_after_epoch == 4  # each file preprocessed exactly once
 
 
+def test_cache_invalidated_by_preprocessing_change(tmp_path, rng):
+    root = make_class_dataset(tmp_path, rng, n_classes=1, per_class=1)
+    cache_dir = str(tmp_path / "cache")
+    ds = event_reader.EventDataset(root, validation_frac=0, test_frac=0,
+                                   tmp_dir=cache_dir, seed=5)
+
+    def prep_a(length, label, x, y, ts, p):
+        return length, np.stack([y, x, ts], -1)
+
+    def prep_b(length, label, x, y, ts, p):
+        return length, np.stack([x, y, ts], -1)  # different transform
+
+    out_a = ds.next_batch(1, dataset="train", preprocessing_fn=prep_a)
+    out_b = ds.next_batch(1, dataset="train", preprocessing_fn=prep_b)
+    # a stale path-keyed cache would have returned prep_a's layout
+    assert not np.array_equal(out_a[1], out_b[1])
+    assert len(os.listdir(cache_dir)) == 2  # one entry per transform
+
+
 def test_corrupt_file_skipped(tmp_path, rng, capsys):
     root = make_class_dataset(tmp_path, rng, n_classes=2, per_class=2)
     # corrupt one file: truncated to 3 bytes (not a multiple of 5 -> decodes

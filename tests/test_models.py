@@ -48,6 +48,23 @@ def test_layers_dict_roundtrip():
     assert layers_dsl(d) == EFCN_DSL
 
 
+def test_layers_dict_per_layer_mode():
+    d = layers_dict("conv1=3,3,1,4@window pool1=2,2 conv2=3,3,4,8@sparse")
+    assert d["conv1"] == [3, 3, 1, 4] and d.modes == {"conv1": "window", "conv2": "sparse"}
+    assert layers_dsl(d) == "conv1=3,3,1,4@window pool1=2,2 conv2=3,3,4,8@sparse"
+
+    from async_ev_cnn_tpu.layers.network import EventNetwork
+
+    net = EventNetwork(d, 16, 16, leak=0.01, padding="SAME")
+    modes = [ld.spec.mode for ld in net.event_layers if ld.kind == "conv"]
+    assert modes == ["window", "sparse"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown conv mode"):
+        EventNetwork(layers_dict("conv1=3,3,1,4@turbo"), 16, 16, leak=0.01)
+
+
 def test_config_yaml_and_cli_override(tmp_path):
     cfg = tmp_path / "t.yml"
     cfg.write_text(
