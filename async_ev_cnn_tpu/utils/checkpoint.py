@@ -111,6 +111,14 @@ def save_params(path: str, params: Dict[str, np.ndarray]) -> None:
     np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
 
 
+def save_params_tf(prefix: str, params: Dict[str, np.ndarray]) -> None:
+    """Write weights as a TF v2 checkpoint (pure Python, readable by
+    TensorFlow) — exports trained weights back to users of the reference."""
+    from async_ev_cnn_tpu.utils.tf_bundle import save_tensor_bundle
+
+    save_tensor_bundle(prefix, {k: np.asarray(v) for k, v in params.items()})
+
+
 def save_params_orbax(directory: str, params) -> None:
     """Save a weight pytree as an Orbax checkpoint (the JAX-ecosystem
     format, for interop with flax/optax training stacks)."""

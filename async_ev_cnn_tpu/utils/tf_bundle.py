@@ -235,6 +235,164 @@ def read_sstable(path: str) -> Dict[bytes, bytes]:
 
 
 # ---------------------------------------------------------------------------
+# writing (single-shard, uncompressed)
+# ---------------------------------------------------------------------------
+
+
+def _write_varint(out: bytearray, value: int) -> None:
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _encode_handle(offset: int, size: int) -> bytes:
+    out = bytearray()
+    _write_varint(out, offset)
+    _write_varint(out, size)
+    return bytes(out)
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli), table-driven."""
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        table = []
+        for i in range(256):
+            crc = i
+            for _ in range(8):
+                crc = (crc >> 1) ^ 0x82F63B78 if crc & 1 else crc >> 1
+            table.append(crc)
+        _CRC_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+_CRC_TABLE = None
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    rotated = ((crc >> 15) | (crc << 17)) % (1 << 32)
+    return (rotated + 0xA282EAD8) % (1 << 32)
+
+
+def _write_block(entries) -> bytes:
+    """One uncompressed table block holding (key, value) pairs, restart
+    interval 16 (LevelDB default); returns block bytes incl. trailer."""
+    out = bytearray()
+    restarts = []
+    prev_key = b""
+    for n, (key, value) in enumerate(entries):
+        if n % 16 == 0:
+            restarts.append(len(out))
+            shared = 0
+        else:
+            shared = 0
+            while (shared < len(prev_key) and shared < len(key)
+                   and prev_key[shared] == key[shared]):
+                shared += 1
+        _write_varint(out, shared)
+        _write_varint(out, len(key) - shared)
+        _write_varint(out, len(value))
+        out += key[shared:]
+        out += value
+        prev_key = key
+    if not restarts:
+        restarts = [0]
+    for r in restarts:
+        out += struct.pack("<I", r)
+    out += struct.pack("<I", len(restarts))
+    block = bytes(out)
+    trailer = bytes([0]) + struct.pack("<I", _masked_crc(block + b"\x00"))
+    return block + trailer
+
+
+def _proto_field(field: int, wire: int, payload) -> bytes:
+    out = bytearray()
+    _write_varint(out, (field << 3) | wire)
+    if wire == 0:
+        _write_varint(out, payload)
+    elif wire == 2:
+        _write_varint(out, len(payload))
+        out += payload
+    elif wire == 5:
+        out += struct.pack("<I", payload)
+    else:
+        raise ValueError(wire)
+    return bytes(out)
+
+
+_NP_TO_DTYPE = {
+    np.dtype(np.float32): 1, np.dtype(np.float64): 2, np.dtype(np.int32): 3,
+    np.dtype(np.uint8): 4, np.dtype(np.int16): 5, np.dtype(np.int8): 6,
+    np.dtype(np.int64): 9, np.dtype(np.bool_): 10, np.dtype(np.uint16): 17,
+    np.dtype(np.float16): 19, np.dtype(np.uint32): 22, np.dtype(np.uint64): 23,
+}
+
+
+def save_tensor_bundle(prefix: str, tensors: Dict[str, np.ndarray]) -> None:
+    """Write a TF v2 checkpoint (single shard) readable by TensorFlow and by
+    :func:`load_tensor_bundle` — the write direction of the reference's
+    checkpoint interop."""
+    names = sorted(tensors)
+    data_path = _shard_path(prefix, 0, 1)
+    offset = 0
+    entries = []
+    with open(data_path, "wb") as f:
+        for name in names:
+            arr = np.ascontiguousarray(tensors[name])
+            if arr.dtype not in _NP_TO_DTYPE:
+                raise NotImplementedError(f"dtype {arr.dtype} for {name!r}")
+            raw = arr.tobytes()
+            f.write(raw)
+            shape_proto = b"".join(
+                _proto_field(2, 2, _proto_field(1, 0, int(d))) for d in arr.shape
+            )
+            entry = (
+                _proto_field(1, 0, _NP_TO_DTYPE[arr.dtype])
+                + (_proto_field(2, 2, shape_proto))
+                + _proto_field(4, 0, offset)
+                + _proto_field(5, 0, len(raw))
+                + _proto_field(6, 5, _masked_crc(raw))  # fixed32 crc32c
+            )
+            entries.append((name.encode(), entry))
+            offset += len(raw)
+
+    # BundleHeaderProto under the empty key: num_shards=1, LITTLE endian(=0)
+    header = _proto_field(1, 0, 1)
+    index_entries = [(b"", header)] + entries
+
+    data_block = _write_block(index_entries)
+    meta_block = _write_block([])  # empty metaindex
+    out = bytearray()
+    out += data_block
+    data_handle = _encode_handle(0, len(data_block) - 5)
+    meta_off = len(out)
+    out += meta_block
+    meta_handle = _encode_handle(meta_off, len(meta_block) - 5)
+    # index block: one entry whose key sorts >= the last data key
+    index_block = _write_block([(index_entries[-1][0] + b"\xff", data_handle)])
+    idx_off = len(out)
+    out += index_block
+    idx_handle = _encode_handle(idx_off, len(index_block) - 5)
+    footer = bytearray()
+    footer += meta_handle
+    footer += idx_handle
+    footer += b"\x00" * (40 - len(footer))
+    footer += struct.pack("<Q", _TABLE_MAGIC)
+    out += footer
+    with open(prefix + ".index", "wb") as f:
+        f.write(bytes(out))
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 

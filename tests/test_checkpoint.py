@@ -73,6 +73,31 @@ def test_tf_bundle_many_vars_multiblock(tmp_path, rng):
     assert found == 120
 
 
+def test_tf_bundle_writer_readable_by_tensorflow(tmp_path, rng):
+    """Our pure-Python TF-bundle WRITER must produce checkpoints TensorFlow
+    itself can read — the export direction of the interop."""
+    from async_ev_cnn_tpu.utils.tf_bundle import load_tensor_bundle, save_tensor_bundle
+
+    tensors = {
+        "w_conv1": rng.randn(3, 3, 1, 16).astype(np.float32),
+        "b_conv1": rng.randn(16).astype(np.float32),
+        "w_fc1": rng.randn(32, 8).astype(np.float64),
+        "counter": np.arange(7, dtype=np.int64),
+    }
+    prefix = os.path.join(str(tmp_path), "export.ckpt")
+    save_tensor_bundle(prefix, tensors)
+
+    # 1) our own reader round-trips
+    loaded = load_tensor_bundle(prefix)
+    for k, v in tensors.items():
+        np.testing.assert_array_equal(loaded[k], v)
+
+    # 2) TensorFlow reads it
+    reader = tf.train.load_checkpoint(prefix)
+    for k, v in tensors.items():
+        np.testing.assert_array_equal(reader.get_tensor(k), v)
+
+
 def test_orbax_roundtrip(tmp_path, ckpt_vars):
     from async_ev_cnn_tpu.utils.checkpoint import save_params_orbax
 
