@@ -1,0 +1,102 @@
+"""Detection evaluation CLI: mAP of a network over the test split.
+
+    python -m async_ev_cnn_tpu.scripts.evaluate -c configs/efcn_event.yml
+
+Streams every test example through the selected network (async event model
+stepped over micro-batches, or a dense frame model on the final integrated
+frame), decodes + NMS's the final grid, and scores PASCAL-VOC mAP against
+the dataset annotations.  Annotation convention (detection_reader):
+``[N, 6]`` rows ``(x, y, w, h, class, _)`` normalized to the example frame.
+The reference ships no evaluation harness; this is new capability.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import partial
+
+import numpy as np
+
+from async_ev_cnn_tpu.data import detection_reader
+from async_ev_cnn_tpu.ops.integrate import integrate_frame
+from async_ev_cnn_tpu.utils.config import config
+from async_ev_cnn_tpu.utils.evaluation import decode_predictions, evaluate_detections
+from async_ev_cnn_tpu.utils.runner import split_micro_batches
+from async_ev_cnn_tpu.utils.transforms import center_crop
+
+
+def _eval_transform(l, x, y, ts, p, bboxes, args):
+    """Like the runner's data_transform but keeps the (cropped) bboxes."""
+    ts = ts - ts[0]
+    if args.frame_h != args.example_h or args.frame_w != args.example_w:
+        l, x, y, ts, p, bboxes = center_crop(
+            l, x, y, ts, p, bboxes,
+            (args.example_h, args.example_w), (args.frame_h, args.frame_w),
+        )
+    events = np.stack([y, x, ts], axis=-1)
+    return l, events, np.asarray(bboxes, np.float32)
+
+
+def main(argv=None):
+    args = config(argv)
+    from async_ev_cnn_tpu.ops.conv import set_matmul_precision
+    from async_ev_cnn_tpu.scripts.run_networks import _NETWORKS
+
+    set_matmul_precision(args.matmul_precision)
+    reader = detection_reader.factory(args.input_data_dir, file_format=args.file_format)
+    network_class = _NETWORKS[args.network]
+    network = network_class(
+        h_frame=args.frame_h, w_frame=args.frame_w,
+        num_classes=reader.num_classes(), cnn_layers=args.yolo_cnn_layers,
+        cnn_padding=args.yolo_cnn_padding, h_cells=args.yolo_num_cells_h,
+        w_cells=args.yolo_num_cells_w, num_bbox=args.yolo_num_bbox,
+        alpha=0.1, leak=args.leak, checkpoint=args.restore_net,
+        **({"conv_mode": args.mode} if "Event" in network_class.__name__ else {}),
+    )
+    graph = network.build_graph(None)
+    is_event = "Event" in network_class.__name__
+
+    predictions, ground_truths = [], []
+    for _ in range(reader.test_size()):
+        _, events, bboxes = reader.next_batch(
+            1, dataset="test",
+            preprocessing_fn=partial(_eval_transform, args=args),
+            threads=args.reader_threads,
+        )
+        frame_state = None
+        reset = True
+        out = None
+        for batch in split_micro_batches(events, args.batch_event_size,
+                                         args.batch_event_usec):
+            if is_event:
+                out = graph(batch, reset)
+                reset = False
+            else:
+                frame, prev_ts = integrate_frame(
+                    batch, args.leak, args.frame_h, args.frame_w, frame_state
+                )
+                frame_state = [frame, prev_ts]
+        if not is_event:
+            out = graph(np.asarray(frame_state[0]))
+
+        predictions.append(decode_predictions(
+            np.asarray(out), reader.num_classes(), args.yolo_num_bbox,
+            args.frame_h, args.frame_w,
+        ))
+        gt_boxes = bboxes[:, :4] * np.array(
+            [args.frame_w, args.frame_h, args.frame_w, args.frame_h], np.float32
+        )
+        ground_truths.append((gt_boxes, bboxes[:, 4].astype(np.int64)))
+
+    result = evaluate_detections(predictions, ground_truths, reader.num_classes())
+    print(json.dumps({
+        "mAP@0.5": round(result["mAP"], 4),
+        "examples": len(predictions),
+        "ap_per_class": [None if np.isnan(a) else round(a, 4)
+                         for a in result["ap_per_class"]],
+    }))
+    return result
+
+
+if __name__ == "__main__":
+    main()

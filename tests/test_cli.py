@@ -99,6 +99,16 @@ def test_run_networks_scan_runner(tmp_path, tiny_detection_root, tiny_ckpt):
         main(["-c", str(cfg), "--runner", "warp"])
 
 
+@pytest.mark.parametrize("network", ["YoloEventJax", "YoloFrameJax"])
+def test_evaluate_cli(tmp_path, tiny_detection_root, tiny_ckpt, network):
+    from async_ev_cnn_tpu.scripts.evaluate import main
+
+    cfg = _write_cfg(tmp_path, tiny_detection_root, network, tiny_ckpt)
+    result = main(["-c", str(cfg)])
+    assert 0.0 <= result["mAP"] <= 1.0
+    assert len(result["ap_per_class"]) == 3
+
+
 def test_correctness_script():
     from async_ev_cnn_tpu.scripts.test_correctness import main
 
