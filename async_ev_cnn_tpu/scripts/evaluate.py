@@ -38,7 +38,12 @@ def _eval_transform(l, x, y, ts, p, bboxes, args):
 
 
 def main(argv=None):
-    args = config(argv)
+    import argparse as _ap
+
+    iou_parser = _ap.ArgumentParser(add_help=False)
+    iou_parser.add_argument("--eval_iou", type=float, default=0.5)
+    iou_args, argv_rest = iou_parser.parse_known_args(argv)
+    args = config(argv_rest)
     from async_ev_cnn_tpu.ops.conv import set_matmul_precision
     from async_ev_cnn_tpu.scripts.run_networks import _NETWORKS
 
@@ -88,9 +93,12 @@ def main(argv=None):
         )
         ground_truths.append((gt_boxes, bboxes[:, 4].astype(np.int64)))
 
-    result = evaluate_detections(predictions, ground_truths, reader.num_classes())
+    result = evaluate_detections(
+        predictions, ground_truths, reader.num_classes(),
+        iou_threshold=iou_args.eval_iou,
+    )
     print(json.dumps({
-        "mAP@0.5": round(result["mAP"], 4),
+        f"mAP@{iou_args.eval_iou}": round(result["mAP"], 4),
         "examples": len(predictions),
         "ap_per_class": [None if np.isnan(a) else round(a, 4)
                          for a in result["ap_per_class"]],

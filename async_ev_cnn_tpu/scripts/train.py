@@ -1,0 +1,126 @@
+"""Training CLI: fit the eFCN on a detection dataset's integrated frames.
+
+    python -m async_ev_cnn_tpu.scripts.train -c configs/efcn_event.yml \\
+        --train_steps 500 --save_to data/checkpoints/my.npz
+
+Per step: sample ``batch_size`` training examples, integrate each full event
+stream into a frame, build YOLO grid targets from the annotations
+(``(x, y, w, h, class, _)`` normalized), and take one optimizer step.  The
+checkpoint (``w_<name>``/``b_<name>``, HWIO) loads directly into any of the
+network variants, including the async event model.  The reference ships no
+training path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from functools import partial
+
+import numpy as np
+
+from async_ev_cnn_tpu.data import detection_reader
+from async_ev_cnn_tpu.ops.integrate import integrate_frame
+from async_ev_cnn_tpu.utils.config import build_parser
+from async_ev_cnn_tpu.utils.checkpoint import save_params
+from async_ev_cnn_tpu.scripts.evaluate import _eval_transform
+
+
+def build_targets(bboxes: np.ndarray, sh: int, sw: int):
+    """Annotations ``[N, 6]`` (normalized xywh + class) -> grid targets."""
+    boxes = np.zeros((sh, sw, 4), np.float32)
+    obj = np.zeros((sh, sw), np.float32)
+    cls = np.zeros((sh, sw), np.int32)
+    for row in np.asarray(bboxes, np.float32):
+        x, y, w, h, c = row[:5]
+        cell_x = min(int(x * sw), sw - 1)
+        cell_y = min(int(y * sh), sh - 1)
+        boxes[cell_y, cell_x] = [x * sw - cell_x, y * sh - cell_y, w, h]
+        obj[cell_y, cell_x] = 1.0
+        cls[cell_y, cell_x] = int(c)
+    return boxes, obj, cls
+
+
+def main(argv=None):
+    parser = build_parser()
+    parser.add_argument("--train_steps", type=int, default=200)
+    parser.add_argument("--learning_rate", type=float, default=1e-3)
+    parser.add_argument("--save_to", type=str, required=True,
+                        help="Output checkpoint path (.npz).")
+    parser.add_argument("--log_every", type=int, default=20)
+    args, _ = parser.parse_known_args(argv)
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            file_cfg = yaml.safe_load(f) or {}
+        from async_ev_cnn_tpu.utils.config import layers_dict
+
+        if isinstance(file_cfg.get("yolo_cnn_layers"), str):
+            file_cfg["yolo_cnn_layers"] = layers_dict(file_cfg["yolo_cnn_layers"])
+        parser.set_defaults(**{k: v for k, v in file_cfg.items()
+                               if k in {a.dest for a in parser._actions}})
+        args, _ = parser.parse_known_args(argv)
+
+    import jax.numpy as jnp
+    import optax
+
+    from async_ev_cnn_tpu.layers.network import EventNetwork
+    from async_ev_cnn_tpu.models.train import Trainer, YoloTargets
+    from async_ev_cnn_tpu.ops.conv import set_matmul_precision
+
+    set_matmul_precision(args.matmul_precision)
+    reader = detection_reader.factory(args.input_data_dir, file_format=args.file_format)
+    num_classes = reader.num_classes()
+    sh, sw = args.yolo_num_cells_h, args.yolo_num_cells_w
+
+    net = EventNetwork(args.yolo_cnn_layers, args.frame_h, args.frame_w,
+                       leak=args.leak, alpha=0.1, padding=args.yolo_cnn_padding)
+    rng = np.random.RandomState(0)
+    params = {}
+    for name, size in args.yolo_cnn_layers.items():
+        if "conv" in name:
+            kh, kw, ci, co = size
+            scale = np.sqrt(2.0 / (kh * kw * ci))
+            params[f"w_{name}"] = jnp.asarray(
+                rng.randn(kh, kw, ci, co).astype(np.float32) * scale)
+            params[f"b_{name}"] = jnp.zeros(co, jnp.float32)
+
+    trainer = Trainer(net, num_classes=num_classes, num_bbox=args.yolo_num_bbox,
+                      grid_shape=(sh, sw),
+                      optimizer=optax.adam(args.learning_rate))
+    opt_state = trainer.init(params)
+
+    loss = None
+    for step in range(args.train_steps):
+        frames, boxes, objs, clss = [], [], [], []
+        for _ in range(args.batch_size):
+            _, events, bb = reader.next_batch(
+                1, dataset="train",
+                preprocessing_fn=partial(_eval_transform, args=args),
+                threads=args.reader_threads,
+            )
+            frame, _ = integrate_frame(events, args.leak, args.frame_h, args.frame_w)
+            frames.append(np.asarray(frame))
+            b, o, c = build_targets(bb, sh, sw)
+            boxes.append(b)
+            objs.append(o)
+            clss.append(c)
+        targets = YoloTargets(
+            jnp.asarray(np.stack(boxes)), jnp.asarray(np.stack(objs)),
+            jnp.asarray(np.stack(clss)),
+        )
+        params, opt_state, loss = trainer.step(
+            params, opt_state, jnp.asarray(np.stack(frames)), targets
+        )
+        if step % args.log_every == 0:
+            print(f"step {step:5d}: loss {float(loss):.4f}")
+
+    save_params(args.save_to, {k: np.asarray(v) for k, v in params.items()})
+    print(json.dumps({"final_loss": float(loss), "checkpoint": args.save_to,
+                      "steps": args.train_steps}))
+    return float(loss)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""End-to-end pipeline: train CLI on a learnable synthetic detection task ->
+checkpoint -> evaluate CLI scores meaningfully above chance."""
+
+import numpy as np
+import pytest
+
+from async_ev_cnn_tpu.data.file_reader import NReader
+
+
+@pytest.fixture
+def learnable_detection_root(tmp_path, rng):
+    """Events cluster on an 'object' whose quadrant determines its class."""
+    reader = NReader()
+    root = tmp_path / "det"
+    (root / "annotations").mkdir(parents=True)
+    h = w = 16
+    for split, k in (("train", 24), ("test", 8), ("validation", 2)):
+        d = root / split
+        d.mkdir()
+        for i in range(k):
+            cls = i % 2
+            cy, cx = (4, 4) if cls == 0 else (12, 12)
+            n = 400
+            y = np.clip(cy + (rng.randn(n) * 1.5).astype(int), 0, h - 1)
+            x = np.clip(cx + (rng.randn(n) * 1.5).astype(int), 0, w - 1)
+            ts = np.sort(rng.randint(0, 50000, n))
+            p = rng.randint(0, 2, n)
+            name = f"{split}_{i}"
+            reader.save_example(str(d / f"{name}.bin"), x, y, ts, p)
+            box = np.array([[cx / w, cy / h, 6 / w, 6 / h, cls, 0]], np.float32)
+            np.save(str(root / "annotations" / f"{name}.npy"), box)
+    np.savez(str(root / "params.npz"), num_classes=2,
+             label_to_idx=np.array([("a", 0), ("b", 1)], dtype=object))
+    return root
+
+
+def _cfg(tmp_path, root, ckpt):
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(
+        f"input_data_dir: {root}\nfile_format: n-data\nnetwork: YoloEventJax\n"
+        f"restore_net: {ckpt}\nleak: 1.0e-05\nbatch_size: 4\n"
+        "batch_event_size: 200\nframe_h: 16\nframe_w: 16\n"
+        "example_h: 16\nexample_w: 16\n"
+        "yolo_cnn_layers: conv1=3,3,1,8 pool1=2,2 conv2=3,3,8,16 pool2=2,2 conv3=1,1,16,12\n"
+        "yolo_cnn_padding: SAME\nyolo_num_cells_h: 4\nyolo_num_cells_w: 4\n"
+        "yolo_num_bbox: 2\n"
+    )
+    return cfg
+
+
+def test_train_then_evaluate(tmp_path, learnable_detection_root):
+    from async_ev_cnn_tpu.scripts.evaluate import main as eval_main
+    from async_ev_cnn_tpu.scripts.train import main as train_main
+
+    from async_ev_cnn_tpu.utils.checkpoint import save_params
+
+    ckpt = str(tmp_path / "trained.npz")
+    cfg = _cfg(tmp_path, learnable_detection_root, ckpt)
+
+    # untrained baseline (random weights, same ckpt contract)
+    rng0 = np.random.RandomState(0)
+    untrained = {}
+    for name, dims in (("conv1", (3, 3, 1, 8)), ("conv2", (3, 3, 8, 16)),
+                       ("conv3", (1, 1, 16, 12))):
+        untrained[f"w_{name}"] = rng0.randn(*dims).astype(np.float32) * 0.1
+        untrained[f"b_{name}"] = np.zeros(dims[-1], np.float32)
+    base_ckpt = str(tmp_path / "untrained.npz")
+    save_params(base_ckpt, untrained)
+    base = eval_main(["-c", str(cfg), "--batch_size", "1",
+                      "--restore_net", base_ckpt, "--eval_iou", "0.3"])
+
+    loss = train_main(["-c", str(cfg), "--train_steps", "400",
+                       "--learning_rate", "3e-3", "--save_to", ckpt])
+    assert np.isfinite(loss) and loss < 0.5
+
+    # box-size regression converges slowly on this tiny budget; localization
+    # and classification are what the pipeline test pins down (IoU 0.3).
+    result = eval_main(["-c", str(cfg), "--batch_size", "1",
+                        "--eval_iou", "0.3"])
+    assert result["mAP"] >= 0.25, result
+    assert result["mAP"] >= base["mAP"] + 0.2, (result, base)
