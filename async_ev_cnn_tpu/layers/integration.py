@@ -19,10 +19,11 @@ class IntegrationSpec(NamedTuple):
     leak: float
     h: int
     w: int
+    channels: int = 1  # 1 = polarity dropped (reference); 2 = ON/OFF channels
 
     @property
     def out_shape(self) -> tuple[int, int, int]:
-        return (1, self.h, self.w)
+        return (self.channels, self.h, self.w)
 
 
 def _make_io(surface: jnp.ndarray, mask: jnp.ndarray) -> LayerIO:
@@ -41,8 +42,15 @@ def integration_step(
     spec: IntegrationSpec, state: IntegrationState, chunk: EventChunk
 ) -> tuple[IntegrationState, LayerIO, jnp.ndarray]:
     """Integrate one chunk; returns ``(state, io, delta_leak)``."""
-    surface, last_ts, out_mask, delta_leak = integrate_step(
-        state.surface[0], state.prev_ts, chunk.y, chunk.x, chunk.ts, chunk.valid, spec.leak
-    )
-    surface = surface[None]
+    if spec.channels == 1:
+        surface, last_ts, out_mask, delta_leak = integrate_step(
+            state.surface[0], state.prev_ts,
+            chunk.y, chunk.x, chunk.ts, chunk.valid, spec.leak,
+        )
+        surface = surface[None]
+    else:
+        surface, last_ts, out_mask, delta_leak = integrate_step(
+            state.surface, state.prev_ts,
+            chunk.y, chunk.x, chunk.ts, chunk.valid, spec.leak, p=chunk.p,
+        )
     return IntegrationState(surface, last_ts), _make_io(surface, out_mask), delta_leak

@@ -57,7 +57,17 @@ def build_layer_defs(
             "conv_mode must be 'auto', 'dense', 'sparse', 'sparse_pallas' "
             f"or 'window', got {conv_mode!r}"
         )
-    intgr = IntegrationSpec(leak=leak, h=frame_h, w=frame_w)
+    # surface channel count follows the first conv's input channels:
+    # 1 = polarity dropped (reference behavior), 2 = ON/OFF channels.
+    first_conv_cin = next(
+        (size[2] for name, size in layer_defs.items() if "conv" in name), 1
+    )
+    if first_conv_cin not in (1, 2):
+        raise ValueError(
+            f"first conv in_channels must be 1 or 2 (surface channels), "
+            f"got {first_conv_cin}"
+        )
+    intgr = IntegrationSpec(leak=leak, h=frame_h, w=frame_w, channels=first_conv_cin)
     event_layers = [LayerDef("intgr", "intgr", intgr)]
     tail: list[LayerDef] = []
     prev_shape = intgr.out_shape

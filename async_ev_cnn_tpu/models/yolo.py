@@ -148,7 +148,9 @@ class YoloEventJax(_YoloBase):
             # pad to a stable power-of-two capacity to bound recompiles
             cap = max(16, 1 << (n - 1).bit_length())
             chunk = EventChunk.from_arrays(
-                events[:, 0], events[:, 1], events[:, 2], capacity=cap
+                events[:, 0], events[:, 1], events[:, 2],
+                p=events[:, 3] if events.shape[1] > 3 else None,
+                capacity=cap,
             )
             state["value"], out = self.step(state["value"], chunk)
             return np.asarray(out)

@@ -48,22 +48,28 @@ def _event_ts_map(y, x, ts, valid, h: int, w: int) -> jnp.ndarray:
     return ts_map.reshape(h, w)
 
 
-def integrate_step(surface, prev_ts, y, x, ts, valid, leak: float):
+def integrate_step(surface, prev_ts, y, x, ts, valid, leak: float, p=None):
     """One chunk of leaky integration.
 
     Args:
-      surface: f32 ``[H, W]`` current surface.
+      surface: f32 ``[H, W]`` (single-channel) or ``[2, H, W]``
+        (polarity-channel) current surface.
       prev_ts: int32 scalar, timestamp of the previous chunk's last event.
       y, x, ts, valid: padded chunk arrays ``[E]``.
       leak: leak rate per microsecond.
+      p: int32 ``[E]`` polarities — required for a ``[2, H, W]`` surface;
+        OFF events (p == 0) land in channel 0, ON in channel 1.  The
+        reference drops polarity before the network (runner.py:32); the
+        2-channel surface is a capability extension.
 
     Returns:
       ``(new_surface, last_ts, out_mask, delta_leak)`` where ``out_mask`` is
       the bool ``[H, W]`` event mask this layer emits (pixels that flipped
-      positive -> non-positive, plus the input pixels,
+      positive -> non-positive in any channel, plus the input pixels,
       integration.py:76-83) and ``delta_leak`` the f32 scalar leak applied.
     """
-    h, w = surface.shape
+    channeled = surface.ndim == 3
+    h, w = surface.shape[-2:]
     leak = jnp.float32(leak)
     # An all-padding chunk (e.g. an empty µs time bin) is a no-op step:
     # last_ts falls back to prev_ts so delta_leak is 0 and no event lands.
@@ -77,7 +83,13 @@ def integrate_step(surface, prev_ts, y, x, ts, valid, leak: float):
     after_leak_neg = s1 <= 0
     s1 = jnp.where(after_leak_neg, jnp.float32(0), s1)
 
-    ts_map = _event_ts_map(y, x, ts, valid, h, w)
+    if channeled:
+        ts_map = jnp.stack([
+            _event_ts_map(y, x, ts, valid & (p == ch), h, w)
+            for ch in range(surface.shape[0])
+        ])
+    else:
+        ts_map = _event_ts_map(y, x, ts, valid, h, w)
     ev_mask = ts_map > TS_SENTINEL
     contrib = jnp.float32(1) - snap((last_ts - ts_map).astype(jnp.float32) * leak)
     s2 = s1 + jnp.where(ev_mask, contrib, jnp.float32(0))
@@ -85,6 +97,8 @@ def integrate_step(surface, prev_ts, y, x, ts, valid, leak: float):
     s2 = jnp.where(after_ev_neg, jnp.float32(0), s2)
 
     out_mask = (before_pos & (after_leak_neg | after_ev_neg)) | ev_mask
+    if channeled:
+        out_mask = jnp.any(out_mask, axis=0)
     return s2, last_ts, out_mask, delta_leak
 
 

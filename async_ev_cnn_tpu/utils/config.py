@@ -115,6 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "fused into one lax.scan, throughput mode).")
     p.add_argument("--show_frames", type=boolean, default=False,
                    help="Display predictions with OpenCV.")
+    p.add_argument("--keep_polarity", type=boolean, default=False,
+                   help="Feed events as [y,x,ts,p] for 2-channel ON/OFF "
+                        "surfaces (first conv in_channels=2); the reference "
+                        "always drops polarity.")
     p.add_argument("--profile", type=boolean, default=False,
                    help="Capture a jax.profiler trace of the run.")
     p.add_argument("--matmul_precision", type=str, default="highest",

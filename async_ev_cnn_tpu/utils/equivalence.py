@@ -39,6 +39,7 @@ def make_stream(
     max_dt: int = 10,
     clustered: bool = False,
     cluster_radius: int = 4,
+    random_polarity: bool = False,
 ) -> EventChunk:
     """Synthetic stream like test_correctness.py:164-169: each step has
     ``events_per_step`` random events with sorted, strictly-advancing ts.
@@ -64,6 +65,13 @@ def make_stream(
     else:
         y = rng.randint(0, h, size=(steps, events_per_step)).astype(np.int32)
         x = rng.randint(0, w, size=(steps, events_per_step)).astype(np.int32)
+    if random_polarity:
+        p = rng.randint(0, 2, size=(steps, events_per_step)).astype(np.int32)
+        valid = np.ones((steps, events_per_step), bool)
+        return EventChunk(
+            y=jnp.asarray(y), x=jnp.asarray(x), ts=jnp.asarray(ts),
+            p=jnp.asarray(p), valid=jnp.asarray(valid),
+        )
     p = np.zeros_like(y)
     valid = np.ones((steps, events_per_step), bool)
     return EventChunk(
@@ -83,17 +91,24 @@ def run_equivalence(
     The dense side integrates its own frame (ops/integrate.py) and runs the
     dense oracle on it each step, exactly like test_correctness.py:129-140.
     """
-    h, w = net.event_layers[0].spec.h, net.event_layers[0].spec.w
+    ispec = net.event_layers[0].spec
     layer_names = [ld.name for ld in net.event_layers]
 
     def body(carry, chunk):
         state, frame, prev_ts = carry
         state, ios = net.forward(params, state, chunk)
-        frame, prev_ts, _, _ = integrate_step(
-            frame, prev_ts, chunk.y, chunk.x, chunk.ts, chunk.valid,
-            net.event_layers[0].spec.leak,
-        )
-        dense = dense_forward(net.event_layers, params, frame[None], dense_variant)
+        if ispec.channels == 1:
+            f2, prev_ts, _, _ = integrate_step(
+                frame[0], prev_ts, chunk.y, chunk.x, chunk.ts, chunk.valid,
+                ispec.leak,
+            )
+            frame = f2[None]
+        else:
+            frame, prev_ts, _, _ = integrate_step(
+                frame, prev_ts, chunk.y, chunk.x, chunk.ts, chunk.valid,
+                ispec.leak, p=chunk.p,
+            )
+        dense = dense_forward(net.event_layers, params, frame, dense_variant)
         diffs = jnp.stack(
             [jnp.max(jnp.abs(ios[n].featuremap - dense[n])) for n in layer_names]
         )
@@ -101,7 +116,7 @@ def run_equivalence(
 
     init = (
         net.init_state(params),
-        jnp.zeros((h, w), jnp.float32),
+        jnp.zeros(ispec.out_shape, jnp.float32),
         jnp.int32(0),
     )
     _, diffs = jax.jit(lambda c: jax.lax.scan(body, init, c))(chunks)

@@ -58,7 +58,11 @@ def center_crop(l, x, y, ts, p, bboxes, old_shape, new_shape):
 
 def data_transform(l, x, y, ts, p, bboxes, args):
     """Reference runner preprocessing (runner.py:24-33): rebase ts,
-    center-crop to (frame_h, frame_w), stack ``[y, x, ts]``."""
+    center-crop to (frame_h, frame_w), stack ``[y, x, ts]``.
+
+    With ``args.keep_polarity`` the polarity column is appended
+    (``[y, x, ts, p]``) for 2-channel ON/OFF surfaces — the reference always
+    drops it (runner.py:32)."""
     ts = ts - ts[0]
     if args.frame_h != args.example_h or args.frame_w != args.example_w:
         l, x, y, ts, p, bboxes = center_crop(
@@ -66,5 +70,6 @@ def data_transform(l, x, y, ts, p, bboxes, args):
             (args.example_h, args.example_w),
             (args.frame_h, args.frame_w),
         )
-    events = np.stack([y, x, ts], axis=-1)
+    cols = [y, x, ts] + ([p] if getattr(args, "keep_polarity", False) else [])
+    events = np.stack(cols, axis=-1)
     return l, events

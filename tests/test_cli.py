@@ -99,6 +99,27 @@ def test_run_networks_scan_runner(tmp_path, tiny_detection_root, tiny_ckpt):
         main(["-c", str(cfg), "--runner", "warp"])
 
 
+def test_run_networks_polarity_channels(tmp_path, tiny_detection_root, rng):
+    from async_ev_cnn_tpu.scripts.run_networks import main
+    from async_ev_cnn_tpu.utils.checkpoint import save_params
+
+    params = {}
+    for name, (kh, kw, ci, co) in (
+        ("conv1", (3, 3, 2, 4)), ("conv2", (3, 3, 4, 8)), ("conv3", (1, 1, 8, 13))
+    ):
+        params[f"w_{name}"] = rng.randn(kh, kw, ci, co).astype(np.float32) * 0.2
+        params[f"b_{name}"] = rng.randn(co).astype(np.float32) * 0.1
+    ckpt = str(tmp_path / "w2.npz")
+    save_params(ckpt, params)
+    cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", ckpt)
+    stats = main([
+        "-c", str(cfg), "--keep_polarity", "true",
+        "--yolo_cnn_layers",
+        "conv1=3,3,2,4 pool1=2,2 conv2=3,3,4,8 pool2=2,2 conv3=1,1,8,13",
+    ])
+    assert stats["steps"] >= 2
+
+
 @pytest.mark.parametrize("network", ["YoloEventJax", "YoloFrameJax"])
 def test_evaluate_cli(tmp_path, tiny_detection_root, tiny_ckpt, network):
     from async_ev_cnn_tpu.scripts.evaluate import main

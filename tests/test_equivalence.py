@@ -117,6 +117,24 @@ def test_equivalence_variable_length_chunks(rng):
     _check(run_equivalence(net, params, chunks))
 
 
+def test_equivalence_polarity_channels(rng):
+    # 2-channel ON/OFF surface (capability extension: first conv cin == 2).
+    layer_defs = OrderedDict(
+        [("conv1", [3, 3, 2, 4]), ("pool1", [2, 2]), ("conv2", [3, 3, 4, 6]), ("pool2", [2, 2])]
+    )
+    params = {
+        "w_conv1": jnp.asarray(rng.randn(3, 3, 2, 4).astype(np.float32) * 0.4),
+        "b_conv1": jnp.asarray(rng.randn(4).astype(np.float32) * 0.1),
+        "w_conv2": jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32) * 0.4),
+        "b_conv2": jnp.asarray(rng.randn(6).astype(np.float32) * 0.1),
+    }
+    net = EventNetwork(layer_defs, 16, 16, leak=0.05, alpha=0.1, padding="SAME")
+    assert net.event_layers[0].spec.channels == 2
+    chunks = make_stream(rng, steps=400, events_per_step=6, h=16, w=16,
+                         random_polarity=True)
+    _check(run_equivalence(net, params, chunks))
+
+
 def test_equivalence_auto_mode(rng):
     net, params = reference_test_net(conv_mode="auto")  # 8x8 -> dense picked
     chunks = make_stream(rng, steps=200, events_per_step=5, h=8, w=8)
