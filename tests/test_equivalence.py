@@ -169,6 +169,16 @@ def test_equivalence_sparse_overflow_fallback(rng):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("mode", ["dense", "sparse", "sparse_pallas", "window"])
+def test_equivalence_long_horizon_all_modes(rng, mode):
+    # 3k-step staleness horizon for every conv execution mode.
+    net, params = reference_test_net(frame_h=16, frame_w=16, leak=0.05,
+                                     conv_mode=mode, capacity_frac=0.5)
+    chunks = make_stream(rng, steps=3000, events_per_step=4, h=16, w=16)
+    _check(run_equivalence(net, params, chunks), tol=2e-4)
+
+
+@pytest.mark.slow
 def test_equivalence_full_efcn_scale(rng):
     # The flagship N-Caltech101 geometry end-to-end: 160x224, 12 layers.
     dsl = ("conv1=3,3,1,16 pool1=2,2 conv2=3,3,16,32 pool2=2,2 "
