@@ -127,6 +127,13 @@ class AerReader(FileReader):
         raise NotImplementedError(f"AER-DAT version {version} not supported")
 
     def _decode_20(self, payload: np.ndarray):
+        if self._camera == "DVS128":
+            from async_ev_cnn_tpu.data import native
+
+            if native.available():
+                out = native.decode_aedat20(payload.view(np.uint8))
+                if out is not None:
+                    return out
         data = payload.byteswap()  # 2.0 payload is big-endian
         addr = data[0::2]
         ts = data[1::2]

@@ -51,6 +51,10 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.evio_decode_aedat20.restype = ctypes.c_int64
+        lib.evio_decode_aedat20.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ] + [ctypes.POINTER(ctypes.c_int32)] * 4
     except AttributeError:  # older library build
         pass
     _LIB = lib
@@ -80,6 +84,24 @@ def decode_ndata_file(path: str):
     if n < 0:
         raise IOError(f"native decode failed for {path}")
     return int(n), x[:n], y[:n], ts[:n], p[:n]
+
+
+def decode_aedat20(payload: np.ndarray):
+    """Native AEDAT 2.0 payload decode (DVS128 masks); None if unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "evio_decode_aedat20"):
+        return None
+    payload = np.ascontiguousarray(payload, np.uint8)
+    cap = payload.size // 8
+    x = np.empty(cap, np.int32)
+    y = np.empty(cap, np.int32)
+    ts = np.empty(cap, np.int32)
+    p = np.empty(cap, np.int32)
+    n = int(lib.evio_decode_aedat20(
+        payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), payload.size,
+        _i32p(x), _i32p(y), _i32p(ts), _i32p(p),
+    ))
+    return n, x[:n], y[:n], ts[:n], p[:n]
 
 
 def decode_aedat31(payload: np.ndarray):

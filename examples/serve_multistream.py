@@ -1,0 +1,65 @@
+"""Multi-stream serving example: N independent event streams, one mesh.
+
+    python examples/serve_multistream.py
+
+Shards stream state over the available devices (data axis) with conv
+channels optionally tensor-parallel; each step advances every stream by one
+micro-batch.  Runs on a single chip, an 8-device CPU mesh, or a pod slice
+unchanged.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from async_ev_cnn_tpu.layers.network import EventNetwork
+from async_ev_cnn_tpu.parallel import MultiStreamEngine, make_mesh
+from async_ev_cnn_tpu.utils.config import layers_dict
+from async_ev_cnn_tpu.layers.types import EventChunk
+
+
+def main():
+    rng = np.random.RandomState(0)
+    dsl = "conv1=3,3,1,8 pool1=2,2 conv2=3,3,8,16 pool2=2,2 conv3=1,1,16,13"
+    layers = layers_dict(dsl)
+    params = {}
+    for name, size in layers.items():
+        if "conv" in name:
+            kh, kw, ci, co = size
+            params[f"w_{name}"] = jnp.asarray(rng.randn(kh, kw, ci, co).astype(np.float32) * 0.2)
+            params[f"b_{name}"] = jnp.asarray(rng.randn(co).astype(np.float32) * 0.05)
+
+    net = EventNetwork(layers, 32, 32, leak=1e-4, alpha=0.1, padding="SAME")
+    n_dev = jax.device_count()
+    mesh = make_mesh(n_data=n_dev, n_model=1)
+    print(f"mesh: {dict(mesh.shape)} over {n_dev} device(s)")
+
+    n_streams = n_dev * 2
+    eng = MultiStreamEngine(net, mesh)
+    p = eng.place_params(params)
+    states = eng.init_states(p, n_streams)
+
+    def random_chunk():
+        e = 64
+        return EventChunk(
+            y=jnp.asarray(rng.randint(0, 32, (n_streams, e)), jnp.int32),
+            x=jnp.asarray(rng.randint(0, 32, (n_streams, e)), jnp.int32),
+            ts=jnp.asarray(np.sort(rng.randint(0, 1000, (n_streams, e)), axis=1)
+                           + np.arange(n_streams)[:, None] * 0, jnp.int32),
+            p=jnp.zeros((n_streams, e), jnp.int32),
+            valid=jnp.ones((n_streams, e), bool),
+        )
+
+    ts_base = np.zeros(n_streams, np.int64)
+    for step in range(5):
+        chunk = random_chunk()
+        chunk = chunk._replace(ts=chunk.ts + jnp.asarray(ts_base[:, None], jnp.int32))
+        ts_base += 1000
+        states, grids = eng.step(p, states, eng.place_chunks(chunk))
+        grids = np.asarray(grids)
+        print(f"step {step}: per-stream grid outputs {grids.shape}, "
+              f"mean |out| = {np.abs(grids).mean():.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,25 @@ def test_native_batch(tmp_path, rng):
         np.testing.assert_array_equal(ts, ts2)
 
 
+def test_native_aedat20_matches_numpy(tmp_path, rng, monkeypatch):
+    from async_ev_cnn_tpu.data.file_reader import AerReader
+
+    n = 500
+    x = rng.randint(0, 128, n).astype(np.int32)
+    y = rng.randint(0, 128, n).astype(np.int32)
+    ts = np.sort(rng.randint(0, 2**28, n)).astype(np.int32)
+    p = rng.randint(0, 2, n).astype(np.int32)
+    path = str(tmp_path / "a20.aedat")
+    r = AerReader("DVS128")
+    r.save_example(path, x, y, ts, p, version="2.0")
+    out_nat = r.read_example(path)
+    monkeypatch.setattr(native, "available", lambda: False)
+    out_np = r.read_example(path)
+    assert out_nat[0] == out_np[0] == n
+    for a, b in zip(out_nat[1:], out_np[1:]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_nreader_uses_native(tmp_path, rng, monkeypatch):
     path = write_file(tmp_path, rng)
     out_native = NReader().read_example(path)
