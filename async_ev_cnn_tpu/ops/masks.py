@@ -133,6 +133,7 @@ def mask_to_block_coords(mask: jnp.ndarray, capacity: int, block_w: int = 8):
         window_dimensions=(1, block_w), window_strides=(1, block_w),
         padding="VALID",
     ) > 0
+    capacity = min(capacity, blocks.size)  # tiny deep layers
     by, bx, valid = mask_to_topk_coords(blocks, capacity)
     return by, bx, valid, jnp.sum(blocks)
 
@@ -147,6 +148,7 @@ def mask_to_topk_coords(mask: jnp.ndarray, capacity: int):
     flat = mask.reshape(-1)
     # top_k over {1,0} with index tiebreak: scale so earlier indices win.
     n = h * w
+    capacity = min(capacity, n)
     score = flat.astype(jnp.int32) * (n + 1) - jnp.arange(n, dtype=jnp.int32)
     _, idx = lax.top_k(score, capacity)
     valid = flat[idx]
