@@ -210,12 +210,23 @@ def main():
     events = synth_stream(rng, T_CHUNKS, CHUNK_EVENTS)
 
     tpu_eps, tpu_dt = bench_tpu_async(params, layer_defs, events)
-    serving_eps = bench_tpu_serving(params, layer_defs, events)
     cpu_eps, cpu_dt = bench_cpu_dense_proxy(params, layer_defs, events)
     cpu_async_eps = bench_cpu_async_baseline(params, layer_defs, events)
-    # window mode on clustered (real-DVS-statistics) streams
+
+    # optional extras must never cost the driver the headline JSON line
+    def _try(fn, *a, **kw):
+        try:
+            return fn(*a, **kw)
+        except Exception as e:  # pragma: no cover
+            import sys
+
+            print(f"bench extra failed: {e}", file=sys.stderr)
+            return None
+
+    serving_eps = _try(bench_tpu_serving, params, layer_defs, events)
     clustered = clustered_stream(rng, T_CHUNKS, CHUNK_EVENTS)
-    window_eps, _ = bench_tpu_async(params, layer_defs, clustered, conv_mode="window")
+    window = _try(bench_tpu_async, params, layer_defs, clustered, conv_mode="window")
+    window_eps = window[0] if window else None
 
     import jax
 
@@ -226,8 +237,10 @@ def main():
         "vs_baseline": round(tpu_eps / cpu_async_eps, 2),
         "device": str(jax.devices()[0]),
         "sec_per_10k_event_scan": round(tpu_dt, 4),
-        "serving_events_per_sec_chip_8streams": round(serving_eps, 1),
-        "window_mode_clustered_events_per_sec": round(window_eps, 1),
+        "serving_events_per_sec_chip_8streams":
+            round(serving_eps, 1) if serving_eps else None,
+        "window_mode_clustered_events_per_sec":
+            round(window_eps, 1) if window_eps else None,
         "baseline_cpu_async_events_per_sec": round(cpu_async_eps, 1),
         "baseline_cpu_dense_numpy_events_per_sec": round(cpu_eps, 1),
         "vs_cpu_dense": round(tpu_eps / cpu_eps, 2),
