@@ -124,9 +124,12 @@ def bench_cpu_dense_proxy(params, layer_defs, events, steps=5):
     frame (the efcn_frame_np path, runner.py:74-88)."""
     from async_ev_cnn_tpu.models import YoloFrameNumpy
 
+    n_pools = sum(1 for name in layer_defs if "pool" in name)
+    h_cells, w_cells = H >> n_pools, W >> n_pools
+    out_c = [s[3] for n, s in layer_defs.items() if "conv" in n][-1]
     model = YoloFrameNumpy(
-        h_frame=H, w_frame=W, num_classes=100, cnn_layers=layer_defs,
-        cnn_padding="SAME", h_cells=5, w_cells=7, num_bbox=2,
+        h_frame=H, w_frame=W, num_classes=out_c - 10, cnn_layers=layer_defs,
+        cnn_padding="SAME", h_cells=h_cells, w_cells=w_cells, num_bbox=2,
         alpha=0.1, leak=LEAK,
     )
     model.set_weights(params)

@@ -1,0 +1,64 @@
+"""The driver-facing surfaces must never break: bench.py's measurement
+functions and __graft_entry__'s entry/dryrun, exercised at toy scale."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def bench_mod(monkeypatch):
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    # shrink the workload: 16x16 frame (one pool level), 4 chunks of 20
+    monkeypatch.setattr(bench, "H", 16)
+    monkeypatch.setattr(bench, "W", 16)
+    monkeypatch.setattr(bench, "T_CHUNKS", 4)
+    monkeypatch.setattr(bench, "CHUNK_EVENTS", 20)
+    monkeypatch.setattr(bench, "CAPACITY", 32)
+    monkeypatch.setattr(
+        bench, "EFCN_DSL",
+        "conv1=3,3,1,4 pool1=2,2 conv2=3,3,4,8 pool2=2,2 conv3=1,1,8,12",
+    )
+    return bench
+
+
+def test_bench_functions_smoke(bench_mod):
+    from async_ev_cnn_tpu.utils.config import layers_dict
+
+    layer_defs = layers_dict(bench_mod.EFCN_DSL)
+    rng = np.random.RandomState(0)
+    params = bench_mod.make_params(layer_defs, rng)
+    events = bench_mod.synth_stream(rng, bench_mod.T_CHUNKS, bench_mod.CHUNK_EVENTS)
+
+    eps, dt = bench_mod.bench_tpu_async(params, layer_defs, events)
+    assert eps > 0 and dt > 0
+    cpu_eps, _ = bench_mod.bench_cpu_dense_proxy(
+        params, layer_defs, events, steps=2
+    )
+    assert cpu_eps > 0
+    async_eps = bench_mod.bench_cpu_async_baseline(
+        params, layer_defs, events, max_chunks=3
+    )
+    assert async_eps > 0
+
+
+def test_graft_entry_single_chip():
+    import jax
+
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    state, grid = jax.jit(fn)(*args)
+    assert grid.shape == (5, 7, 110)
+    assert bool(jax.numpy.all(jax.numpy.isfinite(grid)))
+
+
+@pytest.mark.slow
+def test_graft_entry_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
