@@ -169,6 +169,16 @@ def test_equivalence_sparse_overflow_fallback(rng):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("seed", [7, 99, 2024])
+def test_equivalence_seed_robustness(seed):
+    # the gate must hold for any stream, not just the fixture seed
+    rng = np.random.RandomState(seed)
+    net, params = reference_test_net()
+    chunks = make_stream(rng, steps=800, events_per_step=5, h=8, w=8)
+    _check(run_equivalence(net, params, chunks))
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["dense", "sparse", "sparse_pallas", "window"])
 def test_equivalence_long_horizon_all_modes(rng, mode):
     # 3k-step staleness horizon for every conv execution mode.
