@@ -62,3 +62,26 @@ def test_graft_entry_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_graft_entry_multichip_driver_env():
+    """Simulate the driver: fresh subprocess, no conftest CPU forcing, the
+    environment's own JAX_PLATFORMS (e.g. a pinned hardware platform).
+    ``dryrun_multichip`` must force the 8-virtual-CPU mesh itself."""
+    import os
+    import subprocess
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__ as g; g.dryrun_multichip(8); print('DRYRUN_OK')",
+        ],
+        cwd="/root/repo",
+        env=dict(os.environ),  # driver env verbatim — no JAX_PLATFORMS override
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "DRYRUN_OK" in proc.stdout
