@@ -160,9 +160,18 @@ class ScanEventRunner(Runner):
 
     profile_integration = False
 
+    @staticmethod
+    def _pack(events, args):
+        """Chunk by count, or by µs bins (padded variable occupancy) when
+        ``batch_event_usec`` is set — mirrors split_micro_batches."""
+        if getattr(args, "batch_event_usec", None):
+            return pack_chunks_usec(
+                events, args.batch_event_size, args.batch_event_usec
+            )
+        return pack_chunks(events, args.batch_event_size)
+
     def run(self, model, max_examples=None, verbose=True):
         args = self.args
-        cap = args.batch_event_size
         times, total_events, examples = [], 0, 0
         num_batches = int(np.ceil(self.reader.test_size() / args.batch_size))
         if max_examples is not None:
@@ -174,7 +183,7 @@ class ScanEventRunner(Runner):
                 preprocessing_fn=partial(data_transform, args=args),
                 concat_features=False, threads=args.reader_threads,
             )
-            chunks = pack_chunks(events, cap)
+            chunks = self._pack(events, args)
             t0 = time.time()
             _, outs = model.scan(state0, chunks)
             np.asarray(outs[-1])  # host fetch = true sync point
@@ -211,7 +220,6 @@ class MultiStreamRunner(Runner):
 
         args = self.args
         s = args.num_streams
-        cap = args.batch_event_size
         n_dev = jax.device_count()
         mesh = make_mesh(n_data=min(s, n_dev), n_model=1)
         eng = MultiStreamEngine(model.net, mesh)
@@ -229,7 +237,7 @@ class MultiStreamRunner(Runner):
                     preprocessing_fn=partial(data_transform, args=args),
                     concat_features=False, threads=args.reader_threads,
                 )
-                streams.append(pack_chunks(events, cap))
+                streams.append(ScanEventRunner._pack(events, args))
                 total_events += events.shape[0]
             t_max = max(c.y.shape[0] for c in streams)
             streams = [pad_chunks_t(c, t_max) for c in streams]
@@ -269,6 +277,49 @@ def pad_chunks_t(chunks: EventChunk, t: int) -> EventChunk:
         )
 
     return EventChunk(*(pad(a) for a in chunks))
+
+
+def pack_chunks_usec(
+    events: np.ndarray, capacity: int, batch_event_usec: int
+) -> EventChunk:
+    """Pack an ``[N, 3]`` stream into stacked padded chunks ``[T, capacity]``
+    binned by time window (the reference's ``batch_event_usec`` micro-batching,
+    runner.py:66-69) instead of by count.
+
+    Bins have variable occupancy; each is padded to the static ``capacity``
+    with invalid (no-op) events.  A bin holding more than ``capacity`` events
+    is split by count — each chunk then spans at most ``batch_event_usec``
+    and holds at most ``capacity`` events, so no event is ever dropped.
+    """
+    import jax.numpy as jnp
+
+    ts = events[:, -1]
+    bins = np.arange(0, ts[-1], batch_event_usec) if len(ts) else np.array([0])
+    bin_ids = np.digitize(ts, bins)
+    split_at = np.where(bin_ids[:-1] != bin_ids[1:])[0] + 1
+    pieces = []
+    for piece in np.array_split(events, split_at, axis=0):
+        if piece.shape[0] <= capacity:
+            pieces.append(piece)
+        else:
+            num = int(np.ceil(piece.shape[0] / capacity))
+            pieces.extend(np.array_split(piece, num, axis=0))
+    t = len(pieces)
+    y = np.zeros((t, capacity), events.dtype)
+    x = np.zeros((t, capacity), events.dtype)
+    tss = np.zeros((t, capacity), events.dtype)
+    valid = np.zeros((t, capacity), bool)
+    for i, piece in enumerate(pieces):
+        k = piece.shape[0]
+        y[i, :k] = piece[:, 0]
+        x[i, :k] = piece[:, 1]
+        tss[i, :k] = piece[:, 2]
+        valid[i, :k] = True
+    return EventChunk(
+        y=jnp.asarray(y, jnp.int32), x=jnp.asarray(x, jnp.int32),
+        ts=jnp.asarray(tss, jnp.int32), p=jnp.zeros((t, capacity), jnp.int32),
+        valid=jnp.asarray(valid),
+    )
 
 
 def pack_chunks(events: np.ndarray, capacity: int) -> EventChunk:

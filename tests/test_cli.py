@@ -99,6 +99,52 @@ def test_run_networks_scan_runner(tmp_path, tiny_detection_root, tiny_ckpt):
         main(["-c", str(cfg), "--runner", "warp"])
 
 
+def test_run_networks_scan_runner_usec(tmp_path, tiny_detection_root, tiny_ckpt):
+    """µs-binned micro-batching in the fused-scan path (reference
+    runner.py:65-72 semantics with padded variable-occupancy bins)."""
+    from async_ev_cnn_tpu.scripts.run_networks import main
+
+    cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", tiny_ckpt)
+    stats = main(
+        ["-c", str(cfg), "--runner", "scan", "--batch_event_usec", "5000"]
+    )
+    assert stats["examples"] == 2 and stats["events_per_sec"] > 0
+
+
+def test_pack_chunks_usec_partition():
+    """Every event lands in exactly one chunk; chunk spans respect the µs
+    bin width; oversized bins split by count instead of dropping."""
+    from async_ev_cnn_tpu.utils.runner import pack_chunks_usec
+
+    rng = np.random.RandomState(7)
+    n = 500
+    ts = np.cumsum(rng.randint(1, 40, size=n)).astype(np.int32)
+    ev = np.stack([
+        rng.randint(0, 16, n).astype(np.int32),
+        rng.randint(0, 16, n).astype(np.int32),
+        ts,
+    ], axis=-1)
+    cap, usec = 32, 800
+    chunks = pack_chunks_usec(ev, cap, usec)
+    valid = np.asarray(chunks.valid)
+    assert valid.sum() == n  # no drops, no duplicates
+    y, x, t = (np.asarray(a) for a in (chunks.y, chunks.x, chunks.ts))
+    got = np.stack([y[valid], x[valid], t[valid]], axis=-1)
+    np.testing.assert_array_equal(got, ev)  # order preserved
+    for i in range(valid.shape[0]):
+        row_ts = t[i][valid[i]]
+        if row_ts.size:
+            assert row_ts.max() - row_ts.min() < usec
+        assert valid[i].sum() <= cap
+
+    # force an overflowing bin: all events in one window
+    ev2 = ev.copy()
+    ev2[:, 2] = np.arange(n, dtype=np.int32)  # 500 events in <800 µs
+    chunks2 = pack_chunks_usec(ev2, cap, usec)
+    v2 = np.asarray(chunks2.valid)
+    assert v2.sum() == n and v2.shape[0] >= int(np.ceil(n / cap))
+
+
 def test_run_networks_polarity_channels(tmp_path, tiny_detection_root, rng):
     from async_ev_cnn_tpu.scripts.run_networks import main
     from async_ev_cnn_tpu.utils.checkpoint import save_params
