@@ -91,6 +91,10 @@ class NReader(FileReader):
 _CAMERA_FORMATS = {
     # x_mask, x_shift, y_mask, y_shift, p_mask, p_shift
     "DVS128": (0xFE, 1, 0x7F00, 8, 0x1, 0),
+    # DAVIS cameras share jAER's 32-bit apsDVS address layout:
+    # y in bits 30:22, x in bits 21:12, polarity in bit 11.
+    "DAVIS240": (0x003FF000, 12, 0x7FC00000, 22, 0x800, 11),
+    "DAVIS346": (0x003FF000, 12, 0x7FC00000, 22, 0x800, 11),
 }
 
 
@@ -108,17 +112,24 @@ class AerReader(FileReader):
 
     # ---- decoding ---------------------------------------------------------
 
+    @staticmethod
+    def _consume_header(f) -> str:
+        """Skip the '#'-comment preamble, leaving ``f`` at the first payload
+        byte, and return the version declared by the ``#!AER-DAT`` magic
+        ("1.0" when absent, per the spec)."""
+        version = "1.0"
+        while True:
+            mark = f.tell()
+            line = f.readline()
+            if not line.startswith(b"#"):
+                f.seek(mark)
+                return version
+            if line.startswith(b"#!AER-DAT"):
+                version = line[9:12].decode("ascii", "ignore")
+
     def read_example(self, filename):
         with open(filename, "rb") as f:
-            version = "1.0"  # assumed when no header comment, per the spec
-            prev = 0
-            line = f.readline().decode("utf-8", "ignore")
-            while line.startswith("#"):
-                if line[:9] == "#!AER-DAT":
-                    version = line[9:12]
-                prev = f.tell()
-                line = f.readline().decode("utf-8", "ignore")
-            f.seek(prev)
+            version = self._consume_header(f)
             payload = np.fromfile(f, dtype=np.int32)
         if version == "2.0":
             return self._decode_20(payload)
@@ -197,11 +208,11 @@ class AerReader(FileReader):
             "# Timestamps tick is 1 us\r\n"
             "# created " + time.ctime() + "\r\n"
         )
-        _, x_shift, _, y_shift, _, p_shift = self._camera_format()
+        x_mask, x_shift, y_mask, y_shift, p_mask, p_shift = self._camera_format()
         addr = (
-            ((np.asarray(y, np.uint32) & 0x7F) << y_shift)
-            | ((np.asarray(x, np.uint32) & 0x7F) << x_shift)
-            | ((np.asarray(p, np.uint32) & 0x7F) << p_shift)
+            ((np.asarray(y, np.uint32) << y_shift) & np.uint32(y_mask))
+            | ((np.asarray(x, np.uint32) << x_shift) & np.uint32(x_mask))
+            | ((np.asarray(p, np.uint32) << p_shift) & np.uint32(p_mask))
         )
         pairs = np.stack([addr, np.asarray(ts, np.uint32)], axis=-1)
         with open(filename, "wb") as f:

@@ -56,6 +56,30 @@ def test_aedat20_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(p2, p)
 
 
+@pytest.mark.parametrize("camera,max_x,max_y", [
+    ("DAVIS240", 239, 179),
+    ("DAVIS346", 345, 259),
+])
+def test_aedat20_roundtrip_davis(tmp_path, rng, camera, max_x, max_y):
+    """DAVIS cameras use jAER's 32-bit apsDVS address layout (y 30:22,
+    x 21:12, polarity bit 11) — superset over the reference's DVS128-only
+    table (/root/reference/src/readers/file_reader.py:96-106)."""
+    n = 300
+    x = rng.randint(0, max_x + 1, n).astype(np.int32)
+    y = rng.randint(0, max_y + 1, n).astype(np.int32)
+    ts = np.cumsum(rng.randint(1, 100, n)).astype(np.int32)
+    p = rng.randint(0, 2, n).astype(np.int32)
+    path = str(tmp_path / f"ex20_{camera}.aedat")
+    r = AerReader(camera)
+    r.save_example(path, x, y, ts, p, version="2.0")
+    l2, x2, y2, ts2, p2 = r.read_example(path)
+    assert l2 == n
+    np.testing.assert_array_equal(x2, x)
+    np.testing.assert_array_equal(y2, y)
+    np.testing.assert_array_equal(ts2, ts)
+    np.testing.assert_array_equal(p2, p)
+
+
 def test_aedat31_roundtrip_with_overflow(tmp_path, rng):
     x, y, ts, p = random_events(rng, n=300, max_xy=1000)
     # push some timestamps past the 31-bit overflow boundary
