@@ -47,7 +47,7 @@ class ConvSpec(NamedTuple):
     stride: int
     alpha: float
     padding: str  # 'SAME' | 'VALID'
-    mode: str = "dense"  # 'dense' | 'sparse' | 'sparse_pallas' | 'window'
+    mode: str = "dense"  # 'dense' | 'sparse' | 'sparse_pallas' | 'window' | 'full'
     capacity_frac: float = 0.25  # sparse rulebook capacity as out-site fraction
     window_frac: float = 0.25  # window-mode extent as a fraction of each axis
 
@@ -105,11 +105,52 @@ def _make_io(spec: ConvSpec, state: ConvState, mask) -> LayerIO:
     )
 
 
+def _conv_single(spec: ConvSpec, kernel, bias, x):
+    out = lax.conv_general_dilated(
+        x[None].astype(jnp.float32),
+        kernel.astype(jnp.float32),
+        window_strides=(spec.stride, spec.stride),
+        padding=spec.pads,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(),
+    )
+    return out[0] + bias.reshape(-1, 1, 1).astype(jnp.float32)
+
+
+def _full_io(spec: ConvSpec, kernel, bias, prev_io: LayerIO) -> LayerIO:
+    """Full-recompute output: one conv of the predecessor's featuremap, the
+    activation folded in.  ``layer_actfn`` is a scalar 1 so ``featuremap``
+    (surface * actfn) is the activated map with no extra memory traffic;
+    ``conv_actfn`` is a scalar 0 placeholder — every layer downstream of a
+    'full' layer is itself 'full' (enforced at build time) and never reads
+    it."""
+    from async_ev_cnn_tpu.ops.conv import leaky
+
+    fm = leaky(_conv_single(spec, kernel, bias, prev_io.featuremap), spec.alpha)
+    _, oh, ow = spec.out_shape
+    return LayerIO(
+        surface=fm,
+        layer_actfn=jnp.ones((), jnp.float32),
+        conv_actfn=jnp.zeros((), jnp.float32),
+        mask=jnp.ones((oh, ow), bool),
+    )
+
+
 def conv_init(
     spec: ConvSpec, kernel, bias, prev_init_io: LayerIO
 ) -> tuple[ConvState, LayerIO]:
     """Initial state: dense conv of the predecessor's initial featuremap
     (conv2d.py:59-63); conv-actfn starts at zero."""
+    if spec.mode == "full":
+        # Stateless: the full-recompute step depends only on the
+        # predecessor's featuremap; scalar placeholders keep the state
+        # pytree structure uniform.
+        state = ConvState(
+            featuremap=jnp.zeros((), jnp.float32),
+            conv_actfn=jnp.zeros((), jnp.float32),
+        )
+        return state, _full_io(spec, kernel, bias, prev_init_io)
     fm, _ = _conv_pair(
         spec, kernel, bias, prev_init_io.featuremap, jnp.zeros_like(prev_init_io.surface)
     )
@@ -269,6 +310,15 @@ def conv_step(
     prev_io: LayerIO,
     delta_leak,
 ) -> tuple[ConvState, LayerIO]:
+    if spec.mode == "full":
+        # Full recompute: the TPU-optimal execution of the same semantics at
+        # small resolutions — the equivalence gate proves the async update
+        # rule equals the dense oracle at every site, so recomputing every
+        # site (one conv, no conv-actfn pass, no leak/mask bookkeeping) is
+        # the fastest exact implementation when the MXU makes the dense conv
+        # cheaper than any gather (docs/performance.md crossover table).
+        return state, _full_io(spec, kernel, bias, prev_io)
+
     active = dilate_mask(prev_io.mask, spec.ksize, spec.stride, spec.pads)
 
     before_sign = state.featuremap >= 0

@@ -32,12 +32,30 @@ class PoolSpec(NamedTuple):
     in_shape: tuple[int, int, int]  # (C, H, W) of the previous layer
     ksize: tuple[int, int]
     stride: int
+    mode: str = "event"  # 'event' (incremental) | 'full' (dense recompute)
 
     @property
     def out_shape(self) -> tuple[int, int, int]:
         c, h, w = self.in_shape
         oh, ow = pool_out_shape(h, w, self.ksize, self.stride)
         return (c, oh, ow)
+
+
+def _full_pool_io(spec: PoolSpec, prev_io: LayerIO) -> LayerIO:
+    """Full-recompute pool: dense max over the *activated* map.  The leaky
+    activation is monotone (x -> x if x>0 else alpha*x with alpha>0), so
+    max(activated) == activated(argmax of surface) — identical to gathering
+    at the reference's window argmax."""
+    from async_ev_cnn_tpu.ops.pool import maxpool_dense
+
+    fm = maxpool_dense(prev_io.featuremap, spec.ksize, spec.stride, "VALID")
+    _, oh, ow = spec.out_shape
+    return LayerIO(
+        surface=fm,
+        layer_actfn=jnp.ones((), jnp.float32),
+        conv_actfn=jnp.zeros((), jnp.float32),
+        mask=jnp.ones((oh, ow), bool),
+    )
 
 
 def _gather(spec: PoolSpec, array, idx):
@@ -65,6 +83,11 @@ def _make_io(spec: PoolSpec, prev_io: LayerIO, idx, mask) -> LayerIO:
 
 def pool_init(spec: PoolSpec, prev_init_io: LayerIO) -> tuple[PoolState, LayerIO]:
     """Initial indices: plain argmax of the initial surface (maxpool.py:31-35)."""
+    if spec.mode == "full":
+        state = PoolState(
+            idx_max=jnp.zeros((), jnp.int32), recompute=jnp.zeros((), bool)
+        )
+        return state, _full_pool_io(spec, prev_init_io)
     surf_w = window_view(prev_init_io.surface, spec.ksize, spec.stride)
     idx = jnp.argmax(surf_w, axis=-1).astype(jnp.int32)
     _, oh, ow = spec.out_shape
@@ -92,6 +115,8 @@ def pool_step_full_recompute(
 def pool_step(
     spec: PoolSpec, state: PoolState, prev_io: LayerIO, delta_leak
 ) -> tuple[PoolState, LayerIO]:
+    if spec.mode == "full":
+        return state, _full_pool_io(spec, prev_io)
     ev_windows = dilate_mask(prev_io.mask, spec.ksize, spec.stride)
     recompute = state.recompute & ~ev_windows  # maxpool.py:120
     active = ev_windows | recompute            # maxpool.py:124-126

@@ -52,11 +52,9 @@ def build_layer_defs(
     window_frac: float = 0.25,
 ) -> tuple[list[LayerDef], list[LayerDef]]:
     """Returns (event_layers, dense_tail) matching event_numpy.py:53-73."""
-    if conv_mode not in ("auto", "dense", "sparse", "sparse_pallas", "window"):
-        raise ValueError(
-            "conv_mode must be 'auto', 'dense', 'sparse', 'sparse_pallas' "
-            f"or 'window', got {conv_mode!r}"
-        )
+    modes = ("auto", "dense", "sparse", "sparse_pallas", "window", "full")
+    if conv_mode not in modes:
+        raise ValueError(f"conv_mode must be one of {modes}, got {conv_mode!r}")
     # surface channel count follows the first conv's input channels:
     # 1 = polarity dropped (reference behavior), 2 = ON/OFF channels.
     first_conv_cin = next(
@@ -71,6 +69,10 @@ def build_layer_defs(
     event_layers = [LayerDef("intgr", "intgr", intgr)]
     tail: list[LayerDef] = []
     prev_shape = intgr.out_shape
+    # Once a layer runs in 'full' (recompute everything) mode, its
+    # conv-actfn linearisation and active-site mask are no longer
+    # maintained, so every layer downstream is coerced to 'full' too.
+    force_full = False
     for name, size in layer_defs.items():
         if "conv" in name:
             kh, kw, cin, cout = size
@@ -79,14 +81,18 @@ def build_layer_defs(
                     f"layer {name}: in_channels {cin} != previous out_channels {prev_shape[0]}"
                 )
             layer_mode = getattr(layer_defs, "modes", {}).get(name, conv_mode)
-            if layer_mode not in ("auto", "dense", "sparse", "sparse_pallas", "window"):
+            if layer_mode not in ("auto", "dense", "sparse", "sparse_pallas", "window", "full"):
                 raise ValueError(f"layer {name}: unknown conv mode {layer_mode!r}")
-            if layer_mode == "auto":
-                # measured crossover (docs/performance.md): the full dense
-                # conv wins below ~0.15 MPix; the sparse rulebook wins above.
-                mode = "sparse_pallas" if prev_shape[1] * prev_shape[2] >= 150_000 else "dense"
+            if force_full:
+                mode = "full"
+            elif layer_mode == "auto":
+                # measured crossover (docs/performance.md): full recompute
+                # wins below ~0.15 MPix (the MXU eats the dense conv faster
+                # than any gather); the sparse rulebook wins above.
+                mode = "sparse_pallas" if prev_shape[1] * prev_shape[2] >= 150_000 else "full"
             else:
                 mode = layer_mode
+            force_full = force_full or mode == "full"
             spec = ConvSpec(
                 in_shape=prev_shape,
                 out_channels=cout,
@@ -101,7 +107,10 @@ def build_layer_defs(
             event_layers.append(LayerDef("conv", name, spec))
             prev_shape = spec.out_shape
         elif "pool" in name:
-            spec = PoolSpec(in_shape=prev_shape, ksize=tuple(size), stride=size[0])
+            spec = PoolSpec(
+                in_shape=prev_shape, ksize=tuple(size), stride=size[0],
+                mode="full" if force_full else "event",
+            )
             event_layers.append(LayerDef("pool", name, spec))
             prev_shape = spec.out_shape
         elif "fc" in name:
@@ -204,6 +213,79 @@ class EventNetwork:
         last = next(reversed(ios.values()))
         out = self.apply_tail(params, jnp.transpose(last.featuremap, (1, 2, 0)))
         return state, out
+
+    def scan_parallel(
+        self, params, state: tuple, chunks: EventChunk, window: int | None = None
+    ):
+        """Parallel-in-time execution of the same streaming semantics.
+
+        ``scan`` is a length-T dependency chain, so every chunk pays the
+        whole network's per-op dispatch overhead.  In 'full' mode the only
+        true recurrence is the leaky surface, and that is a max-plus affine
+        map per chunk — an *associative* recurrence
+        (:func:`~async_ev_cnn_tpu.ops.integrate.integrate_parallel`).  So:
+        reconstruct all T chunk-boundary surfaces with one associative scan,
+        then run the network **batched over T frames** (one MXU-friendly
+        dispatch instead of T).  Outputs and final state match ``scan``
+        (gated in tests/test_equivalence.py).
+
+        Requires every conv/pool layer in 'full' mode (the modes with
+        per-chunk state have a real step-to-step dependency and cannot be
+        time-batched).  ``window`` bounds peak memory: the T axis is
+        processed in sequential windows of that many chunks.
+        """
+        for ld in self.event_layers[1:]:
+            if getattr(ld.spec, "mode", None) != "full":
+                raise ValueError(
+                    "scan_parallel requires conv_mode='full' for every "
+                    f"conv/pool layer; {ld.name} is "
+                    f"{getattr(ld.spec, 'mode', None)!r}"
+                )
+        from async_ev_cnn_tpu.layers.types import IntegrationState
+        from async_ev_cnn_tpu.ops.integrate import integrate_parallel
+
+        ispec = self.event_layers[0].spec
+        intgr_state = state[0]
+
+        def frame_out(frame):
+            # surface >= 0 always, so featuremap == surface exactly and the
+            # (surface > 0) activation mask is a scalar-1 no-op here.
+            io = LayerIO(
+                surface=frame,
+                layer_actfn=jnp.ones((), jnp.float32),
+                conv_actfn=jnp.zeros((), jnp.float32),
+                mask=jnp.ones((ispec.h, ispec.w), bool),
+            )
+            for ld, st in zip(self.event_layers[1:], state[1:]):
+                if ld.kind == "conv":
+                    _, io = conv_step(
+                        ld.spec, _kernel_oihw(params, ld.name),
+                        params[f"b_{ld.name}"], st, io, jnp.float32(0),
+                    )
+                else:
+                    _, io = pool_step(ld.spec, st, io, jnp.float32(0))
+            return self.apply_tail(params, jnp.transpose(io.featuremap, (1, 2, 0)))
+
+        def window_body(carry, cs):
+            surf, pts = carry
+            surfaces, last_ts = integrate_parallel(surf, pts, cs, ispec.leak)
+            outs = jax.vmap(frame_out)(surfaces)
+            return (surfaces[-1], last_ts[-1]), outs
+
+        carry0 = (intgr_state.surface, intgr_state.prev_ts)
+        t = chunks.y.shape[0]
+        if window is None or window >= t:
+            carry, outs = window_body(carry0, chunks)
+        else:
+            if t % window:
+                raise ValueError(f"T={t} not divisible by window={window}")
+            cs = jax.tree.map(
+                lambda a: a.reshape(t // window, window, *a.shape[1:]), chunks
+            )
+            carry, outs = jax.lax.scan(window_body, carry0, cs)
+            outs = outs.reshape(t, *outs.shape[2:])
+        new_state = (IntegrationState(carry[0], carry[1]),) + tuple(state[1:])
+        return new_state, outs
 
     def scan(self, params, state: tuple, chunks: EventChunk, unroll: int = 1):
         """Scan over stacked chunks ``[T, E]``; returns (state, outputs [T, ...]).

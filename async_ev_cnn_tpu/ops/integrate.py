@@ -102,6 +102,78 @@ def integrate_step(surface, prev_ts, y, x, ts, valid, leak: float, p=None):
     return s2, last_ts, out_mask, delta_leak
 
 
+def integrate_parallel(surface, prev_ts, chunks, leak: float):
+    """All ``T`` chunk-boundary surfaces at once (parallel-in-time).
+
+    The sequential per-chunk pixel update (``integrate_step``) is
+    ``f(s) = max(max(s - d, 0) + a, 0)`` with ``d`` the chunk's leak and
+    ``a`` its event contribution.  Expanding,
+    ``f(s) = max(s + (a - d), max(a, 0))`` — a member of the max-plus affine
+    family ``g[b, c](s) = max(s + b, c)``, which is *closed under
+    composition*::
+
+        (g[b2, c2] . g[b1, c1])(s) = g[b1 + b2, max(c1 + b2, c2)](s)
+
+    so the T sequential updates collapse into one associative scan over
+    ``(b, c)`` pairs — O(log T) depth instead of a length-T dependency
+    chain, which lets the whole downstream network batch over T frames.
+    Every ``b``/``c`` ingredient goes through ``snap`` exactly like the
+    sequential path, so the two agree to the snap grid (gated in
+    tests/test_equivalence.py).
+
+    Args:
+      surface: f32 ``[C, H, W]`` surface at the window start.
+      prev_ts: int32 scalar, last event timestamp before the window.
+      chunks: stacked :class:`EventChunk` with leading time axis ``[T, E]``.
+      leak: leak rate per microsecond.
+
+    Returns:
+      ``(surfaces, last_ts)``: f32 ``[T, C, H, W]`` surfaces after each
+      chunk and the int32 ``[T]`` per-chunk last-event timestamps.
+    """
+    channels, h, w = surface.shape
+    leak = jnp.float32(leak)
+
+    # per-chunk last_ts chain: running max of chunk max-ts (no-op chunks
+    # keep the previous value, making them exact identity updates)
+    chunk_max = jnp.max(
+        jnp.where(chunks.valid, chunks.ts, TS_SENTINEL), axis=1
+    ).astype(jnp.int32)
+    last_ts = jax.lax.associative_scan(
+        jnp.maximum, jnp.maximum(chunk_max, prev_ts)
+    )
+    prev_last = jnp.concatenate([prev_ts[None], last_ts[:-1]])
+    d = snap((last_ts - prev_last).astype(jnp.float32) * leak)  # [T]
+
+    if channels == 1:
+        ts_map = jax.vmap(
+            lambda yy, xx, tt, vv: _event_ts_map(yy, xx, tt, vv, h, w)
+        )(chunks.y, chunks.x, chunks.ts, chunks.valid)[:, None]  # [T, 1, H, W]
+    else:
+        ts_map = jnp.stack([
+            jax.vmap(
+                lambda yy, xx, tt, vv: _event_ts_map(yy, xx, tt, vv, h, w)
+            )(chunks.y, chunks.x, chunks.ts, chunks.valid & (chunks.p == ch))
+            for ch in range(channels)
+        ], axis=1)  # [T, C, H, W]
+    ev_mask = ts_map > TS_SENTINEL
+    lt = last_ts[:, None, None, None]
+    contrib = jnp.float32(1) - snap((lt - ts_map).astype(jnp.float32) * leak)
+    a = jnp.where(ev_mask, contrib, jnp.float32(0))  # [T, C, H, W]
+
+    b = a - d[:, None, None, None]
+    c = jnp.maximum(a, jnp.float32(0))
+
+    def combine(left, right):
+        bl, cl = left
+        br, cr = right
+        return bl + br, jnp.maximum(cl + br, cr)
+
+    big_b, big_c = jax.lax.associative_scan(combine, (b, c))
+    surfaces = jnp.maximum(surface[None] + big_b, big_c)
+    return surfaces, last_ts
+
+
 @partial(jax.jit, static_argnames=("leak", "h", "w"))
 def _integrate_frame_jit(frame, prev_ts, y, x, ts, valid, leak, h, w):
     last_ts = jnp.maximum(

@@ -135,6 +135,84 @@ def test_equivalence_polarity_channels(rng):
     _check(run_equivalence(net, params, chunks))
 
 
+def test_equivalence_full_mode(rng):
+    # Full-recompute mode IS the dense oracle inside the stateful API, so
+    # the gate must hold with zero headroom (same ops, same precision).
+    net, params = reference_test_net(conv_mode="full")
+    chunks = make_stream(rng, steps=300, events_per_step=5, h=8, w=8)
+    report = run_equivalence(net, params, chunks)
+    assert max(report.max_diff.values()) == 0.0, dict(report.max_diff)
+
+
+def test_full_mode_poisons_downstream(rng):
+    # Once a layer runs 'full', conv-actfn/masks stop being maintained, so
+    # every later layer must be coerced to 'full' (conv and pool alike).
+    from async_ev_cnn_tpu.utils.config import layers_dict
+
+    dsl = "conv1=3,3,1,4 pool1=2,2 conv2=3,3,4,6@full pool2=2,2 conv3=1,1,6,8@window"
+    net = EventNetwork(layers_dict(dsl), 16, 16, leak=0.05, alpha=0.1,
+                       padding="SAME")
+    modes = [getattr(ld.spec, "mode", None) for ld in net.event_layers]
+    assert modes[1:] == ["dense", "event", "full", "full", "full"]
+
+
+def test_equivalence_full_mode_mixed(rng):
+    # Async early + full late via the @mode DSL: the handoff layer consumes
+    # real masks/conv-actfn from the async prefix.
+    from async_ev_cnn_tpu.utils.config import layers_dict
+
+    layer_defs = layers_dict("conv1=3,3,1,4 pool1=2,2 conv2=3,3,4,6@full pool2=2,2")
+    params = {
+        "w_conv1": jnp.asarray(rng.randn(3, 3, 1, 4).astype(np.float32) * 0.3),
+        "b_conv1": jnp.asarray(rng.randn(4).astype(np.float32) * 0.1),
+        "w_conv2": jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32) * 0.3),
+        "b_conv2": jnp.asarray(rng.randn(6).astype(np.float32) * 0.1),
+    }
+    net = EventNetwork(layer_defs, 16, 16, leak=0.05, alpha=0.1, padding="SAME")
+    chunks = make_stream(rng, steps=400, events_per_step=6, h=16, w=16)
+    _check(run_equivalence(net, params, chunks))
+
+
+def test_scan_parallel_matches_sequential(rng):
+    # Parallel-in-time execution (associative-scan surfaces + time-batched
+    # forward) must reproduce the sequential scan's outputs and final state.
+    net, params = reference_test_net(conv_mode="full")
+    state0 = net.init_state(params)
+    chunks = make_stream(rng, steps=600, events_per_step=5, h=8, w=8)
+    import jax
+
+    _, outs_seq = jax.jit(net.scan)(params, state0, chunks)
+    st_p, outs_par = jax.jit(
+        lambda p, s, c: net.scan_parallel(p, s, c)
+    )(params, state0, chunks)
+    assert float(jnp.max(jnp.abs(outs_seq - outs_par))) <= 1e-4
+    # windowed variant carries state across windows
+    _, outs_w = jax.jit(
+        lambda p, s, c: net.scan_parallel(p, s, c, window=100)
+    )(params, state0, chunks)
+    assert float(jnp.max(jnp.abs(outs_seq - outs_w))) <= 1e-4
+    # non-full modes must be rejected (their state has a real recurrence)
+    net_d, _ = reference_test_net(conv_mode="dense")
+    with pytest.raises(ValueError):
+        net_d.scan_parallel(params, net_d.init_state(params), chunks)
+
+
+@pytest.mark.slow
+def test_scan_parallel_long_horizon(rng):
+    # 10k-step drift bound for the associative-scan surface reconstruction
+    # (f32 (b, c) compositions vs the sequential clamp chain).
+    net, params = reference_test_net(conv_mode="full")
+    state0 = net.init_state(params)
+    chunks = make_stream(rng, steps=10_000, events_per_step=5, h=8, w=8)
+    import jax
+
+    _, outs_seq = jax.jit(net.scan)(params, state0, chunks)
+    _, outs_par = jax.jit(
+        lambda p, s, c: net.scan_parallel(p, s, c, window=500)
+    )(params, state0, chunks)
+    assert float(jnp.max(jnp.abs(outs_seq - outs_par))) <= 1e-4
+
+
 def test_equivalence_auto_mode(rng):
     net, params = reference_test_net(conv_mode="auto")  # 8x8 -> dense picked
     chunks = make_stream(rng, steps=200, events_per_step=5, h=8, w=8)
