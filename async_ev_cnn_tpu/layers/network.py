@@ -170,14 +170,21 @@ class EventNetwork:
     # ---- forward --------------------------------------------------------
 
     def forward(
-        self, params, state: tuple, chunk: EventChunk
+        self, params, state: tuple, chunk: EventChunk, upto: int | None = None
     ) -> tuple[tuple, "OrderedDict[str, LayerIO]"]:
-        """One micro-batch through every event layer; returns all taps."""
+        """One micro-batch through every event layer; returns all taps.
+
+        ``upto`` (static) truncates the chain after that many layers —
+        the layer-level profiling harness times successive prefixes and
+        differences them (utils/profiling.profile_layers)."""
         states = []
         ios: "OrderedDict[str, LayerIO]" = OrderedDict()
         delta_leak = None
         prev_io = None
-        for ld, st in zip(self.event_layers, state):
+        for i, (ld, st) in enumerate(zip(self.event_layers, state)):
+            if upto is not None and i > upto:
+                states.append(st)
+                continue
             if ld.kind == "intgr":
                 st, prev_io, delta_leak = integration_step(ld.spec, st, chunk)
             elif ld.kind == "conv":

@@ -50,6 +50,67 @@ class StepTimer:
         }
 
 
+def profile_layers(net, params, chunks, reps: int = 3, dispatches: int = 4):
+    """Per-layer time attribution via prefix ablation.
+
+    ``jax.profiler`` hangs over tunneled backends (ROADMAP.md), so this is
+    the portable alternative: time a fused scan of the network truncated
+    after layer k, for every k, and difference consecutive prefixes.  Each
+    timing runs ``dispatches`` back-to-back device dispatches with a single
+    host fetch at the end, so fixed dispatch/fetch round-trip latency
+    (~30 ms on tunneled chips) amortizes instead of polluting every row.
+
+    Returns a list of ``(layer_name, ms_per_chunk)`` rows (first row is the
+    integration layer; each subsequent row is that layer's marginal cost),
+    plus a ``('TOTAL', ...)`` row.
+    """
+    import time
+
+    import jax
+    import numpy as np
+
+    state0 = net.init_state(params)
+    t_chunks = int(chunks.y.shape[0])
+
+    def timed(upto):
+        def scan_fn(state, cs):
+            # the carried scalar depends on the deepest computed layer's
+            # surface, so no prefix layer can be dead-code-eliminated and
+            # the final fetch transitively waits on every measured op
+            def body(carry, chunk):
+                st, acc = carry
+                st, ios = net.forward(params, st, chunk, upto=upto)
+                last = next(reversed(ios.values()))
+                return (st, acc + last.surface.ravel()[0]), None
+
+            (st, acc), _ = jax.lax.scan(body, (state, jnp_zero()), cs)
+            return acc
+
+        import jax.numpy as jnp
+
+        def jnp_zero():
+            return jnp.float32(0)
+
+        fn = jax.jit(scan_fn)
+        float(fn(state0, chunks))  # compile + sync
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            accs = [fn(state0, chunks) for _ in range(dispatches)]
+            float(accs[-1]) and [float(a) for a in accs]
+            best = min(best, time.time() - t0)
+        return best / dispatches / t_chunks * 1e3  # ms per chunk
+
+    rows = []
+    prev = 0.0
+    for i, ld in enumerate(net.event_layers):
+        total = timed(i)
+        rows.append((ld.name, total - prev))
+        prev = total
+    rows.append(("TOTAL", prev))
+    return rows
+
+
 @contextlib.contextmanager
 def trace(log_dir: str | None):
     """Capture a jax.profiler trace under ``log_dir`` (no-op when None)."""

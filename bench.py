@@ -1,4 +1,4 @@
-"""Benchmark: async eFCN streaming throughput on the available accelerator.
+"""Benchmark: eFCN streaming throughput on the available accelerator.
 
 Prints ONE JSON line:
   {"metric": "events_per_sec_chip", "value": N, "unit": "events/s",
@@ -6,19 +6,36 @@ Prints ONE JSON line:
 
 Setup mirrors the reference's flagship config
 (/root/reference/configs/efcn_event.yml): eFCN at 160x224, leak 5e-5,
-micro-batches of 200 events, synthetic N-Caltech101-rate stream.  The
-measured number is steady-state events/sec through the stateful async
-network (fused lax.scan over padded chunks, one device).
+micro-batches of 200 events, synthetic N-Caltech101-rate stream.
+
+The headline is the fastest *exact* streaming execution of the flagship
+model — parallel-in-time (``EventNetwork.scan_parallel``): the leaky
+surface recurrence is an associative max-plus map, so all chunk-boundary
+surfaces come from one associative scan and the network runs batched over
+time.  Per-chunk outputs match the sequential async scan (gated in
+tests/test_equivalence.py).
+
+Also reported, per the honesty contract (SURVEY.md §7 "hard parts"):
+  * ``tpu_dense_frame_events_per_sec`` — the dense frame model re-run per
+    micro-batch on the integrated frame, sequentially: the TPU analog of
+    the reference's dense baseline (/root/reference/src/libs/runner.py:74-88).
+  * ``async_dense_masked_events_per_sec`` — the reference-semantics
+    incremental path (leak propagation via conv-actfn, masked commits).
+    On TPU at this resolution it LOSES to dense recompute — the measured
+    crossover is ~0.3 MPix with sparse activity (docs/performance.md).
 
 ``vs_baseline`` is measured against the CPU *async* path run in-process:
 this framework's own coordinate-list engine
 (models/event_numpy_cpu.AsyncEventNumpy), an oracle-verified, vectorized
 stand-in for the reference's Cython ``im2col_event`` path — the quantity
 the >=10x north star refers to (the reference repo publishes no numbers,
-BASELINE.md).  The vectorized numpy gathers are at least as fast as the
-reference's serial Cython loops, so the ratio is conservative.  The dense
-CPU path (the reference's ``efcn_frame_np`` mode re-run per micro-batch,
-runner.py:74-88) is also reported as ``vs_cpu_dense``.
+BASELINE.md).
+
+Timing methodology: the tunneled backend costs ~30 ms per dispatch+fetch
+round trip and ~30 MB/s for device->host copies, and ``block_until_ready``
+does not synchronize.  Every TPU measurement therefore chains K dispatches
+back-to-back (state feeds forward on-device) and host-fetches one small
+array at the end — the realistic pipelined-serving shape.
 """
 
 import json
@@ -52,7 +69,9 @@ H, W = 160, 224
 LEAK = 5e-5
 CHUNK_EVENTS = 200
 CAPACITY = 256
-T_CHUNKS = 50  # chunks per scan = 10k events per dispatch
+T_CHUNKS = 50        # chunks per dispatch for sequential modes
+T_PARALLEL = 200     # chunks per dispatch for the parallel-in-time mode
+DISPATCHES = 5       # back-to-back dispatches per timing
 
 
 def make_params(layer_defs, rng):
@@ -86,37 +105,103 @@ def clustered_stream(rng, steps, events_per_step, radius=8, rate_us=15):
     return np.stack([y, x, ts], axis=-1)
 
 
-def bench_tpu_async(params, layer_defs, events, conv_mode="dense"):
+def _chained_events_per_sec(step_fn, state0, chunks, n_events, dispatches=DISPATCHES):
+    """Time K back-to-back dispatches with one final host fetch.
+
+    ``block_until_ready`` can return before completion on this backend; a
+    host fetch is the only true synchronization point.  Fetching both the
+    last output and a state leaf makes the sync depend transitively on
+    every dispatched step."""
     import jax
+
+    st, outs = step_fn(state0, chunks)  # compile + warm
+    np.asarray(jax.tree.leaves(outs)[-1])[..., :1]
+    best = float("inf")
+    for _ in range(3):
+        st = state0
+        t0 = time.time()
+        for _ in range(dispatches):
+            st, outs = step_fn(st, chunks)
+        np.asarray(jax.tree.leaves(outs)[-1])[..., :1]
+        np.asarray(jax.tree.leaves(st)[0]).ravel()[:1]
+        best = min(best, time.time() - t0)
+    return n_events * dispatches / best, best
+
+
+def _net(layer_defs, conv_mode):
     from async_ev_cnn_tpu.layers.network import EventNetwork
+
+    return EventNetwork(layer_defs, H, W, leak=LEAK, alpha=0.1, padding="SAME",
+                        conv_mode=conv_mode)
+
+
+def bench_tpu_parallel(params, layer_defs, events):
+    """Headline: parallel-in-time streaming (full mode + associative-scan
+    surfaces + time-batched network)."""
+    import jax
+    import jax.numpy as jnp
     from async_ev_cnn_tpu.utils.runner import pack_chunks
 
-    net = EventNetwork(layer_defs, H, W, leak=LEAK, alpha=0.1, padding="SAME",
-                       conv_mode=conv_mode)
-    jparams = {k: __import__("jax.numpy", fromlist=["asarray"]).asarray(v) for k, v in params.items()}
+    net = _net(layer_defs, "full")
+    jparams = {k: jnp.asarray(v) for k, v in params.items()}
     state = net.init_state(jparams)
     chunks = pack_chunks(events, CAPACITY)
-    scan = jax.jit(net.scan)
+    fn = jax.jit(lambda s, c: net.scan_parallel(jparams, s, c))
+    return _chained_events_per_sec(fn, state, chunks, events.shape[0])
 
-    def sync(outs):
-        # this backend's block_until_ready can return before completion;
-        # a host fetch is the only true synchronization point
-        return np.asarray(outs[-1])
 
-    # warmup/compile
-    st, outs = scan(jparams, state, chunks)
-    sync(outs)
+def bench_tpu_dense_frame(params, layer_defs, events):
+    """The dense baseline the async idea is meant to beat: re-run the dense
+    frame network per event micro-batch on the integrated frame,
+    sequentially (reference runner.py:74-88).  Executed as the full-mode
+    sequential scan — integrate chunk, one conv per layer, repeat."""
+    import jax
+    import jax.numpy as jnp
+    from async_ev_cnn_tpu.utils.runner import pack_chunks
 
-    n_events = events.shape[0]
-    times = []
-    st = state
-    for _ in range(3):
-        t0 = time.time()
-        st, outs = scan(jparams, st, chunks)
-        sync(outs)
-        times.append(time.time() - t0)
-    dt = min(times)
-    return n_events / dt, dt
+    net = _net(layer_defs, "full")
+    jparams = {k: jnp.asarray(v) for k, v in params.items()}
+    state = net.init_state(jparams)
+    chunks = pack_chunks(events, CAPACITY)
+    fn = jax.jit(lambda s, c: net.scan(jparams, s, c))
+    return _chained_events_per_sec(fn, state, chunks, events.shape[0])
+
+
+def bench_tpu_async(params, layer_defs, events, conv_mode="dense"):
+    """Reference-semantics incremental path (masked commits, conv-actfn
+    leak propagation) — or any other conv_mode."""
+    import jax
+    import jax.numpy as jnp
+    from async_ev_cnn_tpu.utils.runner import pack_chunks
+
+    net = _net(layer_defs, conv_mode)
+    jparams = {k: jnp.asarray(v) for k, v in params.items()}
+    state = net.init_state(jparams)
+    chunks = pack_chunks(events, CAPACITY)
+    fn = jax.jit(lambda s, c: net.scan(jparams, s, c))
+    return _chained_events_per_sec(fn, state, chunks, events.shape[0])
+
+
+def bench_tpu_serving(params, layer_defs, events, n_streams=8):
+    """Multi-stream serving on one chip: S independent streams, each
+    parallel-in-time, vmapped into one time*stream-batched program."""
+    import jax
+    import jax.numpy as jnp
+    from async_ev_cnn_tpu.utils.runner import pack_chunks
+
+    net = _net(layer_defs, "full")
+    jparams = {k: jnp.asarray(v) for k, v in params.items()}
+    base = net.init_state(jparams)
+    states = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_streams, *x.shape)), base)
+    chunks = pack_chunks(events, CAPACITY)
+    chunks = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (n_streams, *a.shape)), chunks
+    )
+    fn = jax.jit(jax.vmap(lambda s, c: net.scan_parallel(jparams, s, c)))
+    eps, dt = _chained_events_per_sec(
+        fn, states, chunks, events.shape[0] * n_streams
+    )
+    return eps
 
 
 def bench_cpu_dense_proxy(params, layer_defs, events, steps=5):
@@ -164,44 +249,23 @@ def bench_cpu_async_baseline(params, layer_defs, events, max_chunks=15):
     return n / dt
 
 
-def bench_tpu_serving(params, layer_defs, events, n_streams=8):
-    """Multi-stream serving on one chip: S independent streams vmapped
-    through the same stateful step (BASELINE.md config #5, single-chip)."""
-    import jax
+def run_profile_layers():
+    """--profile layers: per-layer ms attribution on the current device."""
     import jax.numpy as jnp
-    from async_ev_cnn_tpu.layers.network import EventNetwork
+    from async_ev_cnn_tpu.utils.config import layers_dict
+    from async_ev_cnn_tpu.utils.profiling import profile_layers
     from async_ev_cnn_tpu.utils.runner import pack_chunks
 
-    net = EventNetwork(layer_defs, H, W, leak=LEAK, alpha=0.1, padding="SAME")
-    jparams = {k: jnp.asarray(v) for k, v in params.items()}
-    base = net.init_state(jparams)
-    states = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_streams, *x.shape)), base)
+    layer_defs = layers_dict(EFCN_DSL)
+    rng = np.random.RandomState(0)
+    params = {k: jnp.asarray(v) for k, v in make_params(layer_defs, rng).items()}
+    events = synth_stream(rng, T_CHUNKS, CHUNK_EVENTS)
     chunks = pack_chunks(events, CAPACITY)
-    chunks = jax.tree.map(
-        lambda a: jnp.broadcast_to(a[:, None], (a.shape[0], n_streams, *a.shape[1:])),
-        chunks,
-    )
-
-    @jax.jit
-    def scan(params, states, chunks):
-        def body(st, chunk):
-            return jax.vmap(lambda s, c: net.step(params, s, c))(st, chunk)
-
-        return jax.lax.scan(body, states, chunks)
-
-    def sync(outs):
-        return np.asarray(outs[-1])
-
-    st, outs = scan(jparams, states, chunks)
-    sync(outs)
-    n_events = events.shape[0] * n_streams
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        st, outs = scan(jparams, st, chunks)
-        sync(outs)
-        times.append(time.time() - t0)
-    return n_events / min(times)
+    for mode in ("dense", "full"):
+        net = _net(layer_defs, mode)
+        print(f"\nconv_mode={mode} (ms/chunk, marginal per layer)")
+        for name, ms in profile_layers(net, params, chunks):
+            print(f"  {name:>8}: {ms:7.3f}")
 
 
 def main():
@@ -210,9 +274,11 @@ def main():
     layer_defs = layers_dict(EFCN_DSL)
     rng = np.random.RandomState(0)
     params = make_params(layer_defs, rng)
-    events = synth_stream(rng, T_CHUNKS, CHUNK_EVENTS)
+    events_par = synth_stream(rng, T_PARALLEL, CHUNK_EVENTS)
+    events = events_par[: T_CHUNKS * CHUNK_EVENTS]
 
-    tpu_eps, tpu_dt = bench_tpu_async(params, layer_defs, events)
+    tpu_eps, _ = bench_tpu_parallel(params, layer_defs, events_par)
+    dense_eps, _ = bench_tpu_dense_frame(params, layer_defs, events)
     cpu_eps, cpu_dt = bench_cpu_dense_proxy(params, layer_defs, events)
     cpu_async_eps = bench_cpu_async_baseline(params, layer_defs, events)
 
@@ -226,6 +292,8 @@ def main():
             print(f"bench extra failed: {e}", file=sys.stderr)
             return None
 
+    masked = _try(bench_tpu_async, params, layer_defs, events)
+    masked_eps = masked[0] if masked else None
     serving_eps = _try(bench_tpu_serving, params, layer_defs, events)
     clustered = clustered_stream(rng, T_CHUNKS, CHUNK_EVENTS)
     window = _try(bench_tpu_async, params, layer_defs, clustered, conv_mode="window")
@@ -239,7 +307,11 @@ def main():
         "unit": "events/s",
         "vs_baseline": round(tpu_eps / cpu_async_eps, 2),
         "device": str(jax.devices()[0]),
-        "sec_per_10k_event_scan": round(tpu_dt, 4),
+        "mode": "parallel-in-time streaming (scan_parallel, exact)",
+        "tpu_dense_frame_events_per_sec": round(dense_eps, 1),
+        "vs_tpu_dense_frame": round(tpu_eps / dense_eps, 2),
+        "async_dense_masked_events_per_sec":
+            round(masked_eps, 1) if masked_eps else None,
         "serving_events_per_sec_chip_8streams":
             round(serving_eps, 1) if serving_eps else None,
         "window_mode_clustered_events_per_sec":
@@ -252,4 +324,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--profile" in sys.argv:
+        run_profile_layers()
+    else:
+        main()

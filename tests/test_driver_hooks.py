@@ -36,6 +36,10 @@ def test_bench_functions_smoke(bench_mod):
 
     eps, dt = bench_mod.bench_tpu_async(params, layer_defs, events)
     assert eps > 0 and dt > 0
+    par_eps, _ = bench_mod.bench_tpu_parallel(params, layer_defs, events)
+    assert par_eps > 0
+    dense_eps, _ = bench_mod.bench_tpu_dense_frame(params, layer_defs, events)
+    assert dense_eps > 0
     cpu_eps, _ = bench_mod.bench_cpu_dense_proxy(
         params, layer_defs, events, steps=2
     )
