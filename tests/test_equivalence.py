@@ -92,7 +92,7 @@ def test_equivalence_sparse_mode(rng):
     net, params = reference_test_net(frame_h=16, frame_w=16, leak=0.05,
                                      conv_mode="sparse", capacity_frac=0.5)
     chunks = make_stream(rng, steps=400, events_per_step=4, h=16, w=16)
-    _check(run_equivalence(net, params, chunks), tol=2e-4)
+    _check(run_equivalence(net, params, chunks))
 
 
 def test_equivalence_sparse_pallas_mode(rng):
@@ -101,7 +101,7 @@ def test_equivalence_sparse_pallas_mode(rng):
     net, params = reference_test_net(frame_h=16, frame_w=16, leak=0.05,
                                      conv_mode="sparse_pallas", capacity_frac=0.5)
     chunks = make_stream(rng, steps=120, events_per_step=4, h=16, w=16)
-    _check(run_equivalence(net, params, chunks), tol=2e-4)
+    _check(run_equivalence(net, params, chunks))
 
 
 def test_equivalence_variable_length_chunks(rng):
@@ -226,7 +226,7 @@ def test_equivalence_window_mode_clustered(rng):
                                      conv_mode="window")
     chunks = make_stream(rng, steps=400, events_per_step=6, h=32, w=32,
                          clustered=True, cluster_radius=3)
-    _check(run_equivalence(net, params, chunks), tol=2e-4)
+    _check(run_equivalence(net, params, chunks))
 
 
 def test_equivalence_window_mode_uniform_fallback(rng):
@@ -234,7 +234,7 @@ def test_equivalence_window_mode_uniform_fallback(rng):
     net, params = reference_test_net(frame_h=16, frame_w=16, leak=0.05,
                                      conv_mode="window")
     chunks = make_stream(rng, steps=200, events_per_step=8, h=16, w=16)
-    _check(run_equivalence(net, params, chunks), tol=2e-4)
+    _check(run_equivalence(net, params, chunks))
 
 
 def test_equivalence_sparse_overflow_fallback(rng):
@@ -243,7 +243,7 @@ def test_equivalence_sparse_overflow_fallback(rng):
     net, params = reference_test_net(frame_h=16, frame_w=16, leak=0.05,
                                      conv_mode="sparse", capacity_frac=0.02)
     chunks = make_stream(rng, steps=200, events_per_step=8, h=16, w=16)
-    _check(run_equivalence(net, params, chunks), tol=2e-4)
+    _check(run_equivalence(net, params, chunks))
 
 
 @pytest.mark.slow
@@ -263,7 +263,7 @@ def test_equivalence_long_horizon_all_modes(rng, mode):
     net, params = reference_test_net(frame_h=16, frame_w=16, leak=0.05,
                                      conv_mode=mode, capacity_frac=0.5)
     chunks = make_stream(rng, steps=3000, events_per_step=4, h=16, w=16)
-    _check(run_equivalence(net, params, chunks), tol=2e-4)
+    _check(run_equivalence(net, params, chunks))
 
 
 @pytest.mark.slow
