@@ -110,6 +110,7 @@ class YoloEventJax(_YoloBase):
         )
         self._jit_step = jax.jit(self._step_impl)
         self._jit_scan = jax.jit(self._scan_impl)
+        self._jit_scan_parallel = jax.jit(self._scan_parallel_impl)
 
     # ---- functional API ---------------------------------------------------
 
@@ -129,10 +130,24 @@ class YoloEventJax(_YoloBase):
 
         return jax.lax.scan(body, state, chunks)
 
+    def _scan_parallel_impl(self, params, state, chunks):
+        state, outs = self.net.scan_parallel(params, state, chunks)
+        return state, jnp.reshape(outs, (outs.shape[0], *self.grid_shape))
+
     def step(self, state, chunk: EventChunk):
         return self._jit_step(self._device_params(), state, chunk)
 
     def scan(self, state, chunks: EventChunk):
+        """Stacked micro-batches in one dispatch.  When every conv/pool layer
+        runs in 'full' mode the sequential chunk recurrence reduces to the
+        leaky surface, and the parallel-in-time path (scan_parallel: one
+        associative scan + a time-batched forward) computes identical
+        outputs several times faster — use it automatically."""
+        if all(
+            getattr(ld.spec, "mode", None) == "full"
+            for ld in self.net.event_layers[1:]
+        ):
+            return self._jit_scan_parallel(self._device_params(), state, chunks)
         return self._jit_scan(self._device_params(), state, chunks)
 
     # ---- closure API (reference parity) ------------------------------------

@@ -104,8 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Micro-batch by time window (overrides event count).")
     # TPU-native additions (not in the reference):
     p.add_argument("--mode", type=str, default="dense",
-                   help="Async conv execution: 'dense' (masked commit) or "
-                        "'sparse' (rulebook gather->GEMM->scatter).")
+                   help="Conv execution: 'dense' (masked commit), 'sparse' / "
+                        "'sparse_pallas' (rulebook gather->GEMM->scatter), "
+                        "'window' (active-bounding-box), 'full' (recompute "
+                        "everything — fastest exact mode below ~0.3 MPix), "
+                        "or 'auto' (measured crossover per layer).")
     p.add_argument("--num_streams", type=int, default=1,
                    help="Independent event streams batched per step "
                         "(sharded over the device mesh when >1).")

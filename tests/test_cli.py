@@ -99,6 +99,20 @@ def test_run_networks_scan_runner(tmp_path, tiny_detection_root, tiny_ckpt):
         main(["-c", str(cfg), "--runner", "warp"])
 
 
+def test_run_networks_mixed_modes(tmp_path, tiny_detection_root, tiny_ckpt):
+    """Per-layer @mode DSL through the CLI (window early, full late — the
+    configs/efcn_event_mixed.yml pattern at test scale)."""
+    from async_ev_cnn_tpu.scripts.run_networks import main
+
+    cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", tiny_ckpt)
+    text = cfg.read_text()
+    text = text.replace("conv1=3,3,1,4", "conv1=3,3,1,4@window")
+    text = text.replace("conv2=3,3,4,8", "conv2=3,3,4,8@full")
+    cfg.write_text(text)
+    stats = main(["-c", str(cfg)])
+    assert stats["steps"] >= 2 and stats["events_per_sec"] > 0
+
+
 def test_run_networks_scan_runner_usec(tmp_path, tiny_detection_root, tiny_ckpt):
     """µs-binned micro-batching in the fused-scan path (reference
     runner.py:65-72 semantics with padded variable-occupancy bins)."""

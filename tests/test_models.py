@@ -129,6 +129,29 @@ def test_three_way_model_consistency(rng):
     np.testing.assert_allclose(out_fn, exp_fn, atol=1e-4)
 
 
+def test_event_jax_full_mode_parallel_scan(rng):
+    """YoloEventJax.scan auto-routes all-'full' networks to the
+    parallel-in-time path; grids must match the sequential dense-mode scan."""
+    from async_ev_cnn_tpu.utils.runner import pack_chunks
+
+    kwargs = tiny_model_args()
+    params = tiny_params(rng, kwargs["cnn_layers"])
+    m_dense = YoloEventJax(conv_mode="dense", **kwargs)
+    m_full = YoloEventJax(conv_mode="full", **kwargs)
+    for m in (m_dense, m_full):
+        m.set_weights(params)
+    n = 400
+    ev = np.stack([
+        rng.randint(0, 16, n), rng.randint(0, 16, n),
+        np.cumsum(rng.randint(1, 15, n)),
+    ], -1).astype(np.int32)
+    chunks = pack_chunks(ev, 64)
+    _, g1 = m_dense.scan(m_dense.init_state(), chunks)
+    _, g2 = m_full.scan(m_full.init_state(), chunks)
+    assert g1.shape == g2.shape
+    assert float(jnp.max(jnp.abs(g1 - g2))) <= 1e-4
+
+
 def test_event_graph_reset(rng):
     kwargs = tiny_model_args()
     params = tiny_params(rng, kwargs["cnn_layers"])
