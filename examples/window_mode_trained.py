@@ -8,12 +8,21 @@ degenerates to its dense fallback; with *trained* weights whose deep
 activations are stable, the active region stays near the object and the
 windowed conv (one dynamic slice, O(active-region) work) can win.
 
-Run on the TPU:  python examples/window_mode_trained.py [--steps 300]
+Run on the TPU (from the repo root):
+    python examples/window_mode_trained.py [--steps 300]
+
+Measured 2026-08-16 (200 steps, loss 2077 -> 0.23, clustered streams):
+dense-masked 212k ev/s, window 213k, mixed @window/@full 246k, full 545k —
+see docs/performance.md "Window mode".
 """
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
