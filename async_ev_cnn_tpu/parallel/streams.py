@@ -59,6 +59,7 @@ class MultiStreamEngine:
         self.mesh = mesh
         self._jit_step = None
         self._jit_scan = None
+        self._jit_scan_parallel = None
 
     # ---- shardings --------------------------------------------------------
 
@@ -78,21 +79,29 @@ class MultiStreamEngine:
         return out
 
     def state_shardings(self):
-        """Shardings for the stream-batched state pytree."""
+        """Shardings for the stream-batched state pytree.  Full-mode layers
+        keep scalar placeholder state (rank 1 after stream batching), so
+        they shard over ``data`` only."""
         shardings = []
         for ld in self.net.event_layers:
             if ld.kind == "intgr":
                 shardings.append(IntegrationState(self._sh("data"), self._sh("data")))
             elif ld.kind == "conv":
-                shardings.append(
-                    ConvState(
-                        self._sh("data", "model"), self._sh("data", "model")
+                if ld.spec.mode == "full":
+                    shardings.append(ConvState(self._sh("data"), self._sh("data")))
+                else:
+                    shardings.append(
+                        ConvState(
+                            self._sh("data", "model"), self._sh("data", "model")
+                        )
                     )
-                )
             else:  # pool
-                shardings.append(
-                    PoolState(self._sh("data", "model"), self._sh("data"))
-                )
+                if ld.spec.mode == "full":
+                    shardings.append(PoolState(self._sh("data"), self._sh("data")))
+                else:
+                    shardings.append(
+                        PoolState(self._sh("data", "model"), self._sh("data"))
+                    )
         return tuple(shardings)
 
     def chunk_sharding(self, leading_time: bool = False):
@@ -165,3 +174,29 @@ class MultiStreamEngine:
         if self._jit_scan is None:
             self._build()
         return self._jit_scan(params, states, chunks)
+
+    def scan_parallel(self, params, states, chunks: EventChunk):
+        """Parallel-in-time serving: every stream runs
+        :meth:`EventNetwork.scan_parallel` (time-batched forward), vmapped
+        over the stream axis and sharded over ``data`` — the whole mesh
+        computes one ``[T * S_local]``-frame batched program per device.
+        Requires an all-'full' network; ``chunks`` leaves are [T, S, E]."""
+        if self._jit_scan_parallel is None:
+            net = self.net
+
+            def scan_par(params, states, chunks):
+                def one(state, cs):  # cs leaves [T, E]
+                    return net.scan_parallel(params, state, cs)
+
+                return jax.vmap(one, in_axes=(0, 1), out_axes=(0, 1))(
+                    states, chunks
+                )
+
+            self._jit_scan_parallel = jax.jit(
+                scan_par,
+                in_shardings=(
+                    None, self.state_shardings(), self.chunk_sharding(True)
+                ),
+                out_shardings=(self.state_shardings(), self._sh(None, "data")),
+            )
+        return self._jit_scan_parallel(params, states, chunks)

@@ -62,6 +62,37 @@ def test_multi_stream_data_and_model_parallel(rng):
     _run_mesh(n_data=4, n_model=2, rng=rng)
 
 
+def test_multi_stream_scan_parallel(rng):
+    """Parallel-in-time serving over the mesh: full-mode net, every stream
+    time-batched, sharded over data — must agree with per-stream scans."""
+    layer_defs = OrderedDict(
+        [("conv1", [3, 3, 1, 8]), ("pool1", [2, 2]), ("conv2", [3, 3, 8, 16]), ("pool2", [2, 2])]
+    )
+    params = {
+        "w_conv1": jnp.asarray(rng.randn(3, 3, 1, 8).astype(np.float32) * 0.3),
+        "b_conv1": jnp.asarray(rng.randn(8).astype(np.float32) * 0.1),
+        "w_conv2": jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.3),
+        "b_conv2": jnp.asarray(rng.randn(16).astype(np.float32) * 0.1),
+    }
+    net = EventNetwork(layer_defs, 16, 16, leak=0.01, alpha=0.1,
+                       padding="SAME", conv_mode="full")
+    n_streams, steps = 4, 8
+    streams = [make_stream(rng, steps, 6, 16, 16) for _ in range(n_streams)]
+    chunks_tse = stack_streams(streams)
+    mesh = make_mesh(n_data=4, n_model=2)
+    eng = MultiStreamEngine(net, mesh)
+    p = eng.place_params(params)
+    states = eng.init_states(p, n_streams)
+    states, outs = eng.scan_parallel(
+        p, states, eng.place_chunks(chunks_tse, leading_time=True)
+    )
+    outs = np.asarray(outs)  # [T, S, ...]
+    for s, stream in enumerate(streams):
+        st = net.init_state(params)
+        _, ref = jax.jit(net.scan)(params, st, stream)
+        np.testing.assert_allclose(outs[:, s], np.asarray(ref), atol=1e-5)
+
+
 def test_mesh_size_one_fallback(rng):
     # mesh-size-1 must also work (single-chip deployment path)
     net, params = build_net_params(rng)
