@@ -47,7 +47,8 @@ class ConvSpec(NamedTuple):
     stride: int
     alpha: float
     padding: str  # 'SAME' | 'VALID'
-    mode: str = "dense"  # 'dense' | 'sparse' | 'sparse_pallas' | 'window' | 'full'
+    # 'dense' | 'sparse' | 'sparse_pallas' | 'sparse_rows' | 'window' | 'full'
+    mode: str = "dense"
     capacity_frac: float = 0.25  # sparse rulebook capacity as out-site fraction
     window_frac: float = 0.25  # window-mode extent as a fraction of each axis
 
@@ -56,6 +57,12 @@ class ConvSpec(NamedTuple):
         _, oh, ow = self.out_shape
         cap = max(8, int(oh * ow * self.capacity_frac))
         return min(cap, oh * ow)
+
+    @property
+    def row_capacity(self) -> int:
+        """Static active-row capacity for 'sparse_rows' mode."""
+        _, oh, _ = self.out_shape
+        return min(oh, max(8, int(oh * self.capacity_frac)))
 
     @property
     def window(self) -> tuple[int, int]:
@@ -220,6 +227,30 @@ def _sparse_update(spec: ConvSpec, kernel, bias, state, prev_io, active, fm_leak
             stride=spec.stride,
             interpret=jax.default_backend() == "cpu",
         )
+    elif spec.mode == "sparse_rows":
+        from async_ev_cnn_tpu.ops.rulebook import rows_conv_pair, scatter_row_values
+
+        row_idx, row_valid, fm_rows, ca_rows, overflow = rows_conv_pair(
+            fm_in, ca_in, active, kernel, bias, spec.stride, spec.row_capacity
+        )
+
+        def rows_branch(_):
+            fm = scatter_row_values(fm_leaked, row_idx, row_valid, active, fm_rows)
+            cact = scatter_row_values(
+                state.conv_actfn, row_idx, row_valid, active, ca_rows
+            )
+            return fm, cact
+
+        def rows_dense_branch(_):
+            conv_fm, conv_cact = _conv_pair(
+                spec, kernel, bias, prev_io.featuremap, prev_io.conv_actfn
+            )
+            return (
+                jnp.where(active, conv_fm, fm_leaked),
+                jnp.where(active, conv_cact, state.conv_actfn),
+            )
+
+        return lax.cond(overflow, rows_dense_branch, rows_branch, None)
     else:
         ys, xs, valid, fm_vals, ca_vals, overflow = rulebook_conv_pair(
             fm_in, ca_in, active, kernel, bias, spec.stride, spec.capacity
@@ -330,7 +361,7 @@ def conv_step(
         fm, cact = _window_update(
             spec, kernel, bias, state, prev_io, active, fm_leaked
         )
-    elif spec.mode in ("sparse", "sparse_pallas"):
+    elif spec.mode in ("sparse", "sparse_pallas", "sparse_rows"):
         fm, cact = _sparse_update(
             spec, kernel, bias, state, prev_io, active, fm_leaked
         )

@@ -52,7 +52,7 @@ def build_layer_defs(
     window_frac: float = 0.25,
 ) -> tuple[list[LayerDef], list[LayerDef]]:
     """Returns (event_layers, dense_tail) matching event_numpy.py:53-73."""
-    modes = ("auto", "dense", "sparse", "sparse_pallas", "window", "full")
+    modes = ("auto", "dense", "sparse", "sparse_pallas", "sparse_rows", "window", "full")
     if conv_mode not in modes:
         raise ValueError(f"conv_mode must be one of {modes}, got {conv_mode!r}")
     # surface channel count follows the first conv's input channels:
@@ -81,7 +81,7 @@ def build_layer_defs(
                     f"layer {name}: in_channels {cin} != previous out_channels {prev_shape[0]}"
                 )
             layer_mode = getattr(layer_defs, "modes", {}).get(name, conv_mode)
-            if layer_mode not in ("auto", "dense", "sparse", "sparse_pallas", "window", "full"):
+            if layer_mode not in ("auto", "dense", "sparse", "sparse_pallas", "sparse_rows", "window", "full"):
                 raise ValueError(f"layer {name}: unknown conv mode {layer_mode!r}")
             if force_full:
                 mode = "full"

@@ -87,3 +87,68 @@ def scatter_site_values(dest: jnp.ndarray, ys, xs, valid, vals: jnp.ndarray):
     oh = dest.shape[-2]
     yy = jnp.where(valid, ys, oh)  # out of range -> dropped
     return dest.at[:, yy, xs].set(vals.T, mode="drop")
+
+
+def rows_conv_pair(
+    featuremap: jnp.ndarray,   # [C, Hp, Wp] padded
+    conv_actfn: jnp.ndarray,   # [C, Hp, Wp] padded
+    active: jnp.ndarray,       # [oh, ow]
+    kernel: jnp.ndarray,       # [O, C, kh, kw]
+    bias: jnp.ndarray,         # [O]
+    stride: int,
+    row_capacity: int,
+):
+    """Row-granular sparse conv of the (featuremap, conv-actfn) pair.
+
+    The chip's DMA engine pays a ~2.8 µs fixed cost per descriptor
+    (docs/performance.md), so site-granular gathers are issue-bound; whole
+    input *rows* are the smallest unit that moves at real bandwidth
+    (>= 100 KB at production widths).  This kernel gathers the ``kh`` input
+    rows feeding each active output row, runs one batched VALID conv over
+    the ``[2R, C, kh, Wp]`` row stack (MXU-shaped), and hands back whole
+    output rows for a row-granular commit.
+
+    Returns ``(row_idx [R], row_valid [R], fm_rows [R, O, ow],
+    ca_rows [R, O, ow], overflow)``.
+    """
+    o, c, kh, kw = kernel.shape
+    row_act = jnp.any(active, axis=1)  # [oh]
+    n_rows = jnp.sum(row_act)
+    overflow = n_rows > row_capacity
+    row_idx = jnp.nonzero(row_act, size=row_capacity, fill_value=0)[0]
+    row_valid = jnp.arange(row_capacity) < n_rows
+
+    take = row_idx[:, None] * stride + jnp.arange(kh, dtype=row_idx.dtype)[None, :]
+    # Gather rows directly in CHW.  A pre-transpose to HWC (making each row
+    # one contiguous >=100 KB copy) was measured *slower* end-to-end
+    # (4.75 vs 4.35 ms at 69 rows/512x640x64) — the full-map transpose
+    # traffic exceeds what the coarser DMA descriptors save.
+    planes = jnp.stack([featuremap, conv_actfn])          # [2, C, Hp, Wp]
+    rows = jnp.take(planes, take.reshape(-1), axis=2)     # [2, C, R*kh, Wp]
+    rows = rows.reshape(2, c, row_capacity, kh, -1)
+    rows = jnp.transpose(rows, (0, 2, 1, 3, 4)).reshape(
+        2 * row_capacity, c, kh, featuremap.shape[-1]
+    )                                                     # [2R, C, kh, Wp]
+    out = lax.conv_general_dilated(
+        rows.astype(jnp.float32), kernel.astype(jnp.float32),
+        window_strides=(1, stride), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,  # see ops/conv.py
+    )                                                     # [2R, O, 1, ow]
+    out = out[:, :, 0, :]
+    fm_rows = out[:row_capacity] + bias.astype(jnp.float32).reshape(1, -1, 1)
+    return row_idx, row_valid, fm_rows, out[row_capacity:], overflow
+
+
+def scatter_row_values(dest: jnp.ndarray, row_idx, row_valid, active, vals):
+    """Commit row values ``[R, O, ow]`` into ``dest [O, oh, ow]``: within a
+    gathered row, only truly active sites are overwritten.  Padding entries
+    alias row 0 in the gather; they must scatter out-of-range (dropped) or
+    an undefined duplicate-write order could clobber a real row-0 update."""
+    oh = dest.shape[-2]
+    old = jnp.take(dest, row_idx, axis=1)                  # [O, R, ow]
+    sel = active[row_idx] & row_valid[:, None]             # [R, ow]
+    new = jnp.where(sel[None], jnp.transpose(vals, (1, 0, 2)), old)
+    idx_w = jnp.where(row_valid, row_idx, oh)
+    return dest.at[:, idx_w].set(new, mode="drop")

@@ -243,8 +243,13 @@ class MultiStreamRunner(Runner):
             streams = [pad_chunks_t(c, t_max) for c in streams]
             chunks = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *streams)
             states = eng.init_states(params, s)
+            all_full = all(
+                getattr(ld.spec, "mode", None) == "full"
+                for ld in model.net.event_layers[1:]
+            )
+            scan_fn = eng.scan_parallel if all_full else eng.scan
             t0 = time.time()
-            states, outs = eng.scan(params, states, eng.place_chunks(chunks, leading_time=True))
+            states, outs = scan_fn(params, states, eng.place_chunks(chunks, leading_time=True))
             np.asarray(outs[-1])  # host fetch = true sync point
             dt = time.time() - t0
             times.append(dt)

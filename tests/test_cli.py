@@ -89,6 +89,15 @@ def test_run_networks_multi_stream(tmp_path, tiny_detection_root, tiny_ckpt):
     assert stats["examples"] >= 2 and stats["events_per_sec"] > 0
 
 
+def test_run_networks_multi_stream_full_mode(tmp_path, tiny_detection_root, tiny_ckpt):
+    # full-mode serving routes through the mesh parallel-in-time path
+    from async_ev_cnn_tpu.scripts.run_networks import main
+
+    cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", tiny_ckpt)
+    stats = main(["-c", str(cfg), "--num_streams", "2", "--mode", "full"])
+    assert stats["examples"] >= 2 and stats["events_per_sec"] > 0
+
+
 def test_run_networks_scan_runner(tmp_path, tiny_detection_root, tiny_ckpt):
     from async_ev_cnn_tpu.scripts.run_networks import main
 

@@ -104,6 +104,23 @@ def test_equivalence_sparse_pallas_mode(rng):
     _check(run_equivalence(net, params, chunks))
 
 
+def test_equivalence_sparse_rows_mode(rng):
+    # Row-granular rulebook (gather whole input rows, batched VALID conv,
+    # row-granular commit) must satisfy the same gate.
+    net, params = reference_test_net(frame_h=16, frame_w=16, leak=0.05,
+                                     conv_mode="sparse_rows", capacity_frac=0.5)
+    chunks = make_stream(rng, steps=400, events_per_step=4, h=16, w=16)
+    _check(run_equivalence(net, params, chunks))
+
+
+def test_equivalence_sparse_rows_overflow_fallback(rng):
+    # Tiny row capacity forces constant overflow -> dense fallback.
+    net, params = reference_test_net(frame_h=16, frame_w=16, leak=0.05,
+                                     conv_mode="sparse_rows", capacity_frac=0.02)
+    chunks = make_stream(rng, steps=200, events_per_step=8, h=16, w=16)
+    _check(run_equivalence(net, params, chunks))
+
+
 def test_equivalence_variable_length_chunks(rng):
     # Ragged micro-batches: each chunk has a random number of valid events
     # (padding slots must be exact no-ops).
@@ -257,7 +274,7 @@ def test_equivalence_seed_robustness(seed):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mode", ["dense", "sparse", "sparse_pallas", "window"])
+@pytest.mark.parametrize("mode", ["dense", "sparse", "sparse_pallas", "sparse_rows", "window"])
 def test_equivalence_long_horizon_all_modes(rng, mode):
     # 3k-step staleness horizon for every conv execution mode.
     net, params = reference_test_net(frame_h=16, frame_w=16, leak=0.05,
