@@ -105,25 +105,42 @@ def clustered_stream(rng, steps, events_per_step, radius=8, rate_us=15):
     return np.stack([y, x, ts], axis=-1)
 
 
+def _fetch_tail(tree):
+    """Host-fetch a handful of elements of the last leaf.
+
+    The fetch is the only true synchronization point on this backend, but
+    the device->host path runs at ~30 MB/s — fetching a whole output array
+    would dominate the measurement.  Leading-axis indexing shrinks the leaf
+    on device (queued async, no host sync) before the small final copy."""
+    import jax
+
+    leaf = jax.tree.leaves(tree)[-1]
+    while leaf.ndim > 1:
+        leaf = leaf[-1]
+    return np.asarray(leaf)
+
+
 def _chained_events_per_sec(step_fn, state0, chunks, n_events, dispatches=DISPATCHES):
     """Time K back-to-back dispatches with one final host fetch.
 
     ``block_until_ready`` can return before completion on this backend; a
-    host fetch is the only true synchronization point.  Fetching both the
-    last output and a state leaf makes the sync depend transitively on
-    every dispatched step."""
-    import jax
-
+    host fetch is the only true synchronization point.  Fetching from both
+    the last output and the final state makes the sync depend transitively
+    on every dispatched step."""
     st, outs = step_fn(state0, chunks)  # compile + warm
-    np.asarray(jax.tree.leaves(outs)[-1])[..., :1]
+    _fetch_tail(outs)
     best = float("inf")
     for _ in range(3):
         st = state0
         t0 = time.time()
         for _ in range(dispatches):
             st, outs = step_fn(st, chunks)
-        np.asarray(jax.tree.leaves(outs)[-1])[..., :1]
-        np.asarray(jax.tree.leaves(st)[0]).ravel()[:1]
+        _fetch_tail(outs)
+        # the first state leaf is the integration surface — the recurrence
+        # carrier (later leaves may be stateless placeholders in full mode)
+        import jax
+
+        _fetch_tail(jax.tree.leaves(st)[0])
         best = min(best, time.time() - t0)
     return n_events * dispatches / best, best
 
