@@ -167,6 +167,20 @@ def bench_tpu_parallel(params, layer_defs, events):
     return _chained_events_per_sec(fn, state, chunks, events.shape[0])
 
 
+def bench_tpu_parallel_bf16(params, layer_defs, events):
+    """The headline mode at the MXU's native bf16 operand precision
+    (--matmul_precision default).  Async-vs-dense parity still holds (both
+    paths share the rounding); absolute f32 fidelity drops to ~1e-2
+    relative — a serving-precision/speed knob, not the contract default."""
+    from async_ev_cnn_tpu.ops.conv import set_matmul_precision
+
+    set_matmul_precision("default")
+    try:
+        return bench_tpu_parallel(params, layer_defs, events)
+    finally:
+        set_matmul_precision("highest")
+
+
 def bench_tpu_dense_frame(params, layer_defs, events):
     """The dense baseline the async idea is meant to beat: re-run the dense
     frame network per event micro-batch on the integrated frame,
@@ -311,6 +325,8 @@ def main():
 
     masked = _try(bench_tpu_async, params, layer_defs, events)
     masked_eps = masked[0] if masked else None
+    bf16 = _try(bench_tpu_parallel_bf16, params, layer_defs, events_par)
+    bf16_eps = bf16[0] if bf16 else None
     serving_eps = _try(bench_tpu_serving, params, layer_defs, events)
     clustered = clustered_stream(rng, T_CHUNKS, CHUNK_EVENTS)
     window = _try(bench_tpu_async, params, layer_defs, clustered, conv_mode="window")
@@ -329,6 +345,8 @@ def main():
         "vs_tpu_dense_frame": round(tpu_eps / dense_eps, 2),
         "async_dense_masked_events_per_sec":
             round(masked_eps, 1) if masked_eps else None,
+        "parallel_bf16_events_per_sec":
+            round(bf16_eps, 1) if bf16_eps else None,
         "serving_events_per_sec_chip_8streams":
             round(serving_eps, 1) if serving_eps else None,
         "window_mode_clustered_events_per_sec":
