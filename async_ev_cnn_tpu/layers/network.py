@@ -284,13 +284,23 @@ class EventNetwork:
         if window is None or window >= t:
             carry, outs = window_body(carry0, chunks)
         else:
-            if t % window:
-                raise ValueError(f"T={t} not divisible by window={window}")
+            pad = (-t) % window
+            if pad:
+                # all-invalid chunks are exact identity updates (ts falls
+                # back to prev_ts, no event lands), so padding the time
+                # axis to a window multiple changes nothing but shapes
+                chunks = jax.tree.map(
+                    lambda a: jnp.concatenate(
+                        [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)]
+                    ),
+                    chunks,
+                )
+            tp = t + pad
             cs = jax.tree.map(
-                lambda a: a.reshape(t // window, window, *a.shape[1:]), chunks
+                lambda a: a.reshape(tp // window, window, *a.shape[1:]), chunks
             )
             carry, outs = jax.lax.scan(window_body, carry0, cs)
-            outs = outs.reshape(t, *outs.shape[2:])
+            outs = outs.reshape(tp, *outs.shape[2:])[:t]
         new_state = (IntegrationState(carry[0], carry[1]),) + tuple(state[1:])
         return new_state, outs
 

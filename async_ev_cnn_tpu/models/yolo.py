@@ -130,8 +130,15 @@ class YoloEventJax(_YoloBase):
 
         return jax.lax.scan(body, state, chunks)
 
+    # cap on frames per time-batched dispatch: bounds activation memory for
+    # long examples (first-layer activations at 160x224x16 are ~2.3 MB per
+    # frame); the window scan pads the tail with exact no-op chunks
+    PARALLEL_WINDOW = 256
+
     def _scan_parallel_impl(self, params, state, chunks):
-        state, outs = self.net.scan_parallel(params, state, chunks)
+        state, outs = self.net.scan_parallel(
+            params, state, chunks, window=self.PARALLEL_WINDOW
+        )
         return state, jnp.reshape(outs, (outs.shape[0], *self.grid_shape))
 
     def step(self, state, chunk: EventChunk):

@@ -208,6 +208,21 @@ def test_scan_parallel_matches_sequential(rng):
         lambda p, s, c: net.scan_parallel(p, s, c, window=100)
     )(params, state0, chunks)
     assert float(jnp.max(jnp.abs(outs_seq - outs_w))) <= 1e-4
+    # non-divisible window: tail padded with exact no-op chunks
+    _, outs_p = jax.jit(
+        lambda p, s, c: net.scan_parallel(p, s, c, window=128)
+    )(params, state0, chunks)
+    assert outs_p.shape == outs_seq.shape
+    assert float(jnp.max(jnp.abs(outs_seq - outs_p))) <= 1e-4
+    # chunks with invalid padding slots (µs-binned variable occupancy)
+    valid = np.asarray(chunks.valid).copy()
+    valid[10:20] = False
+    chunks_v = chunks._replace(valid=jnp.asarray(valid))
+    _, o_seq = jax.jit(net.scan)(params, state0, chunks_v)
+    _, o_par = jax.jit(
+        lambda p, s, c: net.scan_parallel(p, s, c)
+    )(params, state0, chunks_v)
+    assert float(jnp.max(jnp.abs(o_seq - o_par))) <= 1e-4
     # non-full modes must be rejected (their state has a real recurrence)
     net_d, _ = reference_test_net(conv_mode="dense")
     with pytest.raises(ValueError):
