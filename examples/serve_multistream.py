@@ -60,6 +60,29 @@ def main():
         print(f"step {step}: per-stream grid outputs {grids.shape}, "
               f"mean |out| = {np.abs(grids).mean():.4f}")
 
+    # ---- throughput mode: full-recompute net, parallel-in-time ----------
+    # Each stream's T chunks are executed as one time-batched program
+    # (associative-scan surfaces + batched forward) — the fastest exact
+    # path below the ~0.3 MPix crossover (docs/performance.md).
+    net_full = EventNetwork(layers, 32, 32, leak=1e-4, alpha=0.1,
+                            padding="SAME", conv_mode="full")
+    eng_full = MultiStreamEngine(net_full, mesh)
+    p_full = eng_full.place_params(params)
+    states_full = eng_full.init_states(p_full, n_streams)
+    t_chunks = 8
+    chunks_ts = jax.tree.map(
+        lambda *xs: jnp.stack(xs, axis=0),
+        *[random_chunk()._replace(
+            ts=random_chunk().ts + jnp.int32(1000 * (t + 5)))
+          for t in range(t_chunks)],
+    )
+    states_full, grids = eng_full.scan_parallel(
+        p_full, states_full, eng_full.place_chunks(chunks_ts, leading_time=True)
+    )
+    grids = np.asarray(grids)
+    print(f"parallel-in-time: {t_chunks} chunks x {n_streams} streams -> "
+          f"outputs {grids.shape}, mean |out| = {np.abs(grids).mean():.4f}")
+
 
 if __name__ == "__main__":
     main()
