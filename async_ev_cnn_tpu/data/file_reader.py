@@ -148,6 +148,11 @@ class AerReader(FileReader):
         data = payload.byteswap()  # 2.0 payload is big-endian
         addr = data[0::2]
         ts = data[1::2]
+        if self._camera.startswith("DAVIS"):
+            # jAER apsDVS streams interleave APS/IMU readout words flagged
+            # by address bit 31; only bit-31-clear words are DVS events.
+            dvs = (addr.astype(np.uint32) & np.uint32(0x80000000)) == 0
+            addr, ts = addr[dvs], ts[dvs]
         x_mask, x_shift, y_mask, y_shift, p_mask, p_shift = self._camera_format()
         x = ((addr & x_mask) >> x_shift).astype(np.int32)
         y = ((addr & y_mask) >> y_shift).astype(np.int32)

@@ -81,7 +81,7 @@ def build_layer_defs(
                     f"layer {name}: in_channels {cin} != previous out_channels {prev_shape[0]}"
                 )
             layer_mode = getattr(layer_defs, "modes", {}).get(name, conv_mode)
-            if layer_mode not in ("auto", "dense", "sparse", "sparse_pallas", "sparse_rows", "window", "full"):
+            if layer_mode not in modes:
                 raise ValueError(f"layer {name}: unknown conv mode {layer_mode!r}")
             if force_full:
                 mode = "full"

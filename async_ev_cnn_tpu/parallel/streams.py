@@ -59,7 +59,7 @@ class MultiStreamEngine:
         self.mesh = mesh
         self._jit_step = None
         self._jit_scan = None
-        self._jit_scan_parallel = None
+        self._jit_scan_parallel = {}
 
     # ---- shardings --------------------------------------------------------
 
@@ -175,28 +175,31 @@ class MultiStreamEngine:
             self._build()
         return self._jit_scan(params, states, chunks)
 
-    def scan_parallel(self, params, states, chunks: EventChunk):
+    def scan_parallel(self, params, states, chunks: EventChunk,
+                      window: int | None = 256):
         """Parallel-in-time serving: every stream runs
         :meth:`EventNetwork.scan_parallel` (time-batched forward), vmapped
         over the stream axis and sharded over ``data`` — the whole mesh
         computes one ``[T * S_local]``-frame batched program per device.
-        Requires an all-'full' network; ``chunks`` leaves are [T, S, E]."""
-        if self._jit_scan_parallel is None:
+        Requires an all-'full' network; ``chunks`` leaves are [T, S, E].
+        ``window`` caps frames-per-dispatch per stream (activation memory
+        scales with T * S_local; the tail pads with exact no-op chunks)."""
+        if window not in self._jit_scan_parallel:
             net = self.net
 
             def scan_par(params, states, chunks):
                 def one(state, cs):  # cs leaves [T, E]
-                    return net.scan_parallel(params, state, cs)
+                    return net.scan_parallel(params, state, cs, window=window)
 
                 return jax.vmap(one, in_axes=(0, 1), out_axes=(0, 1))(
                     states, chunks
                 )
 
-            self._jit_scan_parallel = jax.jit(
+            self._jit_scan_parallel[window] = jax.jit(
                 scan_par,
                 in_shardings=(
                     None, self.state_shardings(), self.chunk_sharding(True)
                 ),
                 out_shardings=(self.state_shardings(), self._sh(None, "data")),
             )
-        return self._jit_scan_parallel(params, states, chunks)
+        return self._jit_scan_parallel[window](params, states, chunks)

@@ -73,31 +73,31 @@ def profile_layers(net, params, chunks, reps: int = 3, dispatches: int = 4):
     t_chunks = int(chunks.y.shape[0])
 
     def timed(upto):
-        def scan_fn(state, cs):
-            # the carried scalar depends on the deepest computed layer's
-            # surface, so no prefix layer can be dead-code-eliminated and
-            # the final fetch transitively waits on every measured op
+        import jax.numpy as jnp
+
+        def scan_fn(state, cs, acc0):
+            # the carried scalar sums the deepest computed layer's surface
+            # mean, so no prefix layer can be dead-code-eliminated; threading
+            # acc0 through chains the K dispatches so ONE final fetch waits
+            # transitively on all of them
             def body(carry, chunk):
                 st, acc = carry
                 st, ios = net.forward(params, st, chunk, upto=upto)
                 last = next(reversed(ios.values()))
-                return (st, acc + last.surface.ravel()[0]), None
+                return (st, acc + jnp.mean(last.surface)), None
 
-            (st, acc), _ = jax.lax.scan(body, (state, jnp_zero()), cs)
+            (st, acc), _ = jax.lax.scan(body, (state, acc0), cs)
             return acc
 
-        import jax.numpy as jnp
-
-        def jnp_zero():
-            return jnp.float32(0)
-
         fn = jax.jit(scan_fn)
-        float(fn(state0, chunks))  # compile + sync
+        float(fn(state0, chunks, jnp.float32(0)))  # compile + sync
         best = float("inf")
         for _ in range(reps):
+            acc = jnp.float32(0)
             t0 = time.time()
-            accs = [fn(state0, chunks) for _ in range(dispatches)]
-            float(accs[-1]) and [float(a) for a in accs]
+            for _ in range(dispatches):
+                acc = fn(state0, chunks, acc)
+            float(acc)  # single host fetch = the only sync point
             best = min(best, time.time() - t0)
         return best / dispatches / t_chunks * 1e3  # ms per chunk
 

@@ -298,12 +298,12 @@ def pack_chunks_usec(
     """
     import jax.numpy as jnp
 
-    ts = events[:, -1]
-    bins = np.arange(0, ts[-1], batch_event_usec) if len(ts) else np.array([0])
-    bin_ids = np.digitize(ts, bins)
-    split_at = np.where(bin_ids[:-1] != bin_ids[1:])[0] + 1
+    if events.shape[0] == 0:  # one all-invalid (no-op) chunk
+        z = jnp.zeros((1, capacity), jnp.int32)
+        return EventChunk(y=z, x=z, ts=z, p=z,
+                          valid=jnp.zeros((1, capacity), bool))
     pieces = []
-    for piece in np.array_split(events, split_at, axis=0):
+    for piece in split_micro_batches(events, batch_event_usec=batch_event_usec):
         if piece.shape[0] <= capacity:
             pieces.append(piece)
         else:

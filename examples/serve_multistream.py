@@ -70,11 +70,14 @@ def main():
     p_full = eng_full.place_params(params)
     states_full = eng_full.init_states(p_full, n_streams)
     t_chunks = 8
+
+    def chunk_at(t):
+        c = random_chunk()
+        return c._replace(ts=c.ts + jnp.int32(1000 * (t + 5)))
+
     chunks_ts = jax.tree.map(
         lambda *xs: jnp.stack(xs, axis=0),
-        *[random_chunk()._replace(
-            ts=random_chunk().ts + jnp.int32(1000 * (t + 5)))
-          for t in range(t_chunks)],
+        *[chunk_at(t) for t in range(t_chunks)],
     )
     states_full, grids = eng_full.scan_parallel(
         p_full, states_full, eng_full.place_chunks(chunks_ts, leading_time=True)

@@ -68,7 +68,6 @@ def make_training_batch(rng, net, params, batch):
     training inputs share the inference-time surface statistics."""
     t_chunks = 16
     frames, boxes, objs, clss = [], [], [], []
-    state = net.init_state(params)
     ispec = net.event_layers[0].spec
     for _ in range(batch):
         ev, cy, cx = clustered_stream(rng, t_chunks, CHUNK_EVENTS,

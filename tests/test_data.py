@@ -80,6 +80,33 @@ def test_aedat20_roundtrip_davis(tmp_path, rng, camera, max_x, max_y):
     np.testing.assert_array_equal(p2, p)
 
 
+def test_aedat20_davis_skips_aps_words(tmp_path, rng):
+    """jAER apsDVS streams interleave APS/IMU readout (address bit 31 set);
+    the DAVIS decode must drop them instead of producing phantom events."""
+    n = 50
+    x = rng.randint(0, 240, n).astype(np.uint32)
+    y = rng.randint(0, 180, n).astype(np.uint32)
+    ts = np.cumsum(rng.randint(1, 100, n)).astype(np.uint32)
+    p = rng.randint(0, 2, n).astype(np.uint32)
+    addr = (y << 22) | (x << 12) | (p << 11)
+    # interleave APS words (bit 31 set) between the DVS events
+    aps_addr = (np.uint32(0x80000000) | rng.randint(0, 2**20, n).astype(np.uint32))
+    words = np.empty(4 * n, np.uint32)
+    words[0::4] = addr
+    words[1::4] = ts
+    words[2::4] = aps_addr
+    words[3::4] = ts  # APS timestamps
+    path = str(tmp_path / "davis_mixed.aedat")
+    with open(path, "wb") as f:
+        f.write(b"#!AER-DAT2.0\r\n")
+        f.write(words.astype(">u4").tobytes())
+    l2, x2, y2, ts2, p2 = AerReader("DAVIS240").read_example(path)
+    assert l2 == n  # APS words dropped
+    np.testing.assert_array_equal(x2, x.astype(np.int32))
+    np.testing.assert_array_equal(y2, y.astype(np.int32))
+    np.testing.assert_array_equal(p2, p.astype(np.int32))
+
+
 def test_aedat31_roundtrip_with_overflow(tmp_path, rng):
     x, y, ts, p = random_events(rng, n=300, max_xy=1000)
     # push some timestamps past the 31-bit overflow boundary
