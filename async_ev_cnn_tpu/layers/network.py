@@ -88,8 +88,10 @@ def build_layer_defs(
             elif layer_mode == "auto":
                 # measured crossover (docs/performance.md): full recompute
                 # wins below ~0.15 MPix (the MXU eats the dense conv faster
-                # than any gather); the sparse rulebook wins above.
-                mode = "sparse_pallas" if prev_shape[1] * prev_shape[2] >= 150_000 else "full"
+                # than any gather); above it the row-granular rulebook wins
+                # on clustered activity (the DVS norm) and degenerates to
+                # ~dense on uniform activity — never catastrophic.
+                mode = "sparse_rows" if prev_shape[1] * prev_shape[2] >= 150_000 else "full"
             else:
                 mode = layer_mode
             force_full = force_full or mode == "full"
