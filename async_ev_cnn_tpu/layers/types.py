@@ -24,7 +24,9 @@ class EventChunk(NamedTuple):
     Attributes:
       y, x: int32 ``[E]`` pixel coordinates.
       ts:   int32 ``[E]`` timestamps (microseconds), non-decreasing over the
-            stream.
+            stream.  int32 µs wraps after ~35 min; rebase long recordings
+            (the runners' data_transform subtracts the first timestamp,
+            matching the reference runner.py:26).
       p:    int32 ``[E]`` polarity. Carried for API parity; the eFCN pipeline
             drops polarity before the network exactly like the reference
             (/root/reference/src/libs/runner.py:32).

@@ -129,8 +129,10 @@ def _chained_events_per_sec(step_fn, state0, chunks, n_events, dispatches=DISPAT
     on every dispatched step."""
     st, outs = step_fn(state0, chunks)  # compile + warm
     _fetch_tail(outs)
+    st, outs = step_fn(state0, chunks)  # second warm pass (steady clocks)
+    _fetch_tail(outs)
     best = float("inf")
-    for _ in range(3):
+    for _ in range(4):
         st = state0
         t0 = time.time()
         for _ in range(dispatches):
