@@ -89,3 +89,28 @@ def test_graft_entry_multichip_driver_env():
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "DRYRUN_OK" in proc.stdout
+
+
+def test_profile_layers_toy(bench_mod):
+    """profile_layers returns one marginal row per layer plus TOTAL, and
+    the marginals sum to the total."""
+    import jax.numpy as jnp
+
+    from async_ev_cnn_tpu.layers.network import EventNetwork
+    from async_ev_cnn_tpu.utils.config import layers_dict
+    from async_ev_cnn_tpu.utils.profiling import profile_layers
+    from async_ev_cnn_tpu.utils.runner import pack_chunks
+
+    layer_defs = layers_dict(bench_mod.EFCN_DSL)
+    rng = np.random.RandomState(0)
+    params = {k: jnp.asarray(v)
+              for k, v in bench_mod.make_params(layer_defs, rng).items()}
+    events = bench_mod.synth_stream(rng, 4, 10)
+    chunks = pack_chunks(events, 16)
+    net = EventNetwork(layer_defs, bench_mod.H, bench_mod.W, leak=1e-4,
+                       alpha=0.1, padding="SAME")
+    rows = profile_layers(net, params, chunks, reps=1, dispatches=1)
+    assert rows[-1][0] == "TOTAL" and rows[-1][1] > 0
+    assert len(rows) == len(net.event_layers) + 1
+    marginal_sum = sum(ms for name, ms in rows[:-1])
+    assert abs(marginal_sum - rows[-1][1]) < 1e-9

@@ -124,6 +124,45 @@ def test_empty_chunk_is_noop():
     assert not np.asarray(m).any()
 
 
+def test_integrate_parallel_fuzz_vs_sequential():
+    """The associative max-plus composition must reproduce the sequential
+    clamp chain for arbitrary streams, leaks, and duplicate/empty chunks."""
+    import jax
+
+    from async_ev_cnn_tpu.ops.integrate import integrate_parallel
+    from async_ev_cnn_tpu.layers.types import EventChunk
+
+    for seed, leak in [(0, 1e-4), (1, 0.05), (2, 0.7), (3, 5e-5)]:
+        rng = np.random.RandomState(seed)
+        t, e, h, w = 60, 6, 10, 12
+        ts = np.sort(rng.randint(1, 30, (t, e)), axis=1)
+        ts += np.cumsum(ts[:, -1])[:, None] - ts[:, -1:]
+        chunks = EventChunk(
+            y=jnp.asarray(rng.randint(0, h, (t, e)), jnp.int32),
+            x=jnp.asarray(rng.randint(0, w, (t, e)), jnp.int32),
+            ts=jnp.asarray(ts, jnp.int32),
+            p=jnp.zeros((t, e), jnp.int32),
+            valid=jnp.asarray(rng.rand(t, e) < 0.8),  # some all-invalid rows
+        )
+        surf0 = jnp.asarray(rng.rand(1, h, w).astype(np.float32))
+        # sequential reference
+        s, prev = surf0[0], jnp.int32(0)
+        seq = []
+        for i in range(t):
+            s, prev, _, _ = integrate_step(
+                s, prev, chunks.y[i], chunks.x[i], chunks.ts[i],
+                chunks.valid[i], leak,
+            )
+            seq.append(np.asarray(s))
+        surfs, last_ts = jax.jit(
+            lambda s0, c: integrate_parallel(s0, jnp.int32(0), c, leak)
+        )(surf0, chunks)
+        np.testing.assert_allclose(
+            np.asarray(surfs)[:, 0], np.stack(seq), atol=1e-5,
+            err_msg=f"seed={seed} leak={leak}",
+        )
+
+
 def test_integrate_frame_standalone(rng):
     h, w, leak = 6, 7, 0.05
     state = None
