@@ -173,6 +173,35 @@ def _sparse_update(spec: ConvSpec, kernel, bias, state, prev_io, active, fm_leak
     from async_ev_cnn_tpu.ops.masks import mask_to_topk_coords
     from async_ev_cnn_tpu.ops.rulebook import rulebook_conv_pair, scatter_site_values
 
+    if spec.mode == "sparse_rows":
+        # rows mode gathers clamped row indices from the UNPADDED planes —
+        # a full-plane jnp.pad costs more than the whole gather+conv at
+        # production sizes (docs/performance.md)
+        from async_ev_cnn_tpu.ops.rulebook import rows_conv_pair, scatter_row_values
+
+        row_idx, row_valid, fm_rows, ca_rows, overflow = rows_conv_pair(
+            prev_io.featuremap, prev_io.conv_actfn, active, kernel, bias,
+            spec.stride, spec.row_capacity, spec.pads,
+        )
+
+        def rows_branch(_):
+            fm = scatter_row_values(fm_leaked, row_idx, row_valid, active, fm_rows)
+            cact = scatter_row_values(
+                state.conv_actfn, row_idx, row_valid, active, ca_rows
+            )
+            return fm, cact
+
+        def rows_dense_branch(_):
+            conv_fm, conv_cact = _conv_pair(
+                spec, kernel, bias, prev_io.featuremap, prev_io.conv_actfn
+            )
+            return (
+                jnp.where(active, conv_fm, fm_leaked),
+                jnp.where(active, conv_cact, state.conv_actfn),
+            )
+
+        return lax.cond(overflow, rows_dense_branch, rows_branch, None)
+
     (pt, pb), (pl, pr) = spec.pads
     pad_cfg = ((0, 0), (pt, pb), (pl, pr))
     fm_in = jnp.pad(prev_io.featuremap, pad_cfg)
@@ -227,30 +256,6 @@ def _sparse_update(spec: ConvSpec, kernel, bias, state, prev_io, active, fm_leak
             stride=spec.stride,
             interpret=jax.default_backend() == "cpu",
         )
-    elif spec.mode == "sparse_rows":
-        from async_ev_cnn_tpu.ops.rulebook import rows_conv_pair, scatter_row_values
-
-        row_idx, row_valid, fm_rows, ca_rows, overflow = rows_conv_pair(
-            fm_in, ca_in, active, kernel, bias, spec.stride, spec.row_capacity
-        )
-
-        def rows_branch(_):
-            fm = scatter_row_values(fm_leaked, row_idx, row_valid, active, fm_rows)
-            cact = scatter_row_values(
-                state.conv_actfn, row_idx, row_valid, active, ca_rows
-            )
-            return fm, cact
-
-        def rows_dense_branch(_):
-            conv_fm, conv_cact = _conv_pair(
-                spec, kernel, bias, prev_io.featuremap, prev_io.conv_actfn
-            )
-            return (
-                jnp.where(active, conv_fm, fm_leaked),
-                jnp.where(active, conv_cact, state.conv_actfn),
-            )
-
-        return lax.cond(overflow, rows_dense_branch, rows_branch, None)
     else:
         ys, xs, valid, fm_vals, ca_vals, overflow = rulebook_conv_pair(
             fm_in, ca_in, active, kernel, bias, spec.stride, spec.capacity

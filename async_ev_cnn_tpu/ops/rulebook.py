@@ -90,44 +90,59 @@ def scatter_site_values(dest: jnp.ndarray, ys, xs, valid, vals: jnp.ndarray):
 
 
 def rows_conv_pair(
-    featuremap: jnp.ndarray,   # [C, Hp, Wp] padded
-    conv_actfn: jnp.ndarray,   # [C, Hp, Wp] padded
+    featuremap: jnp.ndarray,   # [C, H, W] UNPADDED
+    conv_actfn: jnp.ndarray,   # [C, H, W] UNPADDED
     active: jnp.ndarray,       # [oh, ow]
     kernel: jnp.ndarray,       # [O, C, kh, kw]
     bias: jnp.ndarray,         # [O]
     stride: int,
     row_capacity: int,
+    pads,                      # ((pt, pb), (pl, pr)) conv padding
 ):
     """Row-granular sparse conv of the (featuremap, conv-actfn) pair.
 
     The chip's DMA engine pays a ~2.8 µs fixed cost per descriptor
     (docs/performance.md), so site-granular gathers are issue-bound; whole
-    input *rows* are the smallest unit that moves at real bandwidth
-    (>= 100 KB at production widths).  This kernel gathers the ``kh`` input
-    rows feeding each active output row, runs one batched VALID conv over
-    the ``[2R, C, kh, Wp]`` row stack (MXU-shaped), and hands back whole
-    output rows for a row-granular commit.
+    input *rows* are the smallest unit that moves at real bandwidth.  This
+    kernel gathers the ``kh`` input rows feeding each active output row,
+    runs one batched VALID conv over the ``[2R, C, kh, Wp]`` row stack
+    (MXU-shaped), and hands back whole output rows for a row-granular
+    commit.
+
+    Inputs stay UNPADDED: a full-plane ``jnp.pad`` costs ~1.6 ms at
+    512x640x64 — more than the whole gather+conv.  Instead, row indices are
+    clamped into range, out-of-range (conceptually padded) rows are zeroed
+    after the gather, and the width halo is padded on the small gathered
+    block only.  Gathering per plane (two takes) rather than stacking
+    avoids materialising a second full copy of both planes.
 
     Returns ``(row_idx [R], row_valid [R], fm_rows [R, O, ow],
     ca_rows [R, O, ow], overflow)``.
     """
     o, c, kh, kw = kernel.shape
+    (pt, _), (pl, pr) = pads
+    h = featuremap.shape[1]
     row_act = jnp.any(active, axis=1)  # [oh]
     n_rows = jnp.sum(row_act)
     overflow = n_rows > row_capacity
     row_idx = jnp.nonzero(row_act, size=row_capacity, fill_value=0)[0]
     row_valid = jnp.arange(row_capacity) < n_rows
 
-    take = row_idx[:, None] * stride + jnp.arange(kh, dtype=row_idx.dtype)[None, :]
-    # Gather rows directly in CHW.  A pre-transpose to HWC (making each row
-    # one contiguous >=100 KB copy) was measured *slower* end-to-end
-    # (4.75 vs 4.35 ms at 69 rows/512x640x64) — the full-map transpose
-    # traffic exceeds what the coarser DMA descriptors save.
-    planes = jnp.stack([featuremap, conv_actfn])          # [2, C, Hp, Wp]
-    rows = jnp.take(planes, take.reshape(-1), axis=2)     # [2, C, R*kh, Wp]
-    rows = rows.reshape(2, c, row_capacity, kh, -1)
-    rows = jnp.transpose(rows, (0, 2, 1, 3, 4)).reshape(
-        2 * row_capacity, c, kh, featuremap.shape[-1]
+    # input rows feeding output row r: r*stride - pt + [0, kh)
+    take = (row_idx[:, None] * stride - pt
+            + jnp.arange(kh, dtype=row_idx.dtype)[None, :])  # [R, kh]
+    in_range = ((take >= 0) & (take < h)).reshape(-1)
+    take_c = jnp.clip(take, 0, h - 1).reshape(-1)
+    zero = jnp.where(in_range, jnp.float32(1), jnp.float32(0))[None, :, None]
+
+    def gather(plane):
+        g = jnp.take(plane, take_c, axis=1) * zero        # [C, R*kh, W]
+        g = jnp.pad(g, ((0, 0), (0, 0), (pl, pr)))        # width halo only
+        g = g.reshape(c, row_capacity, kh, -1)
+        return jnp.transpose(g, (1, 0, 2, 3))             # [R, C, kh, Wp]
+
+    rows = jnp.concatenate(
+        [gather(featuremap), gather(conv_actfn)]
     )                                                     # [2R, C, kh, Wp]
     out = lax.conv_general_dilated(
         rows.astype(jnp.float32), kernel.astype(jnp.float32),
