@@ -87,11 +87,11 @@ def build_layer_defs(
                 mode = "full"
             elif layer_mode == "auto":
                 # measured crossover (docs/performance.md): full recompute
-                # wins below ~0.15 MPix (the MXU eats the dense conv faster
+                # wins below ~0.3 MPix (the MXU eats the dense conv faster
                 # than any gather); above it the row-granular rulebook wins
                 # on clustered activity (the DVS norm) and degenerates to
                 # ~dense on uniform activity — never catastrophic.
-                mode = "sparse_rows" if prev_shape[1] * prev_shape[2] >= 150_000 else "full"
+                mode = "sparse_rows" if prev_shape[1] * prev_shape[2] >= 300_000 else "full"
             else:
                 mode = layer_mode
             force_full = force_full or mode == "full"
@@ -149,6 +149,15 @@ class EventNetwork:
         )
         self.alpha = alpha
         self.out_shape = self.event_layers[-1].spec.out_shape
+
+    @property
+    def is_all_full(self) -> bool:
+        """True when every conv/pool layer runs in 'full' (recompute) mode —
+        the precondition for the parallel-in-time execution paths."""
+        return all(
+            getattr(ld.spec, "mode", None) == "full"
+            for ld in self.event_layers[1:]
+        )
 
     # ---- state ----------------------------------------------------------
 
@@ -243,13 +252,16 @@ class EventNetwork:
         time-batched).  ``window`` bounds peak memory: the T axis is
         processed in sequential windows of that many chunks.
         """
-        for ld in self.event_layers[1:]:
-            if getattr(ld.spec, "mode", None) != "full":
-                raise ValueError(
-                    "scan_parallel requires conv_mode='full' for every "
-                    f"conv/pool layer; {ld.name} is "
-                    f"{getattr(ld.spec, 'mode', None)!r}"
-                )
+        if not self.is_all_full:
+            bad = [
+                f"{ld.name}={getattr(ld.spec, 'mode', None)!r}"
+                for ld in self.event_layers[1:]
+                if getattr(ld.spec, "mode", None) != "full"
+            ]
+            raise ValueError(
+                "scan_parallel requires conv_mode='full' for every conv/pool "
+                f"layer; got {', '.join(bad)}"
+            )
         from async_ev_cnn_tpu.layers.types import IntegrationState
         from async_ev_cnn_tpu.ops.integrate import integrate_parallel
 

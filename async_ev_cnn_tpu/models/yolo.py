@@ -150,10 +150,7 @@ class YoloEventJax(_YoloBase):
         leaky surface, and the parallel-in-time path (scan_parallel: one
         associative scan + a time-batched forward) computes identical
         outputs several times faster — use it automatically."""
-        if all(
-            getattr(ld.spec, "mode", None) == "full"
-            for ld in self.net.event_layers[1:]
-        ):
+        if self.net.is_all_full:
             return self._jit_scan_parallel(self._device_params(), state, chunks)
         return self._jit_scan(self._device_params(), state, chunks)
 

@@ -14,7 +14,12 @@ row's compute), then contract tap-by-tap: ``acc += rows[dh, dw:dw+ow, :C]
 
 The caller supplies the HWC transposes (one relayout per step) and
 scatters the returned rows back into CHW state (ops/rulebook.py
-``scatter_row_values``).  Falls back to interpret mode off-TPU.
+``scatter_row_values``).  Off-TPU callers must pass ``interpret=True``.
+
+Status: correct but NOT wired into a conv mode — end-to-end it loses to
+the XLA rows path because the CHW->HWC relayout costs more than the
+single-descriptor DMAs save (docs/performance.md).  It becomes the right
+engine if big-map layers ever keep their planes HWC-resident.
 """
 
 from __future__ import annotations

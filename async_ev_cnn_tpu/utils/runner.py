@@ -228,6 +228,7 @@ class MultiStreamRunner(Runner):
         total_batches = int(np.ceil(self.reader.test_size() / s))
         if max_examples is not None:
             total_batches = min(total_batches, max_examples)
+        scan_fn = eng.scan_parallel if model.net.is_all_full else eng.scan
         times, total_events = [], 0
         for i in range(total_batches):
             streams = []
@@ -243,11 +244,6 @@ class MultiStreamRunner(Runner):
             streams = [pad_chunks_t(c, t_max) for c in streams]
             chunks = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *streams)
             states = eng.init_states(params, s)
-            all_full = all(
-                getattr(ld.spec, "mode", None) == "full"
-                for ld in model.net.event_layers[1:]
-            )
-            scan_fn = eng.scan_parallel if all_full else eng.scan
             t0 = time.time()
             states, outs = scan_fn(params, states, eng.place_chunks(chunks, leading_time=True))
             np.asarray(outs[-1])  # host fetch = true sync point

@@ -127,6 +127,8 @@ def _chained_events_per_sec(step_fn, state0, chunks, n_events, dispatches=DISPAT
     host fetch is the only true synchronization point.  Fetching from both
     the last output and the final state makes the sync depend transitively
     on every dispatched step."""
+    import jax
+
     st, outs = step_fn(state0, chunks)  # compile + warm
     _fetch_tail(outs)
     st, outs = step_fn(state0, chunks)  # second warm pass (steady clocks)
@@ -140,8 +142,6 @@ def _chained_events_per_sec(step_fn, state0, chunks, n_events, dispatches=DISPAT
         _fetch_tail(outs)
         # the first state leaf is the integration surface — the recurrence
         # carrier (later leaves may be stateless placeholders in full mode)
-        import jax
-
         _fetch_tail(jax.tree.leaves(st)[0])
         best = min(best, time.time() - t0)
     return n_events * dispatches / best, best

@@ -112,5 +112,7 @@ def test_profile_layers_toy(bench_mod):
     rows = profile_layers(net, params, chunks, reps=1, dispatches=1)
     assert rows[-1][0] == "TOTAL" and rows[-1][1] > 0
     assert len(rows) == len(net.event_layers) + 1
-    marginal_sum = sum(ms for name, ms in rows[:-1])
-    assert abs(marginal_sum - rows[-1][1]) < 1e-9
+    assert [name for name, _ in rows[:-1]] == [
+        ld.name for ld in net.event_layers
+    ]
+    assert all(np.isfinite(ms) for _, ms in rows)
