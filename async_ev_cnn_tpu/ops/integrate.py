@@ -33,10 +33,13 @@ TS_SENTINEL = jnp.int32(-(2**31) + 1)
 def _event_ts_map(y, x, ts, valid, h: int, w: int) -> jnp.ndarray:
     """Per-pixel max timestamp of the chunk's events; sentinel elsewhere.
 
-    Expressed as a broadcast compare + max-reduce over the chunk axis
-    rather than a scatter: a 256-element scatter serializes on TPU
-    (~0.6 ms/chunk measured), while the [H*W, E] compare/select/reduce
-    fuses into regular VPU work.
+    Broadcast compare + max-reduce over the chunk axis rather than a
+    scatter: a 256-element scatter serializes on TPU (~0.6 ms/chunk
+    measured), while the [H*W, E] compare/select/reduce fuses into regular
+    VPU work.  Nominally O(H*W*E) VPU ops, but measured CHEAP in context
+    (~1.7 ms marginal for T=200 vmapped maps at 160x224/E=256 on v5e) —
+    see :func:`_event_ts_map_mxu` below for the measured-and-rejected
+    MXU reformulation.
     """
     pix = jnp.where(valid, y.astype(jnp.int32) * w + x.astype(jnp.int32), -1)
     grid = jax.lax.broadcasted_iota(jnp.int32, (h * w, pix.shape[0]), 0)
@@ -46,6 +49,69 @@ def _event_ts_map(y, x, ts, valid, h: int, w: int) -> jnp.ndarray:
         jnp.where(hit, ts_b[None, :], TS_SENTINEL), axis=1
     )
     return ts_map.reshape(h, w)
+
+
+def _event_ts_map_mxu(y, x, ts, valid, h: int, w: int) -> jnp.ndarray:
+    """MXU reformulation of :func:`_event_ts_map` — a measured NEGATIVE
+    result on v5e, kept (bit-exact, fuzz-gated in tests/test_integrate.py)
+    as the record of the experiment.
+
+    Idea: after an O(E^2) in-chunk dedup exactly one event survives per
+    pixel, so the scatter is the rank-E outer-product sum
+
+        map[h, w] = sum_e onehot_y[h, e] * onehot_x[w, e] * val[e]
+
+    i.e. one ``[H, E] x [E, 5W]`` matmul — O((H+W) * E) one-hot builds
+    instead of the O(H*W*E) compare-reduce, with the contraction on the
+    MXU.  Measured in context (prefix ablation inside
+    ``integrate_parallel``, T=200, 160x224, E=256, v5e): the map itself is
+    a wash (~1.7 ms marginal for either formulation — XLA fuses the
+    compare-reduce well and the op is HBM-bound), but the dot_general's
+    output **layout poisons the downstream (b, c) associative scan**:
+    4.4 -> 23.2 ms for the scan stage, an ~4x end-to-end regression that
+    an ``optimization_barrier`` after the map does not undo.  So the
+    compare-reduce stays the default.
+
+    Exactness: the timestamp is carried as four 8-bit two's-complement
+    limbs plus a presence column, so every product and every accumulation
+    term is an integer < 2^8 with at most one nonzero addend per output —
+    exact even under bf16 matmul precision (HIGHEST is pinned anyway).
+    """
+    e = y.shape[0]
+    yi = y.astype(jnp.int32)
+    xi = x.astype(jnp.int32)
+    ts_b = jnp.where(valid, ts.astype(jnp.int32), TS_SENTINEL)
+    pix = jnp.where(valid, yi * w + xi, -1)
+    idx = jax.lax.iota(jnp.int32, e)
+    # keep[e]: e is the (ts, index)-lexicographic max among its pixel's
+    # valid events — the same winner _event_ts_map_ref's max picks.
+    same = pix[:, None] == pix[None, :]
+    later = (ts_b[None, :] > ts_b[:, None]) | (
+        (ts_b[None, :] == ts_b[:, None]) & (idx[None, :] > idx[:, None])
+    )
+    keep = valid & ~jnp.any(same & later, axis=1)
+
+    oy = (jax.lax.broadcasted_iota(jnp.int32, (h, e), 0) == yi[None, :]).astype(
+        jnp.float32
+    )
+    ox = (jax.lax.broadcasted_iota(jnp.int32, (w, e), 0) == xi[None, :]).astype(
+        jnp.float32
+    )
+    # presence + four 8-bit two's-complement limbs of ts
+    limbs = [(ts_b >> (8 * k)) & 0xFF for k in range(4)]
+    vals = jnp.stack(
+        [keep.astype(jnp.float32)]
+        + [jnp.where(keep, l, 0).astype(jnp.float32) for l in limbs],
+        axis=0,
+    )  # [5, E]
+    rhs = (vals[:, None, :] * ox[None, :, :]).reshape(5 * w, e)
+    m = jax.lax.dot_general(
+        oy, rhs, (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    ).reshape(h, 5, w)
+    present = m[:, 0] > 0.5
+    li = [m[:, 1 + k].astype(jnp.int32) for k in range(4)]
+    rec = li[0] | (li[1] << 8) | (li[2] << 16) | (li[3] << 24)
+    return jnp.where(present, rec, TS_SENTINEL)
 
 
 def integrate_step(surface, prev_ts, y, x, ts, valid, leak: float, p=None):

@@ -179,3 +179,30 @@ def test_integrate_frame_standalone(rng):
         exp, np_prev, _, _ = np_integrate(np_frame, np_prev, y, x, ts.astype(np.int32), leak)
         np_frame = exp
         np.testing.assert_allclose(np.asarray(frame), exp, atol=1e-6)
+
+
+def test_ts_map_mxu_bitexact_vs_reference(rng):
+    """The MXU outer-product formulation of the per-pixel ts map (a
+    recorded negative-result experiment, see its docstring) must stay
+    bit-exact vs the shipped compare-reduce formulation — callers branch
+    on exact sentinel/int equality.  Covers duplicates, ties, negative and
+    near-overflow timestamps, and all-invalid chunks."""
+    import jax
+
+    from async_ev_cnn_tpu.ops.integrate import _event_ts_map, _event_ts_map_mxu
+
+    h, w, e = 11, 13, 32
+    fast = jax.jit(lambda y, x, ts, v: _event_ts_map_mxu(y, x, ts, v, h, w))
+    ref = jax.jit(lambda y, x, ts, v: _event_ts_map(y, x, ts, v, h, w))
+    extremes = np.array([0, 1, -1, 5, 2**30, -(2**30), 2**31 - 2], np.int32)
+    for trial in range(40):
+        y = rng.randint(0, h, e).astype(np.int32)
+        x = rng.randint(0, w, e).astype(np.int32)
+        if trial % 3 == 0:
+            ts = rng.choice(extremes, size=e).astype(np.int32)
+        else:
+            ts = np.sort(rng.randint(0, 6, e)).astype(np.int32)  # dup/tie-heavy
+        valid = rng.rand(e) < (0.0 if trial % 13 == 0 else 0.8)
+        a = np.asarray(fast(y, x, ts, valid))
+        b = np.asarray(ref(y, x, ts, valid))
+        np.testing.assert_array_equal(a, b, err_msg=f"trial={trial}")
