@@ -233,7 +233,12 @@ class EventNetwork:
         return state, out
 
     def scan_parallel(
-        self, params, state: tuple, chunks: EventChunk, window: int | None = None
+        self,
+        params,
+        state: tuple,
+        chunks: EventChunk,
+        window: int | None = None,
+        ts_window: tuple[int, int] | None = None,
     ):
         """Parallel-in-time execution of the same streaming semantics.
 
@@ -250,7 +255,11 @@ class EventNetwork:
         Requires every conv/pool layer in 'full' mode (the modes with
         per-chunk state have a real step-to-step dependency and cannot be
         time-batched).  ``window`` bounds peak memory: the T axis is
-        processed in sequential windows of that many chunks.
+        processed in sequential windows of that many chunks.  ``ts_window``
+        (static ``(wh, ww)``) computes each chunk's ts map inside a
+        bounding box around its events — a throughput knob for spatially
+        clustered streams; exact fallback if any chunk overflows (see
+        :func:`~async_ev_cnn_tpu.ops.integrate.integrate_parallel`).
         """
         if not self.is_all_full:
             bad = [
@@ -289,7 +298,9 @@ class EventNetwork:
 
         def window_body(carry, cs):
             surf, pts = carry
-            surfaces, last_ts = integrate_parallel(surf, pts, cs, ispec.leak)
+            surfaces, last_ts = integrate_parallel(
+                surf, pts, cs, ispec.leak, ts_window=ts_window
+            )
             outs = jax.vmap(frame_out)(surfaces)
             return (surfaces[-1], last_ts[-1]), outs
 

@@ -168,7 +168,34 @@ def integrate_step(surface, prev_ts, y, x, ts, valid, leak: float, p=None):
     return s2, last_ts, out_mask, delta_leak
 
 
-def integrate_parallel(surface, prev_ts, chunks, leak: float):
+def _ts_maps_windowed(chunks, valid_by_ch, h, w, wh, ww):
+    """Per-chunk ts maps computed inside a ``[wh, ww]`` bounding window.
+
+    DVS activity is spatially clustered (object edges), so each chunk's
+    events usually fit a small box: the O(H*W*E) per-chunk compare-reduce
+    shrinks to O(wh*ww*E) plus a sentinel-canvas placement.  Bit-exact by
+    construction — same compare arithmetic in local coordinates, integer
+    placement.  Callers must ensure every chunk's events fit (see
+    ``integrate_parallel``'s all-fit cond).
+    """
+    y_ref = jnp.where(chunks.valid, chunks.y, jnp.int32(2**30))
+    x_ref = jnp.where(chunks.valid, chunks.x, jnp.int32(2**30))
+    oy = jnp.clip(jnp.min(y_ref, axis=1), 0, h - wh)  # [T]
+    ox = jnp.clip(jnp.min(x_ref, axis=1), 0, w - ww)
+
+    def one_channel(vv):
+        def one_chunk(yy, xx, tt, v, oy_t, ox_t):
+            local = _event_ts_map(yy - oy_t, xx - ox_t, tt, v, wh, ww)
+            canvas = jnp.full((h, w), TS_SENTINEL, jnp.int32)
+            return jax.lax.dynamic_update_slice(canvas, local, (oy_t, ox_t))
+
+        return jax.vmap(one_chunk)(chunks.y, chunks.x, chunks.ts, vv, oy, ox)
+
+    return jnp.stack([one_channel(vv) for vv in valid_by_ch], axis=1)
+
+
+def integrate_parallel(surface, prev_ts, chunks, leak: float,
+                       ts_window: tuple[int, int] | None = None):
     """All ``T`` chunk-boundary surfaces at once (parallel-in-time).
 
     The sequential per-chunk pixel update (``integrate_step``) is
@@ -192,6 +219,15 @@ def integrate_parallel(surface, prev_ts, chunks, leak: float):
       prev_ts: int32 scalar, last event timestamp before the window.
       chunks: stacked :class:`EventChunk` with leading time axis ``[T, E]``.
       leak: leak rate per microsecond.
+      ts_window: optional static ``(wh, ww)``.  When set, each chunk's
+        per-pixel ts map is computed inside a ``[wh, ww]`` bounding box
+        around that chunk's events (O(wh*ww*E) instead of O(H*W*E) —
+        clustered DVS streams fit comfortably); one ``lax.cond`` falls
+        back to the full compare for the whole dispatch if ANY chunk's
+        bounding box exceeds the window, so results are bit-exact either
+        way.  Note: under ``vmap`` (multi-stream serving) the cond becomes
+        a select and BOTH formulations execute — use it on per-stream
+        dispatch paths only.
 
     Returns:
       ``(surfaces, last_ts)``: f32 ``[T, C, H, W]`` surfaces after each
@@ -212,16 +248,36 @@ def integrate_parallel(surface, prev_ts, chunks, leak: float):
     d = snap((last_ts - prev_last).astype(jnp.float32) * leak)  # [T]
 
     if channels == 1:
-        ts_map = jax.vmap(
-            lambda yy, xx, tt, vv: _event_ts_map(yy, xx, tt, vv, h, w)
-        )(chunks.y, chunks.x, chunks.ts, chunks.valid)[:, None]  # [T, 1, H, W]
+        valid_by_ch = [chunks.valid]
     else:
-        ts_map = jnp.stack([
+        valid_by_ch = [chunks.valid & (chunks.p == ch) for ch in range(channels)]
+
+    def _ts_maps_full(_):
+        return jnp.stack([
             jax.vmap(
                 lambda yy, xx, tt, vv: _event_ts_map(yy, xx, tt, vv, h, w)
-            )(chunks.y, chunks.x, chunks.ts, chunks.valid & (chunks.p == ch))
-            for ch in range(channels)
+            )(chunks.y, chunks.x, chunks.ts, vv)
+            for vv in valid_by_ch
         ], axis=1)  # [T, C, H, W]
+
+    if ts_window is None or (ts_window[0] >= h and ts_window[1] >= w):
+        ts_map = _ts_maps_full(None)
+    else:
+        wh, ww = min(ts_window[0], h), min(ts_window[1], w)
+        y_lo = jnp.where(chunks.valid, chunks.y, jnp.int32(2**30))
+        y_hi = jnp.where(chunks.valid, chunks.y, jnp.int32(-1))
+        x_lo = jnp.where(chunks.valid, chunks.x, jnp.int32(2**30))
+        x_hi = jnp.where(chunks.valid, chunks.x, jnp.int32(-1))
+        fits = (
+            (jnp.max(y_hi, axis=1) - jnp.min(y_lo, axis=1) < wh)
+            & (jnp.max(x_hi, axis=1) - jnp.min(x_lo, axis=1) < ww)
+        )
+        ts_map = jax.lax.cond(
+            jnp.all(fits),
+            lambda _: _ts_maps_windowed(chunks, valid_by_ch, h, w, wh, ww),
+            _ts_maps_full,
+            None,
+        )
     ev_mask = ts_map > TS_SENTINEL
     lt = last_ts[:, None, None, None]
     contrib = jnp.float32(1) - snap((lt - ts_map).astype(jnp.float32) * leak)

@@ -206,3 +206,49 @@ def test_ts_map_mxu_bitexact_vs_reference(rng):
         a = np.asarray(fast(y, x, ts, valid))
         b = np.asarray(ref(y, x, ts, valid))
         np.testing.assert_array_equal(a, b, err_msg=f"trial={trial}")
+
+
+def test_ts_window_bitexact_vs_full(rng):
+    """integrate_parallel with a ts_window must be bit-exact vs the full
+    compare: windowed path when every chunk's bbox fits, cond-fallback when
+    any overflows.  Covers clustered fits, one-chunk overflow, empty
+    chunks, and the polarity-channel surface."""
+    import jax
+    import jax.numpy as jnp
+
+    from async_ev_cnn_tpu.layers.types import EventChunk
+    from async_ev_cnn_tpu.ops.integrate import integrate_parallel
+
+    h, w, t, e = 24, 30, 6, 12
+    leak = 0.01
+
+    def run(chunks, channels, win):
+        surf = jnp.zeros((channels, h, w), jnp.float32)
+        full = jax.jit(lambda c: integrate_parallel(surf, jnp.int32(0), c, leak))
+        wind = jax.jit(
+            lambda c: integrate_parallel(surf, jnp.int32(0), c, leak, ts_window=win)
+        )
+        sf, lf = full(chunks)
+        sw, lw = wind(chunks)
+        np.testing.assert_array_equal(np.asarray(lf), np.asarray(lw))
+        np.testing.assert_array_equal(np.asarray(sf), np.asarray(sw))
+
+    for trial in range(6):
+        cy, cx = rng.randint(4, h - 4), rng.randint(4, w - 4)
+        y = np.clip(cy + rng.randint(-3, 4, (t, e)), 0, h - 1).astype(np.int32)
+        x = np.clip(cx + rng.randint(-3, 4, (t, e)), 0, w - 1).astype(np.int32)
+        ts = np.sort(rng.randint(1, 50, t * e)).reshape(t, e).astype(np.int32)
+        valid = rng.rand(t, e) < 0.8
+        if trial == 2:
+            valid[3] = False  # an empty chunk inside the window path
+        if trial == 3:
+            y[4, 0], x[4, 0], valid[4, 0] = 0, 0, True  # force overflow
+            y[4, 1], x[4, 1], valid[4, 1] = h - 1, w - 1, True
+        p = rng.randint(0, 2, (t, e)).astype(np.int32)
+        chunks = EventChunk(
+            y=jnp.asarray(y), x=jnp.asarray(x), ts=jnp.asarray(ts),
+            p=jnp.asarray(p), valid=jnp.asarray(valid),
+        )
+        run(chunks, 1, (10, 10))
+        run(chunks, 2, (10, 10))
+        run(chunks, 1, (64, 64))  # window >= frame: full path short-circuit
