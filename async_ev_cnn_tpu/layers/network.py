@@ -278,23 +278,7 @@ class EventNetwork:
         intgr_state = state[0]
 
         def frame_out(frame):
-            # surface >= 0 always, so featuremap == surface exactly and the
-            # (surface > 0) activation mask is a scalar-1 no-op here.
-            io = LayerIO(
-                surface=frame,
-                layer_actfn=jnp.ones((), jnp.float32),
-                conv_actfn=jnp.zeros((), jnp.float32),
-                mask=jnp.ones((ispec.h, ispec.w), bool),
-            )
-            for ld, st in zip(self.event_layers[1:], state[1:]):
-                if ld.kind == "conv":
-                    _, io = conv_step(
-                        ld.spec, _kernel_oihw(params, ld.name),
-                        params[f"b_{ld.name}"], st, io, jnp.float32(0),
-                    )
-                else:
-                    _, io = pool_step(ld.spec, st, io, jnp.float32(0))
-            return self.apply_tail(params, jnp.transpose(io.featuremap, (1, 2, 0)))
+            return self.full_frame_forward(params, state, frame)
 
         def window_body(carry, cs):
             surf, pts = carry
@@ -328,6 +312,30 @@ class EventNetwork:
             outs = outs.reshape(tp, *outs.shape[2:])[:t]
         new_state = (IntegrationState(carry[0], carry[1]),) + tuple(state[1:])
         return new_state, outs
+
+    def full_frame_forward(self, params, state: tuple, frame: jnp.ndarray):
+        """Forward one integrated surface through the all-'full' conv/pool
+        chain — the time-batched leg of :meth:`scan_parallel`, also used by
+        the time-sharded engine (parallel/time_shard.py).  ``frame`` is the
+        f32 ``[C, H, W]`` surface; returns the YOLO-grid output."""
+        ispec = self.event_layers[0].spec
+        # surface >= 0 always, so featuremap == surface exactly and the
+        # (surface > 0) activation mask is a scalar-1 no-op here.
+        io = LayerIO(
+            surface=frame,
+            layer_actfn=jnp.ones((), jnp.float32),
+            conv_actfn=jnp.zeros((), jnp.float32),
+            mask=jnp.ones((ispec.h, ispec.w), bool),
+        )
+        for ld, st in zip(self.event_layers[1:], state[1:]):
+            if ld.kind == "conv":
+                _, io = conv_step(
+                    ld.spec, _kernel_oihw(params, ld.name),
+                    params[f"b_{ld.name}"], st, io, jnp.float32(0),
+                )
+            else:
+                _, io = pool_step(ld.spec, st, io, jnp.float32(0))
+        return self.apply_tail(params, jnp.transpose(io.featuremap, (1, 2, 0)))
 
     def scan(self, params, state: tuple, chunks: EventChunk, unroll: int = 1):
         """Scan over stacked chunks ``[T, E]``; returns (state, outputs [T, ...]).

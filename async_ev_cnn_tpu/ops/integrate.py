@@ -234,6 +234,36 @@ def integrate_parallel(surface, prev_ts, chunks, leak: float,
       chunk and the int32 ``[T]`` per-chunk last-event timestamps.
     """
     channels, h, w = surface.shape
+    b, c, last_ts = chunk_affine_updates(
+        channels, h, w, prev_ts, chunks, leak, ts_window=ts_window
+    )
+
+    big_b, big_c = jax.lax.associative_scan(maxplus_combine, (b, c))
+    surfaces = jnp.maximum(surface[None] + big_b, big_c)
+    return surfaces, last_ts
+
+
+def maxplus_combine(left, right):
+    """Composition of max-plus affine maps ``g[b, c](s) = max(s + b, c)``:
+    ``right`` applied after ``left``."""
+    bl, cl = left
+    br, cr = right
+    return bl + br, jnp.maximum(cl + br, cr)
+
+
+def chunk_affine_updates(channels, h, w, prev_ts, chunks, leak,
+                         ts_window=None):
+    """Per-chunk max-plus coefficients of the leaky-surface update.
+
+    Returns ``(b, c, last_ts)``: f32 ``[T, C, H, W]`` coefficient pairs
+    such that chunk t's surface update is ``s -> max(s + b[t], c[t])``,
+    and the int32 ``[T]`` global running last-event timestamps.  Shared by
+    :func:`integrate_parallel` (single device: one associative scan over
+    the pairs) and the time-sharded engine
+    (:mod:`async_ev_cnn_tpu.parallel.time_shard`: local scans + a
+    cross-device prefix composition).  All rounded products go through
+    ``snap`` exactly like the sequential path.
+    """
     leak = jnp.float32(leak)
 
     # per-chunk last_ts chain: running max of chunk max-ts (no-op chunks
@@ -285,15 +315,7 @@ def integrate_parallel(surface, prev_ts, chunks, leak: float,
 
     b = a - d[:, None, None, None]
     c = jnp.maximum(a, jnp.float32(0))
-
-    def combine(left, right):
-        bl, cl = left
-        br, cr = right
-        return bl + br, jnp.maximum(cl + br, cr)
-
-    big_b, big_c = jax.lax.associative_scan(combine, (b, c))
-    surfaces = jnp.maximum(surface[None] + big_b, big_c)
-    return surfaces, last_ts
+    return b, c, last_ts
 
 
 @partial(jax.jit, static_argnames=("leak", "h", "w"))

@@ -1,0 +1,166 @@
+"""Sequence parallelism over the event-stream time axis.
+
+The reference (and this repo's SURVEY §5) observed that the event stream's
+sequence axis is "sequential by construction — state at chunk t depends on
+t-1 — so cross-chip parallelism is over streams, not within a stream".
+Parallel-in-time execution *breaks that constraint*: each chunk's surface
+update is the max-plus affine map ``g[b, c](s) = max(s + b, c)``, closed
+under composition (ops/integrate.py), so one stream's T chunks can be
+sharded across D devices:
+
+1. each device builds its local ``[T/D, C, H, W]`` coefficient pairs
+   (``ops.integrate.chunk_affine_updates``) and scans them locally;
+2. one tiny collective round composes the D per-device totals into
+   exclusive device prefixes — ``all_gather`` of a ``(b, c)`` pair per
+   device (2 * C*H*W floats, ~290 KB for eFCN) over ICI, then a static
+   D-step masked composition;
+3. each device offsets its local prefixes, reconstructs its T/D surfaces,
+   and runs the time-batched network forward on them — perfectly
+   data-parallel from here on.
+
+Cross-device traffic is O(D * C*H*W) per dispatch, independent of T —
+negligible next to the O(T/D * network) local compute, so the speedup is
+essentially linear in D for large T.  The global timestamp chain is exact
+(integer max); the (b, c) composition regroups float adds/maxes relative
+to the single-device ``associative_scan`` tree, so outputs match
+``EventNetwork.scan_parallel`` to the usual regrouping tolerance (~1e-6,
+gated in tests/test_parallel.py), and both match the sequential
+``EventNetwork.scan`` within the 1e-4 contract.
+
+No reference analog (single-core inference, SURVEY §2.6) — this is the
+"sequence parallelism" row of the TPU-native scale-out story: dp = streams
+(parallel/streams.py), tp = conv channels (ibid.), sp = this module.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from async_ev_cnn_tpu.layers.network import EventNetwork
+from async_ev_cnn_tpu.layers.types import EventChunk, IntegrationState
+from async_ev_cnn_tpu.ops.integrate import (
+    TS_SENTINEL,
+    chunk_affine_updates,
+    maxplus_combine,
+)
+
+
+def make_time_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """A 1-D mesh over the ``time`` axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(devices, axis_names=("time",))
+
+
+class TimeShardEngine:
+    """Shards ONE stream's chunk axis over a mesh axis.
+
+    Use when a single stream's throughput matters more than aggregate
+    serving throughput (the streams engine covers that): D devices advance
+    the same stream D times faster instead of serving D streams.
+    Requires an all-'full' network (same precondition as
+    ``EventNetwork.scan_parallel``).
+    """
+
+    def __init__(self, net: EventNetwork, mesh: Mesh, axis: str = "time"):
+        if not net.is_all_full:
+            raise ValueError(
+                "time sharding requires conv_mode='full' for every layer "
+                "(same precondition as scan_parallel)"
+            )
+        if axis not in mesh.axis_names:
+            raise ValueError(f"mesh has no axis {axis!r}: {mesh.axis_names}")
+        self.net = net
+        self.mesh = mesh
+        self.axis = axis
+        self._jit = None
+
+    def _local_fn(self, params, state, chunks: EventChunk):
+        """Runs per device under shard_map: chunks leaves are [T/D, E]."""
+        net, axis = self.net, self.axis
+        d_axis = jax.lax.axis_size(axis)
+        idx = jax.lax.axis_index(axis)
+        ispec = net.event_layers[0].spec
+        surface, prev_ts = state[0].surface, state[0].prev_ts
+        channels, h, w = surface.shape
+
+        # -- global timestamp chain (exact integer maxes) -------------------
+        chunk_max = jnp.max(
+            jnp.where(chunks.valid, chunks.ts, TS_SENTINEL), axis=1
+        ).astype(jnp.int32)
+        local_running = jax.lax.associative_scan(jnp.maximum, chunk_max)
+        dev_max = jax.lax.all_gather(local_running[-1], axis)  # [D]
+        mask_before = jnp.arange(d_axis) < idx
+        incoming = jnp.maximum(
+            prev_ts, jnp.max(jnp.where(mask_before, dev_max, TS_SENTINEL))
+        ).astype(jnp.int32)
+
+        # -- local coefficients + local prefix scan -------------------------
+        b, c, last_ts = chunk_affine_updates(
+            channels, h, w, incoming, chunks, ispec.leak
+        )
+        big_b, big_c = jax.lax.associative_scan(maxplus_combine, (b, c))
+
+        # -- one collective round: exclusive compose of device totals -------
+        tot = (jax.lax.all_gather(big_b[-1], axis),
+               jax.lax.all_gather(big_c[-1], axis))  # each [D, C, H, W]
+        excl = (jnp.zeros_like(big_b[-1]),
+                jnp.full_like(big_c[-1], -jnp.inf))  # max-plus identity
+        for j in range(d_axis):  # D is static (mesh size)
+            composed = maxplus_combine(excl, (tot[0][j], tot[1][j]))
+            use = j < idx
+            excl = (jnp.where(use, composed[0], excl[0]),
+                    jnp.where(use, composed[1], excl[1]))
+
+        # -- offset local prefixes, reconstruct local surfaces --------------
+        glob_b, glob_c = maxplus_combine(excl, (big_b, big_c))
+        surfaces = jnp.maximum(surface[None] + glob_b, glob_c)
+
+        # -- final state: compose ALL devices onto the initial surface ------
+        # (deterministic and identical on every device; cheap)
+        full = excl
+        for j in range(d_axis):
+            composed = maxplus_combine(full, (tot[0][j], tot[1][j]))
+            use = j >= idx  # continue from the exclusive prefix
+            full = (jnp.where(use, composed[0], full[0]),
+                    jnp.where(use, composed[1], full[1]))
+        final_surface = jnp.maximum(surface + full[0], full[1])
+        final_ts = jnp.maximum(prev_ts, jnp.max(dev_max)).astype(jnp.int32)
+
+        # -- time-batched network forward on the local shard ----------------
+        outs = jax.vmap(lambda fr: net.full_frame_forward(params, state, fr))(
+            surfaces
+        )
+        new_state = (IntegrationState(final_surface, final_ts),) + tuple(state[1:])
+        return new_state, outs
+
+    def _build(self):
+        chunk_spec = EventChunk(*([P(self.axis)] * 5))
+        fn = jax.shard_map(
+            functools.partial(self._local_fn),
+            mesh=self.mesh,
+            in_specs=(P(), P(), chunk_spec),
+            out_specs=(P(), P(self.axis)),
+            check_vma=False,
+        )
+        self._jit = jax.jit(fn)
+
+    def scan_parallel(self, params, state: tuple, chunks: EventChunk):
+        """One stream, its time axis sharded: ``chunks`` leaves are [T, E]
+        with T divisible by the mesh's ``time`` size.  Returns
+        ``(new_state, outs [T, ...])`` matching
+        ``EventNetwork.scan_parallel`` up to float regrouping (~1e-6)."""
+        d_axis = self.mesh.shape[self.axis]
+        t = chunks.y.shape[0]
+        if t % d_axis:
+            raise ValueError(f"T={t} not divisible by time-axis size {d_axis}")
+        if self._jit is None:
+            self._build()
+        return self._jit(params, state, chunks)

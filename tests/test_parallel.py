@@ -105,3 +105,92 @@ def test_mesh_size_one_fallback(rng):
     states, outs = eng.scan(p, states, eng.place_chunks(chunks, leading_time=True))
     assert np.asarray(outs).shape[1] == 2
     np.testing.assert_allclose(np.asarray(outs)[:, 0], np.asarray(outs)[:, 1], atol=0)
+
+
+def _full_net_params(rng, h=16, w=16, leak=0.05):
+    layer_defs = OrderedDict(conv1=[3, 3, 1, 8], pool1=[2, 2], conv2=[1, 1, 8, 12])
+    params = {}
+    for name, size in layer_defs.items():
+        if "conv" in name:
+            kh, kw, ci, co = size
+            params[f"w_{name}"] = jnp.asarray(
+                rng.randn(kh, kw, ci, co).astype(np.float32) * 0.2)
+            params[f"b_{name}"] = jnp.asarray(
+                rng.randn(co).astype(np.float32) * 0.2)
+    net = EventNetwork(layer_defs, h, w, leak=leak, alpha=0.1,
+                       padding="SAME", conv_mode="full")
+    return net, params
+
+
+def test_time_shard_matches_scan_parallel(rng):
+    """Sequence parallelism: one stream's time axis over 8 devices must
+    reproduce the single-device parallel-in-time outputs AND the sequential
+    scan, including the carried state across two successive dispatches."""
+    from async_ev_cnn_tpu.parallel import TimeShardEngine, make_time_mesh
+
+    net, params = _full_net_params(rng)
+    mesh = make_time_mesh(8)
+    eng = TimeShardEngine(net, mesh)
+    stream1 = make_stream(rng, 16, 6, 16, 16)
+    # second window continues the timestamp chain
+    base = int(np.asarray(stream1.ts).max())
+    stream2 = make_stream(rng, 16, 6, 16, 16)
+    stream2 = stream2._replace(ts=stream2.ts + base)
+
+    st_a = st_b = net.init_state(params)
+    for stream in (stream1, stream2):
+        st_a, outs_a = eng.scan_parallel(params, st_a, stream)
+        st_b, outs_b = jax.jit(net.scan_parallel)(params, st_b, stream)
+        np.testing.assert_allclose(
+            np.asarray(outs_a), np.asarray(outs_b), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(st_a[0].surface), np.asarray(st_b[0].surface), atol=1e-5)
+        assert int(st_a[0].prev_ts) == int(st_b[0].prev_ts)
+
+    # and the sequential oracle over the full concatenation
+    st_seq = net.init_state(params)
+    both = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), stream1, stream2)
+    _, outs_seq = jax.jit(net.scan)(params, st_seq, both)
+    st0, outs_1 = eng.scan_parallel(params, net.init_state(params), stream1)
+    _, outs_2 = eng.scan_parallel(params, st0, stream2)
+    got = np.concatenate([np.asarray(outs_1), np.asarray(outs_2)])
+    np.testing.assert_allclose(got, np.asarray(outs_seq), atol=1e-4)
+
+
+def test_time_shard_polarity_and_errors(rng):
+    from async_ev_cnn_tpu.parallel import TimeShardEngine, make_time_mesh
+
+    # 2-channel polarity surface
+    layer_defs = OrderedDict(conv1=[3, 3, 2, 8], conv2=[1, 1, 8, 4])
+    params = {}
+    for name, size in layer_defs.items():
+        kh, kw, ci, co = size
+        params[f"w_{name}"] = jnp.asarray(rng.randn(kh, kw, ci, co).astype(np.float32) * 0.2)
+        params[f"b_{name}"] = jnp.asarray(rng.randn(co).astype(np.float32) * 0.2)
+    net = EventNetwork(layer_defs, 16, 16, leak=0.05, alpha=0.1,
+                       padding="SAME", conv_mode="full")
+    stream = make_stream(rng, 8, 6, 16, 16, random_polarity=True)
+    eng = TimeShardEngine(net, make_time_mesh(4))
+    st, outs = eng.scan_parallel(params, net.init_state(params), stream)
+    _, ref = jax.jit(net.scan_parallel)(params, net.init_state(params), stream)
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(ref), atol=1e-5)
+
+    # T not divisible by mesh size
+    bad = jax.tree.map(lambda a: a[:7], stream)
+    try:
+        eng.scan_parallel(params, net.init_state(params), bad)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+    # non-'full' networks are rejected
+    net_d, params_d = _full_net_params(rng)
+    net_d.event_layers[1].spec  # full
+    net_dense = EventNetwork(
+        OrderedDict(conv1=[3, 3, 1, 8]), 16, 16, leak=0.05, alpha=0.1,
+        padding="SAME", conv_mode="dense")
+    try:
+        TimeShardEngine(net_dense, make_time_mesh(4))
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
