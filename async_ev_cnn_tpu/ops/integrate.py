@@ -84,7 +84,7 @@ def _event_ts_map_mxu(y, x, ts, valid, h: int, w: int) -> jnp.ndarray:
     pix = jnp.where(valid, yi * w + xi, -1)
     idx = jax.lax.iota(jnp.int32, e)
     # keep[e]: e is the (ts, index)-lexicographic max among its pixel's
-    # valid events — the same winner _event_ts_map_ref's max picks.
+    # valid events — the same winner _event_ts_map's max picks.
     same = pix[:, None] == pix[None, :]
     later = (ts_b[None, :] > ts_b[:, None]) | (
         (ts_b[None, :] == ts_b[:, None]) & (idx[None, :] > idx[:, None])
@@ -168,21 +168,18 @@ def integrate_step(surface, prev_ts, y, x, ts, valid, leak: float, p=None):
     return s2, last_ts, out_mask, delta_leak
 
 
-def _ts_maps_windowed(chunks, valid_by_ch, h, w, wh, ww):
+def _ts_maps_windowed(chunks, valid_by_ch, h, w, wh, ww, oy, ox):
     """Per-chunk ts maps computed inside a ``[wh, ww]`` bounding window.
 
     DVS activity is spatially clustered (object edges), so each chunk's
     events usually fit a small box: the O(H*W*E) per-chunk compare-reduce
     shrinks to O(wh*ww*E) plus a sentinel-canvas placement.  Bit-exact by
     construction — same compare arithmetic in local coordinates, integer
-    placement.  Callers must ensure every chunk's events fit (see
-    ``integrate_parallel``'s all-fit cond).
+    placement.  ``oy``/``ox`` are the per-chunk int32 ``[T]`` window
+    origins (the caller already computed the bbox minima for its fit
+    check).  Callers must ensure every chunk's events fit (see
+    ``chunk_affine_updates``'s all-fit cond).
     """
-    y_ref = jnp.where(chunks.valid, chunks.y, jnp.int32(2**30))
-    x_ref = jnp.where(chunks.valid, chunks.x, jnp.int32(2**30))
-    oy = jnp.clip(jnp.min(y_ref, axis=1), 0, h - wh)  # [T]
-    ox = jnp.clip(jnp.min(x_ref, axis=1), 0, w - ww)
-
     def one_channel(vv):
         def one_chunk(yy, xx, tt, v, oy_t, ox_t):
             local = _event_ts_map(yy - oy_t, xx - ox_t, tt, v, wh, ww)
@@ -298,13 +295,17 @@ def chunk_affine_updates(channels, h, w, prev_ts, chunks, leak,
         y_hi = jnp.where(chunks.valid, chunks.y, jnp.int32(-1))
         x_lo = jnp.where(chunks.valid, chunks.x, jnp.int32(2**30))
         x_hi = jnp.where(chunks.valid, chunks.x, jnp.int32(-1))
+        y_min = jnp.min(y_lo, axis=1)
+        x_min = jnp.min(x_lo, axis=1)
         fits = (
-            (jnp.max(y_hi, axis=1) - jnp.min(y_lo, axis=1) < wh)
-            & (jnp.max(x_hi, axis=1) - jnp.min(x_lo, axis=1) < ww)
+            (jnp.max(y_hi, axis=1) - y_min < wh)
+            & (jnp.max(x_hi, axis=1) - x_min < ww)
         )
+        oy = jnp.clip(y_min, 0, h - wh)  # [T]
+        ox = jnp.clip(x_min, 0, w - ww)
         ts_map = jax.lax.cond(
             jnp.all(fits),
-            lambda _: _ts_maps_windowed(chunks, valid_by_ch, h, w, wh, ww),
+            lambda _: _ts_maps_windowed(chunks, valid_by_ch, h, w, wh, ww, oy, ox),
             _ts_maps_full,
             None,
         )

@@ -34,8 +34,6 @@ No reference analog (single-core inference, SURVEY §2.6) — this is the
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax
@@ -55,6 +53,10 @@ def make_time_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """A 1-D mesh over the ``time`` axis."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if n_devices > devices.size:
+            raise ValueError(
+                f"requested {n_devices} devices but only {devices.size} available"
+            )
         devices = devices[:n_devices]
     return Mesh(devices, axis_names=("time",))
 
@@ -144,7 +146,7 @@ class TimeShardEngine:
     def _build(self):
         chunk_spec = EventChunk(*([P(self.axis)] * 5))
         fn = jax.shard_map(
-            functools.partial(self._local_fn),
+            self._local_fn,
             mesh=self.mesh,
             in_specs=(P(), P(), chunk_spec),
             out_specs=(P(), P(self.axis)),

@@ -63,7 +63,7 @@ KH, WCOPY, C = 3, 32, 128  # one copy = 3*32*128 f32 = 48 KB; C = one full
 H, W = 516, 648
 
 
-def _kernel(ys_ref, xs_ref, src_hbm, flat_hbm, src64_hbm, out_ref, scratch,
+def _kernel(ys_ref, xs_ref, src_hbm, flat_hbm, out_ref, scratch,
             sems, *, n_copies, shape, kh):
     i = pl.program_id(0)
     sz = kh * WCOPY * C
@@ -100,23 +100,10 @@ def _kernel(ys_ref, xs_ref, src_hbm, flat_hbm, src64_hbm, out_ref, scratch,
                     sems.at[t, r],
                 ).start()
         elif shape == "box_sm":
-            # DO NOT RUN ON HARDWARE: narrow boxes ([kh, 4, 128] and even
-            # [kh, 8, 128] into a rank-4 scratch) compile but CRASH the
-            # DMA engine at run time ("TPU backend error (Internal)"),
-            # wedging the chip for subsequent Pallas programs until it
-            # heals.  Kept for the record; excluded from the sweep.  (The
-            # shipped rulebook kernel's [kh, kw, 128] copies into a rank-5
-            # scratch DO work — the exact hazard boundary is unmapped.)
+            # small rows: [kh, 8, 128] box -> kh transfers of 4 KB each,
+            # close to the per-site 3x3xC receptive-field gather geometry
             pltpu.make_async_copy(
-                src_hbm.at[pl.ds(y0, 8), pl.ds(x0, 8), :],
-                scratch.at[t],
-                sems.at[t],
-            ).start()
-        elif shape == "box64":
-            # C = 64 source: the minor dim is HALF a 128-lane tile — the
-            # layout every C=64 feature plane in the sparse kernels has
-            pltpu.make_async_copy(
-                src64_hbm.at[pl.ds(y0, kh), pl.ds(2 * x0, 2 * WCOPY), :],
+                src_hbm.at[pl.ds(y0, kh), pl.ds(x0, 8), :],
                 scratch.at[t],
                 sems.at[t],
             ).start()
@@ -129,27 +116,8 @@ def _kernel(ys_ref, xs_ref, src_hbm, flat_hbm, src64_hbm, out_ref, scratch,
                     sems.at[t, r],
                 ).wait()
         elif shape == "box_sm":
-            # DO NOT RUN ON HARDWARE: narrow boxes ([kh, 4, 128] and even
-            # [kh, 8, 128] into a rank-4 scratch) compile but CRASH the
-            # DMA engine at run time ("TPU backend error (Internal)"),
-            # wedging the chip for subsequent Pallas programs until it
-            # heals.  Kept for the record; excluded from the sweep.  (The
-            # shipped rulebook kernel's [kh, kw, 128] copies into a rank-5
-            # scratch DO work — the exact hazard boundary is unmapped.)
-            pltpu.make_async_copy(
-                src_hbm.at[pl.ds(y0, 8), pl.ds(x0, 8), :],
-                scratch.at[t],
-                sems.at[t],
-            ).start()
-        elif shape == "box_sm":
             pltpu.make_async_copy(
                 src_hbm.at[pl.ds(0, kh), pl.ds(0, 8), :],
-                scratch.at[t],
-                sems.at[t],
-            ).wait()
-        elif shape == "box64":
-            pltpu.make_async_copy(
-                src64_hbm.at[pl.ds(0, kh), pl.ds(0, 2 * WCOPY), :],
                 scratch.at[t],
                 sems.at[t],
             ).wait()
@@ -172,15 +140,12 @@ def _kernel(ys_ref, xs_ref, src_hbm, flat_hbm, src64_hbm, out_ref, scratch,
 
     if shape == "flat":
         out_ref[0, :] = out_ref[0, :] + scratch[:C]
-    elif shape == "box64":
-        out_ref[0, :] = out_ref[0, :] + jnp.concatenate(
-            [scratch[0, 0, 0, :], scratch[0, 0, 1, :]])
     else:
         out_ref[0, :] = out_ref[0, :] + scratch[0, 0, 0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "n_copies", "shape", "kh", "interpret"))
-def run(src, flat, src64, ys, xs, grid, n_copies, shape, kh=KH, interpret=False):
+def run(src, flat, ys, xs, grid, n_copies, shape, kh=KH, interpret=False):
     sem_shape = (n_copies, kh) if shape.startswith("rows") else (n_copies,)
     if shape == "flat":
         scratch_shape = (n_copies * kh * WCOPY * C,)
@@ -196,7 +161,6 @@ def run(src, flat, src64, ys, xs, grid, n_copies, shape, kh=KH, interpret=False)
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_specs=pl.BlockSpec((1, C), lambda i, *_: (0, 0)),
         scratch_shapes=[
@@ -209,11 +173,11 @@ def run(src, flat, src64, ys, xs, grid, n_copies, shape, kh=KH, interpret=False)
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, C), jnp.float32),
         interpret=interpret,
-    )(ys, xs, src, flat, src64)
+    )(ys, xs, src, flat)
 
 
-def time_grid(src, flat, src64, ys, xs, grid, n_copies, shape, kh):
-    f = lambda: np.asarray(run(src, flat, src64, ys, xs, grid, n_copies, shape, kh))
+def time_grid(src, flat, ys, xs, grid, n_copies, shape, kh):
+    f = lambda: np.asarray(run(src, flat, ys, xs, grid, n_copies, shape, kh))
     f()  # compile + warm
     best = float("inf")
     for _ in range(4):
@@ -231,15 +195,13 @@ def main():
     rng = np.random.RandomState(0)
     src = jnp.asarray(rng.rand(H, W, C).astype(np.float32))
     flat = src.reshape(-1)
-    src64 = jnp.asarray(np.asarray(src).reshape(H, 2 * W, C // 2))  # fresh
-    # device array whose minor dim is genuinely 64 (not a relabeled 128-tile)
     ys = jnp.asarray(rng.randint(0, H - 8, N_SITES), jnp.int32)
     xs = jnp.asarray(rng.randint(0, W - WCOPY, N_SITES), jnp.int32)
 
     if args.interpret:
-        for shape in ("flat", "box", "rows", "box_sp", "rows_sp"):
+        for shape in ("flat", "box", "rows", "box_sp", "rows_sp", "box_sm"):
             for kh in (3, 8):
-                out = np.asarray(run(src, flat, src64, ys, xs, 4, 2, shape, kh,
+                out = np.asarray(run(src, flat, ys, xs, 4, 2, shape, kh,
                                      interpret=True))
                 assert np.isfinite(out).all(), (shape, kh)
         print("interpret-mode semantics OK")
@@ -251,10 +213,10 @@ def main():
     print(f"row = [{WCOPY}, {C}] f32 = {WCOPY*C*4/1024:.0f} KB; "
           f"copy = kh rows (kh in 3, 8)")
     print(f"{'shape':8s} {'kh':>3s} {'us/copy':>8s} {'us/row':>7s} {'GB/s':>7s}")
-    for shape in ("flat", "box", "rows", "box_sp", "rows_sp"):
+    for shape in ("flat", "box", "rows", "box_sp", "rows_sp", "box_sm"):
         for kh in (3, 8):
-            t1 = time_grid(src, flat, src64, ys, xs, g1, n_copies, shape, kh)
-            t2 = time_grid(src, flat, src64, ys, xs, g2, n_copies, shape, kh)
+            t1 = time_grid(src, flat, ys, xs, g1, n_copies, shape, kh)
+            t2 = time_grid(src, flat, ys, xs, g2, n_copies, shape, kh)
             per = (t2 - t1) / ((g2 - g1) * n_copies)
             byt = kh * (8 if shape == "box_sm" else WCOPY) * C * 4
             print(f"{shape:8s} {kh:3d} {per*1e6:8.2f} {per*1e6/kh:7.2f} "

@@ -184,8 +184,6 @@ def test_time_shard_polarity_and_errors(rng):
         pass
 
     # non-'full' networks are rejected
-    net_d, params_d = _full_net_params(rng)
-    net_d.event_layers[1].spec  # full
     net_dense = EventNetwork(
         OrderedDict(conv1=[3, 3, 1, 8]), 16, 16, leak=0.05, alpha=0.1,
         padding="SAME", conv_mode="dense")
