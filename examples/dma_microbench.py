@@ -34,15 +34,19 @@ Run on the real chip:  python examples/dma_microbench.py
 Result (v5e, 2026-08-16, recorded in docs/performance.md): with 8 copies
 in flight, flat / strided-box / explicit-rows / random scalar-prefetch
 addresses are ALL equivalent at 360-550 GB/s for 48-128 KB copies built
-from >=16 KB rows (~0.03-0.05 us marginal per 16 KB row).  There is NO
-fixed ~2.8 us per-descriptor cost in this regime — the round-2 "per-DMA
-floor" belongs specifically to the small-box geometry ([kh, kw, 128]
-receptive-field patches, 1.5-4 KB per row) that the site-granular
-rulebook kernels use.  The design currency is bytes-per-contiguous-row,
-not descriptor count: gathers whose rows are >=16 KB are bandwidth-bound.
-Two Mosaic/DMA hazards found while building this: sub-128-lane minor-dim
-copies are a compile error, and narrow-sublane box copies into rank-4
-scratch compile but crash the DMA engine at run time (see `box_sm`).
+from >=16 KB rows (~0.03-0.05 us marginal per 16 KB row), and even the
+small-box ``box_sm`` geometry ([3, 8, 128] = 4 KB rows, the shape of a
+receptive-field patch gather) measures ~0.09 us/copy at 140-350 GB/s.
+There is NO fixed per-descriptor cost in any regime this harness can
+reach — the round-2 "~2.8 us per-DMA floor" model does not reproduce,
+and the shipped site-granular kernels' ~2.5 ms at 1024 sites is NOT the
+gather DMAs (see docs/performance.md for the follow-up attribution).
+One Mosaic restriction found while building this: sub-128-lane
+minor-dim copies are a compile error ("Slice shape must be aligned to
+tiling (128)"), so C=64 feature planes must be padded or paired to a
+128-lane minor dim before per-site gathering.  (An earlier revision
+recorded a "narrow-box runtime DMA crash" — that was this harness's own
+bug: its wait loop re-started DMAs with stale offsets and never waited.)
 """
 
 import argparse
