@@ -279,7 +279,8 @@ class NumpyReader(FileReader):
 
 
 def factory(file_format: str) -> FileReader:
-    """Codec from a config string: 'n-data', 'aer-data[_CAMERA]', 'numpy'."""
+    """Codec from a config string: 'n-data', 'aer-data[_CAMERA]', 'numpy',
+    'evt2', 'evt3' (Prophesee RAW, data/evt.py)."""
     if file_format.startswith("n-data"):
         return NReader()
     if file_format.startswith("aer-data"):
@@ -287,4 +288,12 @@ def factory(file_format: str) -> FileReader:
         return AerReader(camera or "DVS128")
     if file_format.startswith("numpy"):
         return NumpyReader()
+    if file_format.startswith("evt2"):
+        from async_ev_cnn_tpu.data.evt import Evt2Reader
+
+        return Evt2Reader()
+    if file_format.startswith("evt3"):
+        from async_ev_cnn_tpu.data.evt import Evt3Reader
+
+        return Evt3Reader()
     raise ValueError(f"unknown file format {file_format!r}")

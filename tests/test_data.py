@@ -365,3 +365,94 @@ def test_detection_dataset(tmp_path, rng):
 
     lengths, events = ds.next_batch(1, dataset="test", preprocessing_fn=prep)
     assert events.shape == (40, 3)
+
+
+class TestEvtCodecs:
+    """Prophesee EVT2/EVT3 RAW codecs (data/evt.py)."""
+
+    def _stream(self, rng, n=500, xmax=1280, ymax=720):
+        x = rng.randint(0, xmax, n).astype(np.int64)
+        y = rng.randint(0, ymax, n).astype(np.int64)
+        # strides that exercise TIME_HIGH transitions in both formats
+        ts = np.cumsum(rng.randint(0, 5000, n)).astype(np.int64)
+        p = rng.randint(0, 2, n).astype(np.int64)
+        return x, y, ts, p
+
+    def test_evt2_round_trip(self, rng, tmp_path):
+        from async_ev_cnn_tpu.data.evt import Evt2Reader
+
+        codec = Evt2Reader()
+        x, y, ts, p = self._stream(rng, xmax=2048, ymax=2048)
+        f = str(tmp_path / "a.raw")
+        codec.save_example(f, x, y, ts, p)
+        n2, x2, y2, ts2, p2 = codec.read_example(f)
+        assert n2 == len(x)
+        np.testing.assert_array_equal(x2, x)
+        np.testing.assert_array_equal(y2, y)
+        np.testing.assert_array_equal(ts2, ts)
+        np.testing.assert_array_equal(p2, p)
+
+    def test_evt3_round_trip(self, rng, tmp_path):
+        from async_ev_cnn_tpu.data.evt import Evt3Reader
+
+        codec = Evt3Reader()
+        x, y, ts, p = self._stream(rng)
+        f = str(tmp_path / "a.raw")
+        codec.save_example(f, x, y, ts, p)
+        n2, x2, y2, ts2, p2 = codec.read_example(f)
+        assert n2 == len(x)
+        np.testing.assert_array_equal(x2, x)
+        np.testing.assert_array_equal(y2, y)
+        np.testing.assert_array_equal(ts2, ts)
+        np.testing.assert_array_equal(p2, p)
+
+    def test_evt3_vector_events(self, tmp_path):
+        """Hand-assembled stream exercising VECT_BASE_X / VECT_12 / VECT_8,
+        including base advancement across multiple vector words."""
+        from async_ev_cnn_tpu.data.evt import Evt3Reader
+
+        words = np.array([
+            (0x8 << 12) | 0x001,            # TIME_HIGH = 1
+            (0x6 << 12) | 0x00A,            # TIME_LOW = 10 -> t = 4106
+            (0x0 << 12) | 37,               # y = 37
+            (0x3 << 12) | (1 << 11) | 100,  # VECT_BASE_X x=100 pol=1
+            (0x4 << 12) | 0b100000000101,   # VECT_12: bits 0,2,11
+            (0x5 << 12) | 0b10000001,       # VECT_8 (base now 112): bits 0,7
+            (0x2 << 12) | (0 << 11) | 55,   # single event x=55 pol=0
+        ], dtype="<u2")
+        f = str(tmp_path / "v.raw")
+        with open(f, "wb") as fh:
+            fh.write(b"% evt 3.0\n")
+            fh.write(words.tobytes())
+        n, x, y, ts, p = Evt3Reader().read_example(f)
+        t = (1 << 12) | 10
+        assert n == 6
+        np.testing.assert_array_equal(x, [100, 102, 111, 112, 119, 55])
+        np.testing.assert_array_equal(y, [37] * 6)
+        np.testing.assert_array_equal(ts, [t] * 6)
+        np.testing.assert_array_equal(p, [1, 1, 1, 1, 1, 0])
+
+    def test_evt3_time_high_rollover(self, tmp_path):
+        """24-bit time wraps are unwrapped by TIME_HIGH-decrease detection."""
+        from async_ev_cnn_tpu.data.evt import Evt3Reader
+
+        words = np.array([
+            (0x8 << 12) | 0xFFF, (0x6 << 12) | 0x005,
+            (0x0 << 12) | 1, (0x2 << 12) | 10,
+            (0x8 << 12) | 0x000, (0x6 << 12) | 0x002,  # wrapped high
+            (0x2 << 12) | 11,
+        ], dtype="<u2")
+        f = str(tmp_path / "w.raw")
+        with open(f, "wb") as fh:
+            fh.write(words.tobytes())  # headerless payload is also accepted
+        n, x, y, ts, p = Evt3Reader().read_example(f)
+        assert n == 2
+        assert ts[0] == (0xFFF << 12) | 5
+        assert ts[1] == (0x1000 << 12) | 2  # unwrapped past 24 bits
+
+    def test_evt_factory_and_dataset(self, rng, tmp_path):
+        import async_ev_cnn_tpu.data.file_reader as ffmt
+        from async_ev_cnn_tpu.data.evt import Evt2Reader, Evt3Reader
+
+        assert isinstance(ffmt.factory("evt2"), Evt2Reader)
+        assert isinstance(ffmt.factory("evt3"), Evt3Reader)

@@ -38,3 +38,17 @@ def test_numpy_reader_garbage(tmp_path):
         f.write(b"not an npy file at all")
     with pytest.raises(Exception):
         NumpyReader().read_example(path)
+
+
+@pytest.mark.parametrize("size", [0, 1, 2, 3, 64, 1023])
+@pytest.mark.parametrize("header", [b"", b"% evt 3.0\n% format EVT3\n", b"% truncated-no-newline"])
+def test_evt_fuzz(tmp_path, rng, size, header):
+    from async_ev_cnn_tpu.data.evt import Evt2Reader, Evt3Reader
+
+    path = str(tmp_path / "f.raw")
+    payload = rng.randint(0, 256, size, dtype=np.int64).astype(np.uint8).tobytes()
+    with open(path, "wb") as f:
+        f.write(header + payload)
+    for codec in (Evt2Reader(), Evt3Reader()):
+        l, x, y, ts, p = codec.read_example(path)
+        assert l == len(x) == len(y) == len(ts) == len(p)
