@@ -46,6 +46,7 @@ class _YoloBase:
         checkpoint: str | None = None,
         conv_mode: str = "dense",
         capacity_frac: float = 0.25,
+        ts_window: int | None = None,
     ):
         self._h_frame = h_frame
         self._w_frame = w_frame
@@ -59,6 +60,10 @@ class _YoloBase:
         self._leak = leak
         self._conv_mode = conv_mode
         self._capacity_frac = capacity_frac
+        # clustered-stream throughput knob for the parallel-in-time path:
+        # per-chunk ts maps inside a square bounding window, exact fallback
+        # on overflow (ops/integrate.integrate_parallel)
+        self._ts_window = (ts_window, ts_window) if ts_window else None
         self._weights: dict = {}
         if checkpoint is not None:
             self.restore(checkpoint)
@@ -137,7 +142,8 @@ class YoloEventJax(_YoloBase):
 
     def _scan_parallel_impl(self, params, state, chunks):
         state, outs = self.net.scan_parallel(
-            params, state, chunks, window=self.PARALLEL_WINDOW
+            params, state, chunks, window=self.PARALLEL_WINDOW,
+            ts_window=self._ts_window,
         )
         return state, jnp.reshape(outs, (outs.shape[0], *self.grid_shape))
 

@@ -30,6 +30,10 @@ gated in tests/test_parallel.py), and both match the sequential
 No reference analog (single-core inference, SURVEY §2.6) — this is the
 "sequence parallelism" row of the TPU-native scale-out story: dp = streams
 (parallel/streams.py), tp = conv channels (ibid.), sp = this module.
+``TimeShardEngine`` also composes dp x sp on a 2-D ``(data, time)`` mesh:
+streams shard over ``data`` with zero cross-stream traffic, and each
+stream's chunk axis shards over ``time`` with the prefix-composition
+collectives riding only that axis.
 """
 
 from __future__ import annotations
@@ -49,8 +53,10 @@ from async_ev_cnn_tpu.ops.integrate import (
 )
 
 
-def make_time_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """A 1-D mesh over the ``time`` axis."""
+def make_time_mesh(n_devices: int | None = None, devices=None,
+                   n_streams: int = 1) -> Mesh:
+    """A 1-D ``(time,)`` mesh, or a 2-D ``(data, time)`` mesh when
+    ``n_streams`` > 1 (``n_streams`` data shards x remaining time shards)."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     if n_devices is not None:
         if n_devices > devices.size:
@@ -58,6 +64,14 @@ def make_time_mesh(n_devices: int | None = None, devices=None) -> Mesh:
                 f"requested {n_devices} devices but only {devices.size} available"
             )
         devices = devices[:n_devices]
+    if n_streams > 1:
+        if devices.size % n_streams:
+            raise ValueError(
+                f"{devices.size} devices not divisible by {n_streams} stream shards"
+            )
+        return Mesh(
+            devices.reshape(n_streams, -1), axis_names=("data", "time")
+        )
     return Mesh(devices, axis_names=("time",))
 
 
@@ -71,7 +85,11 @@ class TimeShardEngine:
     ``EventNetwork.scan_parallel``).
     """
 
-    def __init__(self, net: EventNetwork, mesh: Mesh, axis: str = "time"):
+    def __init__(self, net: EventNetwork, mesh: Mesh, axis: str = "time",
+                 stream_axis: str | None = None):
+        """``stream_axis`` (e.g. ``"data"`` from a 2-D ``make_time_mesh``)
+        additionally shards a leading stream axis of state/chunks — dp x sp
+        composition; pass None (default) for the single-stream engine."""
         if not net.is_all_full:
             raise ValueError(
                 "time sharding requires conv_mode='full' for every layer "
@@ -79,9 +97,14 @@ class TimeShardEngine:
             )
         if axis not in mesh.axis_names:
             raise ValueError(f"mesh has no axis {axis!r}: {mesh.axis_names}")
+        if stream_axis is not None and stream_axis not in mesh.axis_names:
+            raise ValueError(
+                f"mesh has no axis {stream_axis!r}: {mesh.axis_names}"
+            )
         self.net = net
         self.mesh = mesh
         self.axis = axis
+        self.stream_axis = stream_axis
         self._jit = None
 
     def _local_fn(self, params, state, chunks: EventChunk):
@@ -144,25 +167,55 @@ class TimeShardEngine:
         return new_state, outs
 
     def _build(self):
-        chunk_spec = EventChunk(*([P(self.axis)] * 5))
+        if self.stream_axis is None:
+            chunk_spec = EventChunk(*([P(self.axis)] * 5))
+            in_specs = (P(), P(), chunk_spec)
+            out_specs = (P(), P(self.axis))
+            local = self._local_fn
+        else:
+            # leaves: state [S, ...], chunks [S, T, E] — streams shard the
+            # leading axis over stream_axis, time the next over axis
+            chunk_spec = EventChunk(*([P(self.stream_axis, self.axis)] * 5))
+            in_specs = (P(), P(self.stream_axis), chunk_spec)
+            out_specs = (P(self.stream_axis), P(self.stream_axis, self.axis))
+
+            def local(params, states, chunks):
+                return jax.vmap(
+                    lambda st, cs: self._local_fn(params, st, cs),
+                    in_axes=(0, 0), out_axes=(0, 0),
+                )(states, chunks)
+
         fn = jax.shard_map(
-            self._local_fn,
+            local,
             mesh=self.mesh,
-            in_specs=(P(), P(), chunk_spec),
-            out_specs=(P(), P(self.axis)),
+            in_specs=in_specs,
+            out_specs=out_specs,
             check_vma=False,
         )
         self._jit = jax.jit(fn)
 
     def scan_parallel(self, params, state: tuple, chunks: EventChunk):
-        """One stream, its time axis sharded: ``chunks`` leaves are [T, E]
-        with T divisible by the mesh's ``time`` size.  Returns
-        ``(new_state, outs [T, ...])`` matching
-        ``EventNetwork.scan_parallel`` up to float regrouping (~1e-6)."""
+        """Time-sharded parallel-in-time execution.
+
+        Single-stream engine (``stream_axis=None``): ``chunks`` leaves are
+        [T, E] with T divisible by the mesh's ``time`` size.  dp x sp
+        engine: state leaves carry a leading stream axis [S, ...] and
+        chunks are [S, T, E], with S divisible by the ``stream_axis`` size.
+        Returns ``(new_state, outs)`` matching
+        ``EventNetwork.scan_parallel`` (per stream) up to float regrouping
+        (~1e-6)."""
         d_axis = self.mesh.shape[self.axis]
-        t = chunks.y.shape[0]
+        t_dim = 0 if self.stream_axis is None else 1
+        t = chunks.y.shape[t_dim]
         if t % d_axis:
             raise ValueError(f"T={t} not divisible by time-axis size {d_axis}")
+        if self.stream_axis is not None:
+            s_axis = self.mesh.shape[self.stream_axis]
+            if chunks.y.shape[0] % s_axis:
+                raise ValueError(
+                    f"S={chunks.y.shape[0]} not divisible by stream-axis "
+                    f"size {s_axis}"
+                )
         if self._jit is None:
             self._build()
         return self._jit(params, state, chunks)

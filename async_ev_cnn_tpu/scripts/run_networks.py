@@ -53,7 +53,7 @@ def main(argv=None):
         cnn_padding=args.yolo_cnn_padding, h_cells=args.yolo_num_cells_h,
         w_cells=args.yolo_num_cells_w, num_bbox=args.yolo_num_bbox,
         alpha=0.1, leak=args.leak, checkpoint=args.restore_net,
-        conv_mode=args.mode,
+        conv_mode=args.mode, ts_window=args.ts_window,
     )
     if args.num_streams > 1:
         if not isinstance(network, YoloEventJax):

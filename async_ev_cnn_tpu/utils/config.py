@@ -124,6 +124,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "always drops polarity.")
     p.add_argument("--profile", type=boolean, default=False,
                    help="Capture a jax.profiler trace of the run.")
+    p.add_argument("--ts_window", type=int, default=None,
+                   help="parallel-in-time: compute per-chunk ts maps in a "
+                        "square window of this many pixels around each "
+                        "chunk's events (clustered-stream speedup; exact "
+                        "fallback when a chunk overflows)")
     p.add_argument("--matmul_precision", type=str, default="highest",
                    help="MXU precision for convs/GEMMs: 'highest' (full f32, "
                         "the parity default), 'high', or 'default' (bf16 "

@@ -204,3 +204,16 @@ def test_correctness_script():
 
     assert main(["--iterations", "200"]) == 0
     assert main(["--iterations", "100", "--mode", "sparse", "--tolerance", "2e-4"]) == 0
+
+
+def test_run_networks_ts_window(tmp_path, tiny_detection_root, tiny_ckpt):
+    """--ts_window routes the full-mode scan runner's parallel-in-time path
+    through the bounding-window ts-map (exact; overflow falls back)."""
+    from async_ev_cnn_tpu.scripts.run_networks import main
+
+    cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", tiny_ckpt)
+    base = main(["-c", str(cfg), "--runner", "scan", "--mode", "full"])
+    win = main(["-c", str(cfg), "--runner", "scan", "--mode", "full",
+                "--ts_window", "8"])
+    assert win["examples"] == base["examples"]
+    assert win["events_per_sec"] > 0

@@ -192,3 +192,29 @@ def test_time_shard_polarity_and_errors(rng):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_time_shard_streams_2d_mesh(rng):
+    """dp x sp composition: 4 streams x time over a (2, 4) mesh must match
+    per-stream single-device scan_parallel."""
+    from async_ev_cnn_tpu.parallel import TimeShardEngine, make_time_mesh
+
+    net, params = _full_net_params(rng)
+    mesh = make_time_mesh(8, n_streams=2)
+    assert mesh.axis_names == ("data", "time")
+    eng = TimeShardEngine(net, mesh, stream_axis="data")
+    streams = [make_stream(rng, 8, 6, 16, 16) for _ in range(4)]
+    chunks = jax.tree.map(lambda *xs: jnp.stack(xs), *streams)  # [S, T, E]
+    base = net.init_state(params)
+    states = jax.tree.map(lambda a: jnp.broadcast_to(a, (4, *a.shape)), base)
+    new_states, outs = eng.scan_parallel(params, states, chunks)
+    assert outs.shape[:2] == (4, 8)
+    for s, stream in enumerate(streams):
+        _, ref = jax.jit(net.scan_parallel)(params, net.init_state(params), stream)
+        np.testing.assert_allclose(
+            np.asarray(outs[s]), np.asarray(ref), atol=1e-5, err_msg=f"s={s}")
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(new_states)[0][s]),
+            np.asarray(jax.tree.leaves(jax.jit(net.scan_parallel)(
+                params, net.init_state(params), stream)[0])[0]),
+            atol=1e-5)
