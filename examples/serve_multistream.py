@@ -86,6 +86,28 @@ def main():
     print(f"parallel-in-time: {t_chunks} chunks x {n_streams} streams -> "
           f"outputs {grids.shape}, mean |out| = {np.abs(grids).mean():.4f}")
 
+    # ---- sequence parallelism: ONE stream's time axis over all devices --
+    # The max-plus surface recurrence is associative, so a single stream
+    # scales across chips: local scans + one all_gather prefix composition
+    # (parallel/time_shard.py).  Use when one stream's latency/throughput
+    # matters more than aggregate serving.
+    from async_ev_cnn_tpu.parallel import TimeShardEngine, make_time_mesh
+
+    n_dev = len(jax.devices())
+    t_total = 2 * n_dev
+    eng_sp = TimeShardEngine(net_full, make_time_mesh(n_dev))
+    one_stream = jax.tree.map(
+        lambda *xs: jnp.stack(xs, axis=0),
+        *[chunk_at(t) for t in range(t_total)],
+    )
+    # single stream: drop the stream axis from the random chunks
+    one_stream = jax.tree.map(lambda a: a[:, 0], one_stream)
+    st_sp, grids_sp = eng_sp.scan_parallel(
+        params, net_full.init_state(params), one_stream
+    )
+    print(f"time-sharded single stream: {t_total} chunks over {n_dev} "
+          f"devices -> outputs {np.asarray(grids_sp).shape}")
+
 
 if __name__ == "__main__":
     main()
