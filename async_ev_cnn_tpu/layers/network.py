@@ -313,11 +313,16 @@ class EventNetwork:
         new_state = (IntegrationState(carry[0], carry[1]),) + tuple(state[1:])
         return new_state, outs
 
-    def full_frame_forward(self, params, state: tuple, frame: jnp.ndarray):
+    def full_frame_forward(
+        self, params, state: tuple, frame: jnp.ndarray, upto: int | None = None
+    ):
         """Forward one integrated surface through the all-'full' conv/pool
         chain — the time-batched leg of :meth:`scan_parallel`, also used by
         the time-sharded engine (parallel/time_shard.py).  ``frame`` is the
-        f32 ``[C, H, W]`` surface; returns the YOLO-grid output."""
+        f32 ``[C, H, W]`` surface; returns the YOLO-grid output.  ``upto``
+        (static) truncates after that many conv/pool layers and returns the
+        truncated featuremap — the parallel-path profiler's hook
+        (utils/profiling.profile_layers_parallel)."""
         ispec = self.event_layers[0].spec
         # surface >= 0 always, so featuremap == surface exactly and the
         # (surface > 0) activation mask is a scalar-1 no-op here.
@@ -327,7 +332,9 @@ class EventNetwork:
             conv_actfn=jnp.zeros((), jnp.float32),
             mask=jnp.ones((ispec.h, ispec.w), bool),
         )
-        for ld, st in zip(self.event_layers[1:], state[1:]):
+        for i, (ld, st) in enumerate(zip(self.event_layers[1:], state[1:])):
+            if upto is not None and i >= upto:
+                return io.featuremap
             if ld.kind == "conv":
                 _, io = conv_step(
                     ld.spec, _kernel_oihw(params, ld.name),
@@ -335,6 +342,8 @@ class EventNetwork:
                 )
             else:
                 _, io = pool_step(ld.spec, st, io, jnp.float32(0))
+        if upto is not None:
+            return io.featuremap
         return self.apply_tail(params, jnp.transpose(io.featuremap, (1, 2, 0)))
 
     def scan(self, params, state: tuple, chunks: EventChunk, unroll: int = 1):

@@ -111,6 +111,83 @@ def profile_layers(net, params, chunks, reps: int = 3, dispatches: int = 4):
     return rows
 
 
+def profile_layers_parallel(net, params, chunks, reps: int = 3,
+                            dispatches: int = 8):
+    """Stage attribution for the parallel-in-time path (`scan_parallel`).
+
+    Same prefix-ablation scheme as :func:`profile_layers`, but each probe
+    runs the REAL ``integrate_parallel`` + the T-batched network truncated
+    after k layers, so the rows reflect the time-batched execution the
+    headline uses (per-layer costs batch over T and differ a lot from the
+    sequential rows).  Row 0 ('integrate') is the associative-scan surface
+    reconstruction.  Every probe's operands depend on the chained carry —
+    see docs/performance.md's "measurement discipline" for the hoisting /
+    DCE traps this avoids.
+
+    Returns ``[(name, ms_per_dispatch_marginal), ..., ('TOTAL', ms)]``.
+    Each probe still contains one tunnel round trip, so on tunneled
+    backends every TOTAL (and the first row's marginal) carries a
+    ~RTT/dispatches additive bias (~3.6 ms at dispatches=8); marginals of
+    later rows difference it away up to run-to-run noise.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from async_ev_cnn_tpu.ops.integrate import integrate_parallel
+
+    if not net.is_all_full:
+        raise ValueError("profile_layers_parallel requires an all-'full' net")
+    state0 = net.init_state(params)
+    ispec = net.event_layers[0].spec
+
+    def timed(upto):
+        def probe(surf0, pts0, acc0):
+            def body(carry, _):
+                surf, pts, acc = carry
+                surfaces, last_ts = integrate_parallel(
+                    surf, pts, chunks, ispec.leak
+                )
+                if upto == 0:
+                    out = jnp.mean(surfaces)
+                else:
+                    outs = jax.vmap(
+                        lambda fr: net.full_frame_forward(
+                            params, state0, fr, upto=upto
+                        )
+                    )(surfaces)
+                    out = jnp.mean(outs)
+                # keep prev_ts loop-variant (tiny but data-dependent) so
+                # no integrate stage is loop-invariant-hoistable
+                new_pts = jax.lax.rem(last_ts[-1], jnp.int32(7))
+                return (surfaces[-1], new_pts, acc + out), None
+            (_, _, acc), _ = jax.lax.scan(
+                body, (surf0, pts0, acc0), None, length=dispatches
+            )
+            return acc
+
+        fn = jax.jit(probe)
+        surf0 = state0[0].surface
+        float(fn(surf0, jnp.int32(0), jnp.float32(0)))  # compile + sync
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            float(fn(surf0, jnp.int32(0), jnp.float32(0)))
+            best = min(best, time.time() - t0)
+        return best / dispatches * 1e3  # ms per dispatch
+
+    rows = []
+    prev = 0.0
+    names = ["integrate"] + [ld.name for ld in net.event_layers[1:]]
+    for upto, name in enumerate(names):
+        total = timed(upto)
+        rows.append((name, total - prev))
+        prev = total
+    rows.append(("TOTAL", prev))
+    return rows
+
+
 @contextlib.contextmanager
 def trace(log_dir: str | None):
     """Capture a jax.profiler trace under ``log_dir`` (no-op when None)."""

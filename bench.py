@@ -300,6 +300,16 @@ def run_profile_layers():
         for name, ms in profile_layers(net, params, chunks):
             print(f"  {name:>8}: {ms:7.3f}")
 
+    from async_ev_cnn_tpu.utils.profiling import profile_layers_parallel
+
+    events_par = synth_stream(rng, T_PARALLEL, CHUNK_EVENTS)
+    chunks_par = pack_chunks(events_par, CAPACITY)
+    net = _net(layer_defs, "full")
+    print(f"\nparallel-in-time path, T={T_PARALLEL} "
+          f"(ms/dispatch, marginal per stage)")
+    for name, ms in profile_layers_parallel(net, params, chunks_par):
+        print(f"  {name:>9}: {ms:7.3f}")
+
 
 def main():
     from async_ev_cnn_tpu.utils.config import layers_dict

@@ -116,3 +116,41 @@ def test_profile_layers_toy(bench_mod):
         ld.name for ld in net.event_layers
     ]
     assert all(np.isfinite(ms) for _, ms in rows)
+
+
+def test_profile_layers_parallel_toy(rng):
+    """profile_layers_parallel: one 'integrate' row + one per conv/pool
+    layer + TOTAL; marginals sum to the total; non-'full' nets rejected."""
+    from collections import OrderedDict
+
+    import jax.numpy as jnp
+    import pytest
+
+    from async_ev_cnn_tpu.layers.network import EventNetwork
+    from async_ev_cnn_tpu.utils.profiling import profile_layers_parallel
+    from async_ev_cnn_tpu.utils.runner import pack_chunks
+
+    layer_defs = OrderedDict(conv1=[3, 3, 1, 4], pool1=[2, 2], conv2=[1, 1, 4, 6])
+    params = {}
+    for name, size in layer_defs.items():
+        if "conv" in name:
+            kh, kw, ci, co = size
+            params[f"w_{name}"] = jnp.asarray(
+                rng.randn(kh, kw, ci, co).astype(np.float32) * 0.2)
+            params[f"b_{name}"] = jnp.asarray(
+                rng.randn(co).astype(np.float32) * 0.2)
+    net = EventNetwork(layer_defs, 16, 16, leak=0.01, alpha=0.1,
+                       padding="SAME", conv_mode="full")
+    events = np.stack([rng.randint(0, 16, 40), rng.randint(0, 16, 40),
+                       np.sort(rng.randint(1, 99, 40))], -1).astype(np.int32)
+    chunks = pack_chunks(events, 16)
+    rows = profile_layers_parallel(net, params, chunks, reps=1, dispatches=2)
+    names = [n for n, _ in rows]
+    assert names == ["integrate", "conv1", "pool1", "conv2", "TOTAL"]
+    marginals = [ms for _, ms in rows[:-1]]
+    assert abs(sum(marginals) - rows[-1][1]) < 1e-6
+
+    net_d = EventNetwork(layer_defs, 16, 16, leak=0.01, alpha=0.1,
+                         padding="SAME", conv_mode="dense")
+    with pytest.raises(ValueError):
+        profile_layers_parallel(net_d, params, chunks)
