@@ -60,7 +60,9 @@ def _split_header(data: bytes) -> bytes:
     return data[pos:]
 
 
-def _ffill_value(marker: np.ndarray, values: np.ndarray, fill) -> np.ndarray:
+def _ffill_value(
+    marker: np.ndarray, values: np.ndarray, fill
+) -> tuple[np.ndarray, np.ndarray]:
     """values[i] from the most recent marker<=i; ``fill`` before the first.
 
     ``marker`` is bool [N]; ``values`` holds the payload at marker
@@ -210,23 +212,40 @@ class Evt3Reader(FileReader):
         )
 
     def save_example(self, filename, x, y, ts, p, version=None):
-        """Single-event (ADDR_X) encoding — valid EVT3, no vector packing."""
+        """Single-event (ADDR_X) encoding — valid EVT3, no vector packing.
+
+        The wire time is 24-bit (high:12 | low:12) and the decoder extends
+        it by counting TIME_HIGH *decreases*.  A gap that crosses k
+        boundaries of the 12-bit high field must therefore make the
+        emitted TIME_HIGH sequence decrease exactly k times; a plain
+        emission of the new masked value decreases at most once (and for
+        gaps >= 2^24 us, possibly zero times — silent corruption).  So for
+        every boundary crossed this writer emits an explicit wrap-marker
+        pair ``[0xFFF, 0x000]`` (the 0xFFF never counts — it is >= any
+        previous masked value; the 0x000 always counts) before the final
+        masked TIME_HIGH (which, coming after a 0x000, never counts).
+        Requires non-decreasing ``ts``, like every writer here.
+        """
         x = np.asarray(x, np.int64)
         y = np.asarray(y, np.int64)
         ts = np.asarray(ts, np.int64)
         p = np.asarray(p, np.int64)
-        th = (ts >> 12) & 0xFFF  # 24-bit time; rollovers appear as wraps
+        th_full = ts >> 12
+        th = th_full & 0xFFF
         tl = ts & 0xFFF
         n = len(ts)
         new_th = np.empty(n, bool)
         new_tl = np.empty(n, bool)
         new_y = np.empty(n, bool)
+        k_wraps = np.zeros(n, np.int64)  # 12-bit-high boundaries crossed
         if n:
             new_th[0] = new_tl[0] = new_y[0] = True
-            new_th[1:] = th[1:] != th[:-1]
+            new_th[1:] = th_full[1:] != th_full[:-1]
             new_tl[1:] = (tl[1:] != tl[:-1]) | new_th[1:]
             new_y[1:] = y[1:] != y[:-1]
-        counts = new_th.astype(np.int64) + new_tl + new_y + 1
+            k_wraps[0] = th_full[0] >> 12  # absolute start beyond 24 bits
+            k_wraps[1:] = (th_full[1:] >> 12) - (th_full[:-1] >> 12)
+        counts = 2 * k_wraps + new_th.astype(np.int64) + new_tl + new_y + 1
         ends = np.cumsum(counts)
         out = np.zeros(int(ends[-1]) if n else 0, dtype="<u2")
         pos_x = ends - 1
@@ -237,6 +256,17 @@ class Evt3Reader(FileReader):
         out[pos_y[new_y]] = ((0x0 << 12) | (y[new_y] & 0x7FF)).astype("<u2")
         out[pos_tl[new_tl]] = ((0x6 << 12) | tl[new_tl]).astype("<u2")
         out[pos_th[new_th]] = ((0x8 << 12) | th[new_th]).astype("<u2")
+        total_pairs = int(k_wraps.sum())
+        if total_pairs:
+            # segmented arange: pair j of event i sits at
+            # pos_th[i] - 2*k[i] + 2*j (+0 -> 0xFFF marker, +1 -> 0x000)
+            ev = np.repeat(np.arange(n), k_wraps)
+            j = np.arange(total_pairs) - np.repeat(
+                np.cumsum(k_wraps) - k_wraps, k_wraps
+            )
+            base = pos_th[ev] - 2 * k_wraps[ev] + 2 * j
+            out[base] = (0x8 << 12) | 0xFFF
+            out[base + 1] = (0x8 << 12) | 0x000
         with open(filename, "wb") as f:
             f.write(b"% evt 3.0\n% format EVT3\n")
             f.write(out.tobytes())

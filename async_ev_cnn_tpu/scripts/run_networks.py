@@ -58,6 +58,15 @@ def main(argv=None):
     if args.num_streams > 1:
         if not isinstance(network, YoloEventJax):
             raise SystemExit("--num_streams > 1 requires an event network")
+        if args.ts_window:
+            # under vmap the bounding-window cond becomes a select and both
+            # formulations execute (ops/integrate.integrate_parallel) —
+            # reject rather than silently ignore or pessimize
+            raise SystemExit(
+                "--ts_window is a per-stream dispatch knob; it does not "
+                "compose with --num_streams > 1 (vmap turns its exact "
+                "fallback cond into a both-branches select)"
+            )
         runner = MultiStreamRunner(args, reader)
         from async_ev_cnn_tpu.utils.profiling import trace
 

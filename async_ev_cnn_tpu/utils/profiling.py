@@ -157,7 +157,7 @@ def profile_layers_parallel(net, params, chunks, reps: int = 3,
                             params, state0, fr, upto=upto
                         )
                     )(surfaces)
-                    out = jnp.mean(outs)
+                    out = jnp.mean(outs)  # upto=None: full forward w/ tail
                 # keep prev_ts loop-variant (tiny but data-dependent) so
                 # no integrate stage is loop-invariant-hoistable
                 new_pts = jax.lax.rem(last_ts[-1], jnp.int32(7))
@@ -180,7 +180,10 @@ def profile_layers_parallel(net, params, chunks, reps: int = 3,
     rows = []
     prev = 0.0
     names = ["integrate"] + [ld.name for ld in net.event_layers[1:]]
-    for upto, name in enumerate(names):
+    probes = list(enumerate(names))
+    if net.dense_tail:
+        probes.append((None, "tail"))  # upto=None = full forward incl. tail
+    for upto, name in probes:
         total = timed(upto)
         rows.append((name, total - prev))
         prev = total

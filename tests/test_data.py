@@ -456,3 +456,30 @@ class TestEvtCodecs:
 
         assert isinstance(ffmt.factory("evt2"), Evt2Reader)
         assert isinstance(ffmt.factory("evt3"), Evt3Reader)
+
+    def test_evt3_large_gap_wraps(self, rng, tmp_path):
+        """Gaps crossing >=1 boundary of the 12-bit TIME_HIGH field (ts
+        deltas >= 2^24 us) must round-trip exactly: the writer emits one
+        wrap-marker TIME_HIGH pair per crossed boundary so the decoder's
+        decrease-counting unwrap lands on the right epoch.  Regression for
+        a silent-timestamp-collapse bug (33 s gap -> 0)."""
+        from async_ev_cnn_tpu.data.evt import Evt3Reader
+
+        codec = Evt3Reader()
+        f = str(tmp_path / "gap.raw")
+        cases = [
+            np.array([100, 100 + 2**25]),       # multi-wrap gap
+            np.array([100, 100 + 2**24]),       # exactly one epoch
+            np.array([2**26 + 5, 2**26 + 6]),   # absolute start beyond 24 bits
+            np.cumsum(rng.randint(0, 2**25, 50).astype(np.int64)),
+        ]
+        for ts in cases:
+            n = len(ts)
+            x = np.arange(n) % 7
+            y = np.arange(n) % 5
+            p = np.arange(n) % 2
+            codec.save_example(f, x, y, ts, p)
+            n2, x2, y2, ts2, p2 = codec.read_example(f)
+            assert n2 == n
+            np.testing.assert_array_equal(ts2.astype(np.int64), ts)
+            np.testing.assert_array_equal(x2, x)
