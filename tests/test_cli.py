@@ -217,3 +217,15 @@ def test_run_networks_ts_window(tmp_path, tiny_detection_root, tiny_ckpt):
                 "--ts_window", "8"])
     assert win["examples"] == base["examples"]
     assert win["events_per_sec"] > 0
+
+
+def test_repo_configs_parse(tmp_path, tiny_detection_root, tiny_ckpt):
+    """Every checked-in config must at least parse through the CLI config
+    loader (data paths are swapped for the tiny fixture)."""
+    import glob
+
+    from async_ev_cnn_tpu.utils.config import config
+
+    for cfg in sorted(glob.glob("configs/*.yml")):
+        args = config(["-c", cfg, "--input_data_dir", str(tiny_detection_root)])
+        assert args.yolo_cnn_layers and args.frame_h > 0, cfg

@@ -4,6 +4,7 @@ multi-stream execution must agree with per-stream sequential execution."""
 from collections import OrderedDict
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -218,3 +219,26 @@ def test_time_shard_streams_2d_mesh(rng):
             np.asarray(jax.tree.leaves(jax.jit(net.scan_parallel)(
                 params, net.init_state(params), stream)[0])[0]),
             atol=1e-5)
+
+
+@pytest.mark.slow
+def test_time_shard_long_horizon_drift(rng):
+    """20 successive time-sharded dispatches (320 chunks) must track the
+    sequential scan within the 1e-4 contract — guards cumulative regrouping
+    drift across the cross-device prefix compositions."""
+    from async_ev_cnn_tpu.parallel import TimeShardEngine, make_time_mesh
+
+    net, params = _full_net_params(rng, leak=0.02)
+    eng = TimeShardEngine(net, make_time_mesh(8))
+    st_sp = st_seq = net.init_state(params)
+    base = 0
+    for _ in range(20):
+        stream = make_stream(rng, 16, 6, 16, 16)
+        stream = stream._replace(ts=stream.ts + base)
+        base = int(np.asarray(stream.ts).max())
+        st_sp, outs_sp = eng.scan_parallel(params, st_sp, stream)
+        st_seq, outs_seq = jax.jit(net.scan)(params, st_seq, stream)
+        np.testing.assert_allclose(
+            np.asarray(outs_sp), np.asarray(outs_seq), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(st_sp[0].surface), np.asarray(st_seq[0].surface), atol=1e-4)
