@@ -139,3 +139,42 @@ def load_params_orbax(directory: str) -> Dict[str, np.ndarray]:
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(os.path.abspath(directory))
     return {k: np.asarray(v) for k, v in restored.items()}
+
+
+def save_stream_state(path: str, state) -> None:
+    """Persist an :class:`EventNetwork` state pytree (single-stream or
+    stream-batched) to one ``.npz`` — the serving-side analog of the
+    reference's reader save/restore (event_reader.py:778-820): weights,
+    reader cursors, AND now the in-flight stream state (surfaces,
+    timestamps, layer featuremaps) can all round-trip a process restart.
+    """
+    import jax
+
+    leaves = jax.tree.leaves(state)
+    np.savez(path, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+
+def restore_stream_state(path: str, like):
+    """Restore a state pytree saved by :func:`save_stream_state` into the
+    structure of ``like`` (e.g. ``net.init_state(params)`` — the treedef
+    is not serialized, the network spec defines it).  Shapes and dtypes
+    are validated leaf-by-leaf."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree.flatten(like)
+    with np.load(path) as z:
+        arrs = [z[f"leaf_{i}"] for i in range(len(z.files))]
+    if len(arrs) != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(arrs)} leaves, structure needs {len(leaves)}"
+        )
+    out = []
+    for i, (a, l) in enumerate(zip(arrs, leaves)):
+        if tuple(a.shape) != tuple(jnp.shape(l)):
+            raise ValueError(
+                f"leaf {i}: checkpoint shape {a.shape} != structure "
+                f"shape {jnp.shape(l)}"
+            )
+        out.append(jnp.asarray(a, dtype=jnp.asarray(l).dtype))
+    return jax.tree.unflatten(treedef, out)

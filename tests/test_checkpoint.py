@@ -117,3 +117,50 @@ def test_latest_checkpoint_resolution(tmp_path, ckpt_vars):
     assert resolved == prefix
     params = load_params(os.path.dirname(prefix))
     assert any("w_conv1" in k for k in params)
+
+
+def test_stream_state_save_restore(tmp_path, rng):
+    """Serving state (mid-stream surfaces/featuremaps/timestamps) must
+    round-trip a save/restore and continue bit-identically."""
+    from collections import OrderedDict
+
+    import jax
+    import jax.numpy as jnp
+
+    from async_ev_cnn_tpu.layers.network import EventNetwork
+    from async_ev_cnn_tpu.utils.checkpoint import (
+        restore_stream_state,
+        save_stream_state,
+    )
+    from async_ev_cnn_tpu.utils.equivalence import make_stream
+
+    layer_defs = OrderedDict(conv1=[3, 3, 1, 4], pool1=[2, 2], conv2=[1, 1, 4, 6])
+    params = {}
+    for name, size in layer_defs.items():
+        if "conv" in name:
+            kh, kw, ci, co = size
+            params[f"w_{name}"] = jnp.asarray(
+                rng.randn(kh, kw, ci, co).astype(np.float32) * 0.2)
+            params[f"b_{name}"] = jnp.asarray(
+                rng.randn(co).astype(np.float32) * 0.2)
+    net = EventNetwork(layer_defs, 16, 16, leak=0.01, alpha=0.1,
+                       padding="SAME", conv_mode="dense")
+    s1 = make_stream(rng, 6, 5, 16, 16)
+    s2 = make_stream(rng, 6, 5, 16, 16)
+    s2 = s2._replace(ts=s2.ts + int(np.asarray(s1.ts).max()))
+
+    state = net.init_state(params)
+    state, _ = jax.jit(net.scan)(params, state, s1)
+    path = str(tmp_path / "serving_state.npz")
+    save_stream_state(path, state)
+    restored = restore_stream_state(path, net.init_state(params))
+    st_a, outs_a = jax.jit(net.scan)(params, state, s2)
+    st_b, outs_b = jax.jit(net.scan)(params, restored, s2)
+    np.testing.assert_array_equal(np.asarray(outs_a), np.asarray(outs_b))
+
+    # structure mismatches fail loudly
+    import pytest
+
+    wrong = net.init_state(params)[:-1]
+    with pytest.raises(ValueError):
+        restore_stream_state(path, wrong)
