@@ -59,6 +59,22 @@ def main():
         grids = np.asarray(grids)
         print(f"step {step}: per-stream grid outputs {grids.shape}, "
               f"mean |out| = {np.abs(grids).mean():.4f}")
+        if step == 2:
+            # serving survives a process restart: checkpoint the in-flight
+            # stream state mid-run and restore it bit-identically
+            import tempfile
+
+            from async_ev_cnn_tpu.utils.checkpoint import (
+                restore_stream_state,
+                save_stream_state,
+            )
+
+            ckpt = tempfile.mktemp(suffix=".npz")
+            save_stream_state(ckpt, states)
+            states = jax.device_put(  # re-place with the stream shardings
+                restore_stream_state(ckpt, states), eng.state_shardings()
+            )
+            print(f"  (stream state checkpointed + restored from {ckpt})")
 
     # ---- throughput mode: full-recompute net, parallel-in-time ----------
     # Each stream's T chunks are executed as one time-batched program
