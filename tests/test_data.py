@@ -483,3 +483,28 @@ class TestEvtCodecs:
             assert n2 == n
             np.testing.assert_array_equal(ts2.astype(np.int64), ts)
             np.testing.assert_array_equal(x2, x)
+
+    def test_evt3_dataset_end_to_end(self, rng, tmp_path):
+        """EventDataset drives the EVT3 codec through the full batch path
+        (directory scan, split, padding, preprocessing) like any format."""
+        from async_ev_cnn_tpu.data import event_reader
+        from async_ev_cnn_tpu.data.evt import Evt3Reader
+
+        codec = Evt3Reader()
+        root = tmp_path / "evtds"
+        for c in range(2):
+            d = root / f"class{c}"
+            d.mkdir(parents=True)
+            for i in range(4):
+                x, y, ts, p = self._stream(rng, n=60, xmax=64, ymax=48)
+                codec.save_example(str(d / f"ex{i}.raw"), x, y, ts, p)
+        ds = event_reader.EventDataset(
+            str(root), file_format="evt3", validation_frac=0, test_frac=0.5,
+            seed=1,
+        )
+        assert ds.num_classes() == 2
+        lengths, labels, xs, ys, tss, ps = ds.next_batch(
+            2, dataset="train", threads=1,
+        )
+        assert lengths.shape[0] == 2 and xs.shape[0] == 2
+        assert (lengths > 0).all()
