@@ -88,7 +88,7 @@ class Evt2Reader(FileReader):
         typ = words >> 28
         is_cd = (typ == 0x0) | (typ == 0x1)
         is_th = typ == 0x8
-        th, th_idx = _ffill_value(
+        th, _ = _ffill_value(
             is_th, (words & 0x0FFFFFFF).astype(np.int64), 0
         )
         cd = words[is_cd]

@@ -133,29 +133,27 @@ class TimeShardEngine:
         )
         big_b, big_c = jax.lax.associative_scan(maxplus_combine, (b, c))
 
-        # -- one collective round: exclusive compose of device totals -------
+        # -- one collective round: compose the gathered device totals into
+        #    (a) this device's EXCLUSIVE prefix (devices < idx) and (b) the
+        #    full composition of all devices, in a single static pass
         tot = (jax.lax.all_gather(big_b[-1], axis),
                jax.lax.all_gather(big_c[-1], axis))  # each [D, C, H, W]
-        excl = (jnp.zeros_like(big_b[-1]),
-                jnp.full_like(big_c[-1], -jnp.inf))  # max-plus identity
+        ident = (jnp.zeros_like(big_b[-1]),
+                 jnp.full_like(big_c[-1], -jnp.inf))  # max-plus identity
+        excl = full = ident
         for j in range(d_axis):  # D is static (mesh size)
-            composed = maxplus_combine(excl, (tot[0][j], tot[1][j]))
-            use = j < idx
-            excl = (jnp.where(use, composed[0], excl[0]),
-                    jnp.where(use, composed[1], excl[1]))
+            step = (tot[0][j], tot[1][j])
+            full = maxplus_combine(full, step)
+            take = j < idx
+            excl = (jnp.where(take, full[0], excl[0]),
+                    jnp.where(take, full[1], excl[1]))
 
         # -- offset local prefixes, reconstruct local surfaces --------------
         glob_b, glob_c = maxplus_combine(excl, (big_b, big_c))
         surfaces = jnp.maximum(surface[None] + glob_b, glob_c)
 
-        # -- final state: compose ALL devices onto the initial surface ------
-        # (deterministic and identical on every device; cheap)
-        full = excl
-        for j in range(d_axis):
-            composed = maxplus_combine(full, (tot[0][j], tot[1][j]))
-            use = j >= idx  # continue from the exclusive prefix
-            full = (jnp.where(use, composed[0], full[0]),
-                    jnp.where(use, composed[1], full[1]))
+        # -- final state: the full composition applied to the initial
+        #    surface (deterministic and identical on every device)
         final_surface = jnp.maximum(surface + full[0], full[1])
         final_ts = jnp.maximum(prev_ts, jnp.max(dev_max)).astype(jnp.int32)
 

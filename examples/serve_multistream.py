@@ -62,6 +62,7 @@ def main():
         if step == 2:
             # serving survives a process restart: checkpoint the in-flight
             # stream state mid-run and restore it bit-identically
+            import os
             import tempfile
 
             from async_ev_cnn_tpu.utils.checkpoint import (
@@ -69,7 +70,8 @@ def main():
                 save_stream_state,
             )
 
-            ckpt = tempfile.mktemp(suffix=".npz")
+            fd, ckpt = tempfile.mkstemp(suffix=".npz")
+            os.close(fd)
             save_stream_state(ckpt, states)
             states = jax.device_put(  # re-place with the stream shardings
                 restore_stream_state(ckpt, states), eng.state_shardings()
