@@ -126,11 +126,23 @@ class Evt2Reader(FileReader):
 
 
 class Evt3Reader(FileReader):
-    """Prophesee EVT3 RAW codec."""
+    """Prophesee EVT3 RAW codec.
+
+    Uses the native C++ decoder (``native/libevio.so``) when built — EVT3
+    is the throughput-heaviest format (modern sensors sustain >10^8 ev/s)
+    and its stateful word stream suits a sequential C++ loop better than
+    the multi-pass vectorized fallback below (gated bit-exact against it
+    in tests/test_native.py)."""
 
     def read_example(self, filename):
         with open(filename, "rb") as f:
             payload = _split_header(f.read())
+        from async_ev_cnn_tpu.data import native
+
+        if native.available():
+            out = native.decode_evt3(payload)
+            if out is not None:
+                return out
         words = np.frombuffer(payload[: len(payload) & ~1], dtype="<u2")
         return self._decode(words)
 

@@ -55,6 +55,10 @@ def get_lib():
         lib.evio_decode_aedat20.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ] + [ctypes.POINTER(ctypes.c_int32)] * 4
+        lib.evio_decode_evt3.restype = ctypes.c_int64
+        lib.evio_decode_evt3.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ] + [ctypes.POINTER(ctypes.c_int32)] * 4
     except AttributeError:  # older library build
         pass
     _LIB = lib
@@ -159,3 +163,34 @@ def decode_ndata_batch(paths: list[str]):
         out.append((n, x[o : o + n].copy(), y[o : o + n].copy(),
                     ts[o : o + n].copy(), p[o : o + n].copy()))
     return out
+
+
+def decode_evt3(payload: bytes):
+    """Native EVT3 payload decode (header-stripped); None if unavailable.
+
+    The exact output capacity is counted with one cheap vectorized pass
+    (ADDR_X words + set validity bits of VECT_12/VECT_8 words) so the
+    C++ loop writes into exactly-sized arrays.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "evio_decode_evt3"):
+        return None
+    buf = np.frombuffer(payload[: len(payload) & ~1], dtype="<u2")
+    typ = buf >> 12
+    val = (buf & 0xFFF).astype(np.uint32)
+    bits12 = val[typ == 0x4]
+    bits8 = val[typ == 0x5] & 0xFF
+    popcount = np.unpackbits(
+        np.concatenate([bits12, bits8]).astype(">u2").view(np.uint8)
+    ).sum() if (bits12.size or bits8.size) else 0
+    cap = int((typ == 0x2).sum()) + int(popcount)
+    x = np.empty(cap, np.int32)
+    y = np.empty(cap, np.int32)
+    ts = np.empty(cap, np.int32)
+    p = np.empty(cap, np.int32)
+    arr = np.ascontiguousarray(buf).view(np.uint8)
+    n = int(lib.evio_decode_evt3(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), arr.size,
+        _i32p(x), _i32p(y), _i32p(ts), _i32p(p),
+    ))
+    return n, x[:n], y[:n], ts[:n], p[:n]

@@ -174,4 +174,74 @@ int64_t evio_decode_aedat31(const uint8_t* payload, int64_t size, int32_t* x,
   return n;
 }
 
+// EVT3 payload decode (payload = file minus '%' header lines): 16-bit LE
+// words, 4-bit type in bits [15:12]; stateful — current y, vector base-x
+// and polarity, 24-bit (high:12|low:12) time extended by counting
+// TIME_HIGH decreases.  Bit-level parity with the vectorized decoder in
+// async_ev_cnn_tpu/data/evt.py (gated in tests/test_native.py).  The
+// caller sizes the outputs exactly (cheap numpy prepass counts ADDR_X
+// words plus VECT_12/VECT_8 set bits).  Returns the event count.
+int64_t evio_decode_evt3(const uint8_t* payload, int64_t size, int32_t* x,
+                         int32_t* y, int32_t* ts, int32_t* p) {
+  const uint16_t* words = reinterpret_cast<const uint16_t*>(payload);
+  const int64_t n_words = size / 2;
+  int64_t n = 0;
+  int32_t cur_y = 0;
+  int32_t base_x = 0;
+  int32_t vect_p = 0;
+  int64_t th = 0;        // extended high component
+  int64_t tl = 0;
+  int32_t last_raw_th = -1;
+  int64_t wraps = 0;
+  for (int64_t i = 0; i < n_words; ++i) {
+    const uint16_t w = words[i];
+    const int32_t typ = w >> 12;
+    const int32_t val = w & 0x0FFF;
+    switch (typ) {
+      case 0x0:  // EVT_ADDR_Y
+        cur_y = val & 0x7FF;
+        break;
+      case 0x2: {  // EVT_ADDR_X: one CD event
+        x[n] = val & 0x7FF;
+        y[n] = cur_y;
+        ts[n] = static_cast<int32_t>((th << 12) | tl);
+        p[n] = (val >> 11) & 1;
+        ++n;
+        break;
+      }
+      case 0x3:  // VECT_BASE_X
+        base_x = val & 0x7FF;
+        vect_p = (val >> 11) & 1;
+        break;
+      case 0x4:    // VECT_12
+      case 0x5: {  // VECT_8
+        const int width = (typ == 0x4) ? 12 : 8;
+        const int32_t t32 = static_cast<int32_t>((th << 12) | tl);
+        for (int b = 0; b < width; ++b) {
+          if ((val >> b) & 1) {
+            x[n] = base_x + b;
+            y[n] = cur_y;
+            ts[n] = t32;
+            p[n] = vect_p;
+            ++n;
+          }
+        }
+        base_x += width;
+        break;
+      }
+      case 0x6:  // EVT_TIME_LOW
+        tl = val;
+        break;
+      case 0x8:  // EVT_TIME_HIGH (decrease = 24-bit epoch wrap)
+        if (last_raw_th >= 0 && val < last_raw_th) ++wraps;
+        last_raw_th = val;
+        th = static_cast<int64_t>(val) + (wraps << 12);
+        break;
+      default:  // EXT_TRIGGER / OTHERS / CONTINUED: ignored
+        break;
+    }
+  }
+  return n;
+}
+
 }  // extern "C"

@@ -83,3 +83,45 @@ def test_nreader_uses_native(tmp_path, rng, monkeypatch):
     assert out_native[0] == out_numpy[0]
     for a, b in zip(out_native[1:], out_numpy[1:]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_native_evt3_matches_numpy(rng, tmp_path):
+    """The C++ EVT3 decoder must be bit-exact vs the vectorized numpy
+    decoder on round-trip streams (incl. multi-wrap time gaps) and on
+    hand-assembled vector-event words."""
+    from async_ev_cnn_tpu.data import native
+    from async_ev_cnn_tpu.data.evt import Evt3Reader, _split_header
+
+    if not native.available():
+        pytest.skip("native library not built")
+    codec = Evt3Reader()
+    f = str(tmp_path / "a.raw")
+
+    def compare(path):
+        with open(path, "rb") as fh:
+            payload = _split_header(fh.read())
+        nat = native.decode_evt3(payload)
+        assert nat is not None
+        ref = codec._decode(np.frombuffer(payload, dtype="<u2"))
+        for a, b in zip(nat, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # round-trip stream with multi-wrap gaps
+    n = 300
+    ts = np.cumsum(rng.randint(0, 2**25, n).astype(np.int64))
+    codec.save_example(f, rng.randint(0, 1280, n), rng.randint(0, 720, n),
+                       ts, rng.randint(0, 2, n))
+    compare(f)
+
+    # hand-assembled vector events (VECT_BASE_X / VECT_12 / VECT_8)
+    words = np.array([
+        (0x8 << 12) | 0x001, (0x6 << 12) | 0x00A, (0x0 << 12) | 37,
+        (0x3 << 12) | (1 << 11) | 100,
+        (0x4 << 12) | 0b100000000101,
+        (0x5 << 12) | 0b10000001,
+        (0x2 << 12) | 55,
+    ], dtype="<u2")
+    with open(f, "wb") as fh:
+        fh.write(b"% evt 3.0\n")
+        fh.write(words.tobytes())
+    compare(f)
