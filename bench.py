@@ -183,6 +183,18 @@ def bench_tpu_parallel_bf16(params, layer_defs, events):
         set_matmul_precision("highest")
 
 
+def bench_tpu_parallel_high(params, layer_defs, events):
+    """The headline mode at 3-pass bf16 precision (--matmul_precision
+    high): ~f32 quality, ~+19% throughput (docs/performance.md)."""
+    from async_ev_cnn_tpu.ops.conv import set_matmul_precision
+
+    set_matmul_precision("high")
+    try:
+        return bench_tpu_parallel(params, layer_defs, events)
+    finally:
+        set_matmul_precision("highest")
+
+
 def bench_tpu_dense_frame(params, layer_defs, events):
     """The dense baseline the async idea is meant to beat: re-run the dense
     frame network per event micro-batch on the integrated frame,
@@ -339,6 +351,8 @@ def main():
     masked_eps = masked[0] if masked else None
     bf16 = _try(bench_tpu_parallel_bf16, params, layer_defs, events_par)
     bf16_eps = bf16[0] if bf16 else None
+    high = _try(bench_tpu_parallel_high, params, layer_defs, events_par)
+    high_eps = high[0] if high else None
     serving_eps = _try(bench_tpu_serving, params, layer_defs, events)
     clustered = clustered_stream(rng, T_CHUNKS, CHUNK_EVENTS)
     window = _try(bench_tpu_async, params, layer_defs, clustered, conv_mode="window")
@@ -359,6 +373,8 @@ def main():
             round(masked_eps, 1) if masked_eps else None,
         "parallel_bf16_events_per_sec":
             round(bf16_eps, 1) if bf16_eps else None,
+        "parallel_high_precision_events_per_sec":
+            round(high_eps, 1) if high_eps else None,
         "serving_events_per_sec_chip_8streams":
             round(serving_eps, 1) if serving_eps else None,
         "window_mode_clustered_events_per_sec":
