@@ -508,3 +508,27 @@ class TestEvtCodecs:
         )
         assert lengths.shape[0] == 2 and xs.shape[0] == 2
         assert (lengths > 0).all()
+
+    def test_evt2_large_gap_round_trip(self, rng, tmp_path):
+        """EVT2 carries the full 28-bit high component per TIME_HIGH word
+        (no decrease-counting), so arbitrary int32-range gaps round-trip
+        without wrap markers — pinned here for symmetry with the EVT3
+        wrap-marker regression."""
+        from async_ev_cnn_tpu.data.evt import Evt2Reader
+
+        codec = Evt2Reader()
+        f = str(tmp_path / "gap2.raw")
+        ts = np.concatenate([
+            [5, 5 + 2**25, 2**30, 2**31 - 10],
+            np.cumsum(rng.randint(0, 2**26, 20).astype(np.int64)) + 2**31 - 9,
+        ])
+        ts = ts[ts < 2**31]  # int32 output range
+        n = len(ts)
+        x = np.arange(n) % 11
+        y = np.arange(n) % 9
+        p = np.arange(n) % 2
+        codec.save_example(f, x, y, ts, p)
+        n2, x2, y2, ts2, p2 = codec.read_example(f)
+        assert n2 == n
+        np.testing.assert_array_equal(ts2.astype(np.int64), ts)
+        np.testing.assert_array_equal(x2, x)
