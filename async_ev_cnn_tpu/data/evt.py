@@ -61,15 +61,19 @@ def _split_header(data: bytes) -> bytes:
 
 
 def _ffill_value(
-    marker: np.ndarray, values: np.ndarray, fill
+    marker: np.ndarray, values: np.ndarray, fill, iota: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """values[i] from the most recent marker<=i; ``fill`` before the first.
 
     ``marker`` is bool [N]; ``values`` holds the payload at marker
-    positions (garbage elsewhere).
+    positions (garbage elsewhere).  ``iota`` is an optional shared
+    ``int32 [N]`` arange — callers doing several fills pass one to avoid
+    re-materializing it (this helper dominates the fallback decoder's
+    profile; int32 indices halve its memory traffic).
     """
-    idx = np.where(marker, np.arange(marker.size), -1)
-    idx = np.maximum.accumulate(idx)
+    if iota is None:
+        iota = np.arange(marker.size, dtype=np.int32)
+    idx = np.maximum.accumulate(np.where(marker, iota, np.int32(-1)))
     out = np.where(idx >= 0, values[np.maximum(idx, 0)], fill)
     return out, idx
 
@@ -133,9 +137,9 @@ class Evt3Reader(FileReader):
     and its stateful word stream suits a sequential C++ loop better than
     the multi-pass vectorized fallback below (gated bit-exact against it
     in tests/test_native.py).  Measured on a 5M-event ADDR_X stream:
-    56M ev/s native vs 1.2M ev/s numpy — the fallback alone would
-    bottleneck a v5e chip's ~4.9M ev/s serving saturation, the native
-    path feeds ~11 chips per host core."""
+    56M ev/s native vs 2.8M ev/s numpy — the fallback sits below a v5e
+    chip's ~4.9M ev/s serving saturation, the native path feeds ~11
+    chips per host core."""
 
     def read_example(self, filename):
         with open(filename, "rb") as f:
@@ -152,24 +156,28 @@ class Evt3Reader(FileReader):
     @staticmethod
     def _decode(words: np.ndarray):
         n = words.size
+        iota = np.arange(n, dtype=np.int32)
         typ = (words >> 12).astype(np.int32)
         val = (words & 0xFFF).astype(np.int32)
 
-        # -- time: 24-bit (high:12 | low:12), high unwrapped over rollovers
+        # -- time: 24-bit (high:12 | low:12), high unwrapped over rollovers.
+        #    int32 throughout: the extended high fits (ts is int32 on the
+        #    wire contract) and the final (th << 12) | tl wraps exactly
+        #    like the int32 output would.
         is_th = typ == 0x8
-        th_seq = val[is_th].astype(np.int64)
+        th_seq = val[is_th]
         if th_seq.size:
-            wraps = np.zeros(th_seq.size, np.int64)
+            wraps = np.zeros(th_seq.size, np.int32)
             wraps[1:] = th_seq[1:] < th_seq[:-1]
-            th_seq = th_seq + (np.cumsum(wraps) << 12)
-        th_vals = np.zeros(n, np.int64)
+            th_seq = th_seq + (np.cumsum(wraps, dtype=np.int32) << 12)
+        th_vals = np.zeros(n, np.int32)
         th_vals[is_th] = th_seq
-        th, _ = _ffill_value(is_th, th_vals, 0)
-        tl, _ = _ffill_value(typ == 0x6, val.astype(np.int64), 0)
+        th, _ = _ffill_value(is_th, th_vals, 0, iota)
+        tl, _ = _ffill_value(typ == 0x6, val, 0, iota)
         t = (th << 12) | tl
 
         # -- current y
-        y_cur, _ = _ffill_value(typ == 0x0, val & 0x7FF, 0)
+        y_cur, _ = _ffill_value(typ == 0x0, val & 0x7FF, 0, iota)
 
         # -- single events (EVT_ADDR_X)
         is_x = typ == 0x2
@@ -184,17 +192,18 @@ class Evt3Reader(FileReader):
         is_base = typ == 0x3
         is_v12 = typ == 0x4
         is_v8 = typ == 0x5
-        adv = np.zeros(n, np.int64)
+        adv = np.zeros(n, np.int32)
         adv[is_v12] = 12
         adv[is_v8] = 8
         # advance accumulated BEFORE each word
-        adv_before = np.concatenate([[0], np.cumsum(adv)[:-1]])
-        base_val, base_idx = _ffill_value(is_base, val & 0x7FF, 0)
+        adv_before = np.concatenate([np.zeros(1, np.int32),
+                                     np.cumsum(adv, dtype=np.int32)[:-1]])
+        base_val, base_idx = _ffill_value(is_base, val & 0x7FF, 0, iota)
         adv_at_base = np.where(
-            base_idx >= 0, adv_before[np.maximum(base_idx, 0)], 0
+            base_idx >= 0, adv_before[np.maximum(base_idx, 0)], np.int32(0)
         )
         base_x = base_val + (adv_before - adv_at_base)
-        vp_cur, _ = _ffill_value(is_base, (val >> 11) & 1, 0)
+        vp_cur, _ = _ffill_value(is_base, (val >> 11) & 1, 0, iota)
 
         def expand(mask, width):
             w_idx = np.where(mask)[0]
