@@ -1,4 +1,4 @@
-.PHONY: test test-fast bench native clean
+.PHONY: test test-fast bench native verify dryrun clean
 
 test:
 	python -m pytest tests/ -q
@@ -8,6 +8,12 @@ test-fast:
 
 bench:
 	python bench.py
+
+verify:
+	env PYTHONPATH=. python .claude/skills/verify/verify_drive.py
+
+dryrun:
+	python -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('DRYRUN OK')"
 
 native:
 	$(MAKE) -C native
