@@ -24,7 +24,7 @@ def main(argv=None):
     p.add_argument("--iterations", type=int, default=10000)
     p.add_argument("--events_per_step", type=int, default=5)
     p.add_argument("--tolerance", type=float, default=1e-4)
-    p.add_argument("--mode", default="dense", choices=("dense", "sparse", "sparse_pallas", "window"))
+    p.add_argument("--mode", default="dense", choices=("dense", "sparse", "sparse_pallas", "sparse_rows", "window", "full"))
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
