@@ -24,7 +24,7 @@ from async_ev_cnn_tpu.layers.integration import (
 )
 from async_ev_cnn_tpu.layers.maxpool import PoolSpec, pool_init, pool_step
 from async_ev_cnn_tpu.layers.types import EventChunk, LayerIO
-from async_ev_cnn_tpu.ops.conv import conv2d_dense, leaky
+from async_ev_cnn_tpu.ops.conv import conv2d_dense, conv_out_shape, leaky
 from async_ev_cnn_tpu.ops.pool import maxpool_dense
 
 
@@ -69,6 +69,27 @@ def build_layer_defs(
     event_layers = [LayerDef("intgr", "intgr", intgr)]
     tail: list[LayerDef] = []
     prev_shape = intgr.out_shape
+    # 'auto' needs a look-ahead: 'full' destroys the active-site mask for
+    # everything downstream (force_full below), so a thin early conv must
+    # not pick 'full' if a HEAVY high-resolution layer later in the chain
+    # would profit from 'sparse_rows'.  Prepass: find the last conv that
+    # wants rows; every conv up to it stays mask-preserving.
+    last_rows_conv = None
+    _seen_last_rows = False
+    if conv_mode == "auto":
+        shape = prev_shape
+        for name, size in layer_defs.items():
+            if "conv" in name:
+                kh_a, kw_a, cin_a, cout_a = size
+                oh_a, ow_a = conv_out_shape(shape[1], shape[2], kh_a, kw_a, 1, padding)
+                if (
+                    shape[1] * shape[2] >= 300_000
+                    and 2 * kh_a * kw_a * cin_a * cout_a * oh_a * ow_a >= 1_000_000_000
+                ):
+                    last_rows_conv = name
+                shape = (cout_a, oh_a, ow_a)
+            elif "pool" in name:
+                shape = PoolSpec(in_shape=shape, ksize=tuple(size), stride=size[0]).out_shape
     # Once a layer runs in 'full' (recompute everything) mode, its
     # conv-actfn linearisation and active-site mask are no longer
     # maintained, so every layer downstream is coerced to 'full' too.
@@ -87,11 +108,22 @@ def build_layer_defs(
                 mode = "full"
             elif layer_mode == "auto":
                 # measured crossover (docs/performance.md): full recompute
-                # wins below ~0.3 MPix (the MXU eats the dense conv faster
-                # than any gather); above it the row-granular rulebook wins
-                # on clustered activity (the DVS norm) and degenerates to
-                # ~dense on uniform activity — never catastrophic.
-                mode = "sparse_rows" if prev_shape[1] * prev_shape[2] >= 300_000 else "full"
+                # wins whenever every remaining layer's dense conv is cheap
+                # — both below ~0.3 MPix (the MXU eats it) and for thin
+                # layers at any resolution (1->16 channels at 512x640 is
+                # ~0.1 GFLOP; the network-level table shows 'full' beating
+                # every incremental mode on such nets).  The row-granular
+                # rulebook pays only for HEAVY high-resolution layers (big
+                # pixel count AND >=1 GFLOP dense conv), where it wins
+                # 3.3x on clustered activity (the DVS norm) and
+                # degenerates to ~dense on uniform activity.  Until the
+                # last such layer the chain stays mask-preserving
+                # (sparse_rows); after it, 'full'.
+                if last_rows_conv is not None and not _seen_last_rows:
+                    mode = "sparse_rows"
+                    _seen_last_rows = name == last_rows_conv
+                else:
+                    mode = "full"
             else:
                 mode = layer_mode
             force_full = force_full or mode == "full"
