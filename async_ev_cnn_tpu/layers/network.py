@@ -24,7 +24,7 @@ from async_ev_cnn_tpu.layers.integration import (
 )
 from async_ev_cnn_tpu.layers.maxpool import PoolSpec, pool_init, pool_step
 from async_ev_cnn_tpu.layers.types import EventChunk, LayerIO
-from async_ev_cnn_tpu.ops.conv import conv2d_dense, conv_out_shape, leaky
+from async_ev_cnn_tpu.ops.conv import conv2d_dense, leaky
 from async_ev_cnn_tpu.ops.pool import maxpool_dense
 
 
@@ -69,27 +69,6 @@ def build_layer_defs(
     event_layers = [LayerDef("intgr", "intgr", intgr)]
     tail: list[LayerDef] = []
     prev_shape = intgr.out_shape
-    # 'auto' needs a look-ahead: 'full' destroys the active-site mask for
-    # everything downstream (force_full below), so a thin early conv must
-    # not pick 'full' if a HEAVY high-resolution layer later in the chain
-    # would profit from 'sparse_rows'.  Prepass: find the last conv that
-    # wants rows; every conv up to it stays mask-preserving.
-    last_rows_conv = None
-    _seen_last_rows = False
-    if conv_mode == "auto":
-        shape = prev_shape
-        for name, size in layer_defs.items():
-            if "conv" in name:
-                kh_a, kw_a, cin_a, cout_a = size
-                oh_a, ow_a = conv_out_shape(shape[1], shape[2], kh_a, kw_a, 1, padding)
-                if (
-                    shape[1] * shape[2] >= 300_000
-                    and 2 * kh_a * kw_a * cin_a * cout_a * oh_a * ow_a >= 1_000_000_000
-                ):
-                    last_rows_conv = name
-                shape = (cout_a, oh_a, ow_a)
-            elif "pool" in name:
-                shape = PoolSpec(in_shape=shape, ksize=tuple(size), stride=size[0]).out_shape
     # Once a layer runs in 'full' (recompute everything) mode, its
     # conv-actfn linearisation and active-site mask are no longer
     # maintained, so every layer downstream is coerced to 'full' too.
@@ -107,23 +86,23 @@ def build_layer_defs(
             if force_full:
                 mode = "full"
             elif layer_mode == "auto":
-                # measured crossover (docs/performance.md): full recompute
-                # wins whenever every remaining layer's dense conv is cheap
-                # — both below ~0.3 MPix (the MXU eats it) and for thin
-                # layers at any resolution (1->16 channels at 512x640 is
-                # ~0.1 GFLOP; the network-level table shows 'full' beating
-                # every incremental mode on such nets).  The row-granular
-                # rulebook pays only for HEAVY high-resolution layers (big
-                # pixel count AND >=1 GFLOP dense conv), where it wins
-                # 3.3x on clustered activity (the DVS norm) and
-                # degenerates to ~dense on uniform activity.  Until the
-                # last such layer the chain stays mask-preserving
-                # (sparse_rows); after it, 'full'.
-                if last_rows_conv is not None and not _seen_last_rows:
-                    mode = "sparse_rows"
-                    _seen_last_rows = name == last_rows_conv
-                else:
-                    mode = "full"
+                # Always 'full'.  Network-level measurements on v5e
+                # (docs/performance.md): full recompute beats EVERY
+                # incremental mode end-to-end in every configuration
+                # tested — thin-stem nets at 512x640 (full 2.8 vs 6.9-9.1
+                # ms/chunk), and even heavy 64-channel chains at full
+                # resolution (full 4.65 vs rows-mix 9.9, window-mix 6.1,
+                # dense 15.6), because every incremental mode carries the
+                # conv-actfn second conv (2x FLOPs) plus mask/gather
+                # bookkeeping, while 'full' runs ONE activation-folded
+                # conv per layer and unlocks parallel-in-time batching.
+                # The per-LAYER sparse wins (conv-pair vs conv-pair
+                # tables) never survived composition.  A FLOPs-aware
+                # look-ahead variant (rows through the last heavy conv)
+                # was implemented and measured worse — see git history
+                # and docs/performance.md.  The incremental modes remain
+                # explicit per-layer opt-ins.
+                mode = "full"
             else:
                 mode = layer_mode
             force_full = force_full or mode == "full"

@@ -214,12 +214,12 @@ def test_nms_jax_respects_valid_mask():
     assert keep.tolist() == [True, False]
 
 
-def test_auto_mode_flops_aware():
-    """'auto' chooses by dense-conv FLOPs with look-ahead: thin-stem nets
-    (even at 0.33 MPix) run all-'full' (the measured network-level winner),
-    while chains containing a heavy high-resolution conv stay
-    mask-preserving (sparse_rows) through the LAST such conv — 'full'
-    earlier would destroy the active-site mask it needs."""
+def test_auto_mode_always_full():
+    """'auto' is 'full' for every conv: network-level measurements showed
+    full recompute beating every incremental mode end-to-end in every
+    configuration tested (incl. heavy 64-channel chains at 512x640 — the
+    incremental modes carry the conv-actfn second conv, 2x the FLOPs).
+    The incremental modes remain explicit per-layer opt-ins."""
     from collections import OrderedDict
 
     from async_ev_cnn_tpu.layers.network import build_layer_defs
@@ -228,13 +228,16 @@ def test_auto_mode_flops_aware():
         evl, _ = build_layer_defs(defs, h, w, 5e-5, 0.1, "SAME", "auto")
         return [getattr(ld.spec, "mode", None) for ld in evl if ld.kind == "conv"]
 
-    # thin stem, pools early, 512x640: every dense conv is cheap -> full
     assert modes(OrderedDict(conv1=[3, 3, 1, 16], pool1=[2, 2],
                              conv2=[3, 3, 16, 32]), 512, 640) == ["full", "full"]
-    # heavy 64-channel convs at 512x640 -> rows through the last heavy one
     assert modes(OrderedDict(conv1=[3, 3, 1, 64], conv2=[3, 3, 64, 64],
                              conv3=[1, 1, 64, 16]), 512, 640) == \
-        ["sparse_rows", "sparse_rows", "full"]
-    # eFCN scale -> all full
+        ["full", "full", "full"]
     assert modes(OrderedDict(conv1=[3, 3, 1, 16], pool1=[2, 2],
                              conv2=[3, 3, 16, 32]), 160, 224) == ["full", "full"]
+    # explicit per-layer modes still honored (and 'full' poisons downstream)
+    defs = OrderedDict(conv1=[3, 3, 1, 64], conv2=[3, 3, 64, 64])
+    defs.modes = {"conv1": "sparse_rows"}
+    evl, _ = build_layer_defs(defs, 512, 640, 5e-5, 0.1, "SAME", "auto")
+    assert [getattr(ld.spec, "mode", None) for ld in evl if ld.kind == "conv"] == \
+        ["sparse_rows", "full"]
