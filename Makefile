@@ -10,7 +10,7 @@ bench:
 	python bench.py
 
 verify:
-	env PYTHONPATH=. python .claude/skills/verify/verify_drive.py
+	env PYTHONPATH=".:$$PYTHONPATH" python .claude/skills/verify/verify_drive.py
 
 dryrun:
 	python -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('DRYRUN OK')"

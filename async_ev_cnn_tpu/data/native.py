@@ -57,7 +57,7 @@ def get_lib():
         ] + [ctypes.POINTER(ctypes.c_int32)] * 4
         lib.evio_decode_evt3.restype = ctypes.c_int64
         lib.evio_decode_evt3.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
         ] + [ctypes.POINTER(ctypes.c_int32)] * 4
     except AttributeError:  # older library build
         pass
@@ -191,6 +191,12 @@ def decode_evt3(payload: bytes):
     arr = np.ascontiguousarray(buf).view(np.uint8)
     n = int(lib.evio_decode_evt3(
         arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), arr.size,
-        _i32p(x), _i32p(y), _i32p(ts), _i32p(p),
+        cap, _i32p(x), _i32p(y), _i32p(ts), _i32p(p),
     ))
-    return n, x[:n], y[:n], ts[:n], p[:n]
+    if n < 0 or n != cap:
+        # the prepass count and the C++ loop must agree exactly; any
+        # mismatch means the two counting implementations diverged
+        raise IOError(
+            f"native EVT3 decode count mismatch: prepass {cap}, loop {n}"
+        )
+    return n, x, y, ts, p

@@ -80,10 +80,19 @@ def build_layer_defs(
                 raise ValueError(
                     f"layer {name}: in_channels {cin} != previous out_channels {prev_shape[0]}"
                 )
+            explicit = name in getattr(layer_defs, "modes", {})
             layer_mode = getattr(layer_defs, "modes", {}).get(name, conv_mode)
             if layer_mode not in modes:
                 raise ValueError(f"layer {name}: unknown conv mode {layer_mode!r}")
             if force_full:
+                if explicit and layer_mode not in ("full", "auto"):
+                    raise ValueError(
+                        f"layer {name}: explicit mode {layer_mode!r} cannot "
+                        "follow a 'full' layer — 'full' stops maintaining "
+                        "the active-site mask and conv-actfn that every "
+                        "incremental mode needs (put incremental layers "
+                        "before the first @full layer)"
+                    )
                 mode = "full"
             elif layer_mode == "auto":
                 # Always 'full'.  Network-level measurements on v5e

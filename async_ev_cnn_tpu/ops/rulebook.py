@@ -8,10 +8,11 @@ coordinates into a fixed-capacity padded rulebook, gather only those
 receptive-field patches, push them through one MXU GEMM, and scatter the
 results back.
 
-Worthwhile when the active fraction is small and the feature map large;
-the dense mode's full conv is often faster on TPU for eFCN-sized maps —
-``conv_mode='auto'`` in the layer spec picks per layer by arithmetic
-intensity, and capacity overflow falls back to the dense path via
+Worthwhile per layer when the active fraction is small and the feature
+map large; note the network-level measurements in docs/performance.md —
+full recompute beat every incremental composition tested, so
+``conv_mode='auto'`` resolves to 'full' and these paths are explicit
+per-layer opt-ins.  Capacity overflow falls back to the dense path via
 ``lax.cond`` so equivalence is never sacrificed.
 """
 
@@ -101,9 +102,9 @@ def rows_conv_pair(
 ):
     """Row-granular sparse conv of the (featuremap, conv-actfn) pair.
 
-    The chip's DMA engine pays a ~2.8 µs fixed cost per descriptor
-    (docs/performance.md), so site-granular gathers are issue-bound; whole
-    input *rows* are the smallest unit that moves at real bandwidth.  This
+    Site-granular gathers pay a small-row-geometry penalty (the per-site
+    receptive-field patch has only KB-sized rows; docs/performance.md's
+    DMA analysis), while whole input *rows* move at real bandwidth.  This
     kernel gathers the ``kh`` input rows feeding each active output row,
     runs one batched VALID conv over the ``[2R, C, kh, Wp]`` row stack
     (MXU-shaped), and hands back whole output rows for a row-granular

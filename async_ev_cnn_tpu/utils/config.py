@@ -108,7 +108,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "'sparse_pallas' (rulebook gather->GEMM->scatter), "
                         "'window' (active-bounding-box), 'full' (recompute "
                         "everything — fastest exact mode below ~0.3 MPix), "
-                        "or 'auto' (measured crossover per layer).")
+                        "or 'auto' (= 'full' for every layer — the measured network-level winner; docs/performance.md).")
     p.add_argument("--num_streams", type=int, default=1,
                    help="Independent event streams batched per step "
                         "(sharded over the device mesh when >1).")

@@ -180,9 +180,11 @@ int64_t evio_decode_aedat31(const uint8_t* payload, int64_t size, int32_t* x,
 // TIME_HIGH decreases.  Bit-level parity with the vectorized decoder in
 // async_ev_cnn_tpu/data/evt.py (gated in tests/test_native.py).  The
 // caller sizes the outputs exactly (cheap numpy prepass counts ADDR_X
-// words plus VECT_12/VECT_8 set bits).  Returns the event count.
-int64_t evio_decode_evt3(const uint8_t* payload, int64_t size, int32_t* x,
-                         int32_t* y, int32_t* ts, int32_t* p) {
+// words plus VECT_12/VECT_8 set bits) and passes that size as `cap`;
+// the loop returns -1 instead of overrunning if the two counts ever
+// disagree.  Returns the event count.
+int64_t evio_decode_evt3(const uint8_t* payload, int64_t size, int64_t cap,
+                         int32_t* x, int32_t* y, int32_t* ts, int32_t* p) {
   const uint16_t* words = reinterpret_cast<const uint16_t*>(payload);
   const int64_t n_words = size / 2;
   int64_t n = 0;
@@ -202,6 +204,7 @@ int64_t evio_decode_evt3(const uint8_t* payload, int64_t size, int32_t* x,
         cur_y = val & 0x7FF;
         break;
       case 0x2: {  // EVT_ADDR_X: one CD event
+        if (n >= cap) return -1;
         x[n] = val & 0x7FF;
         y[n] = cur_y;
         ts[n] = static_cast<int32_t>((th << 12) | tl);
@@ -219,6 +222,7 @@ int64_t evio_decode_evt3(const uint8_t* payload, int64_t size, int32_t* x,
         const int32_t t32 = static_cast<int32_t>((th << 12) | tl);
         for (int b = 0; b < width; ++b) {
           if ((val >> b) & 1) {
+            if (n >= cap) return -1;
             x[n] = base_x + b;
             y[n] = cur_y;
             ts[n] = t32;

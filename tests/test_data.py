@@ -519,10 +519,9 @@ class TestEvtCodecs:
         codec = Evt2Reader()
         f = str(tmp_path / "gap2.raw")
         ts = np.concatenate([
-            [5, 5 + 2**25, 2**30, 2**31 - 10],
-            np.cumsum(rng.randint(0, 2**26, 20).astype(np.int64)) + 2**31 - 9,
+            [5, 5 + 2**25, 2**30 - 50],
+            np.sort(rng.randint(2**30, 2**31 - 1, 20).astype(np.int64)),
         ])
-        ts = ts[ts < 2**31]  # int32 output range
         n = len(ts)
         x = np.arange(n) % 11
         y = np.arange(n) % 9

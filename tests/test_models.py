@@ -241,3 +241,17 @@ def test_auto_mode_always_full():
     evl, _ = build_layer_defs(defs, 512, 640, 5e-5, 0.1, "SAME", "auto")
     assert [getattr(ld.spec, "mode", None) for ld in evl if ld.kind == "conv"] == \
         ["sparse_rows", "full"]
+
+
+def test_explicit_mode_after_full_rejected():
+    """An EXPLICIT incremental mode downstream of a 'full' layer is a
+    configuration error (full stops maintaining the mask/conv-actfn), not
+    a silent coercion; implicit layers still coerce to 'full' silently."""
+    from collections import OrderedDict
+
+    from async_ev_cnn_tpu.layers.network import build_layer_defs
+
+    defs = OrderedDict(conv1=[3, 3, 1, 8], conv2=[3, 3, 8, 8])
+    defs.modes = {"conv1": "full", "conv2": "sparse_rows"}
+    with pytest.raises(ValueError, match="cannot follow a 'full' layer"):
+        build_layer_defs(defs, 16, 16, 0.01, 0.1, "SAME", "dense")
