@@ -150,13 +150,24 @@ class YoloEventJax(_YoloBase):
     def step(self, state, chunk: EventChunk):
         return self._jit_step(self._device_params(), state, chunk)
 
+    # parallel-in-time pays off when many frames batch per dispatch, but
+    # activation memory scales with T * H * W * C: at 512x640 the affordable
+    # window is so small that the sequential full scan measured FASTER
+    # (4.65 vs 5.64 ms/chunk, docs/performance.md) — route by frame size.
+    PARALLEL_MAX_PIXELS = 300_000
+
     def scan(self, state, chunks: EventChunk):
         """Stacked micro-batches in one dispatch.  When every conv/pool layer
         runs in 'full' mode the sequential chunk recurrence reduces to the
         leaky surface, and the parallel-in-time path (scan_parallel: one
         associative scan + a time-batched forward) computes identical
-        outputs several times faster — use it automatically."""
-        if self.net.is_all_full:
+        outputs several times faster — used automatically below
+        ``PARALLEL_MAX_PIXELS`` (above it, per-frame activations cap the
+        time window and the sequential full scan measures faster)."""
+        if (
+            self.net.is_all_full
+            and self._h_frame * self._w_frame <= self.PARALLEL_MAX_PIXELS
+        ):
             return self._jit_scan_parallel(self._device_params(), state, chunks)
         return self._jit_scan(self._device_params(), state, chunks)
 
