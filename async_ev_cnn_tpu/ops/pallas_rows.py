@@ -1,11 +1,12 @@
 """Pallas TPU kernel: row-granular rulebook conv.
 
-The site-granular Pallas kernels (pallas_rulebook*.py) are bounded by the
-chip's ~2.8 µs fixed cost per DMA descriptor.  In an HWC-layout plane,
-consecutive *rows* are contiguous memory, so the ``kh`` input rows feeding
-one active output row move as a SINGLE ``[kh, Wp, C]`` descriptor
-(~0.5 MB at production widths) — the >=100 KB granularity the DMA analysis
-(docs/performance.md) says this engine wants.
+The site-granular Pallas kernels (pallas_rulebook*.py) pay a small-row
+penalty: a per-site receptive-field patch has only KB-sized contiguous
+rows (see docs/performance.md's DMA analysis, revised by
+examples/dma_microbench.py).  In an HWC-layout plane, consecutive *rows*
+are contiguous memory, so the ``kh`` input rows feeding one active
+output row move as a SINGLE ``[kh, Wp, C]`` descriptor (~0.5 MB at
+production widths) — comfortably in the bandwidth-bound regime.
 
 Per grid step (one active output row): DMA both planes' row windows from
 HBM into double-buffered VMEM scratch (next row's DMA overlaps the current
