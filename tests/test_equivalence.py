@@ -162,15 +162,24 @@ def test_equivalence_full_mode(rng):
 
 
 def test_full_mode_poisons_downstream(rng):
-    # Once a layer runs 'full', conv-actfn/masks stop being maintained, so
-    # every later layer must be coerced to 'full' (conv and pool alike).
+    # Once a layer runs 'full', conv-actfn/masks stop being maintained:
+    # IMPLICIT later layers are coerced to 'full' (conv and pool alike),
+    # while an EXPLICIT incremental @mode after @full is a config error
+    # (silently overriding the user's request was a review finding).
+    import pytest
+
     from async_ev_cnn_tpu.utils.config import layers_dict
 
-    dsl = "conv1=3,3,1,4 pool1=2,2 conv2=3,3,4,6@full pool2=2,2 conv3=1,1,6,8@window"
+    dsl = "conv1=3,3,1,4 pool1=2,2 conv2=3,3,4,6@full pool2=2,2 conv3=1,1,6,8"
     net = EventNetwork(layers_dict(dsl), 16, 16, leak=0.05, alpha=0.1,
                        padding="SAME")
     modes = [getattr(ld.spec, "mode", None) for ld in net.event_layers]
     assert modes[1:] == ["dense", "event", "full", "full", "full"]
+
+    bad = "conv1=3,3,1,4 pool1=2,2 conv2=3,3,4,6@full pool2=2,2 conv3=1,1,6,8@window"
+    with pytest.raises(ValueError, match="cannot follow a 'full' layer"):
+        EventNetwork(layers_dict(bad), 16, 16, leak=0.05, alpha=0.1,
+                     padding="SAME")
 
 
 def test_equivalence_full_mode_mixed(rng):
