@@ -49,13 +49,24 @@ import numpy as np
 from async_ev_cnn_tpu.data.file_reader import FileReader
 
 
+def _is_header_line(line: bytes) -> bool:
+    """True when ``line`` (without the trailing newline) looks like a
+    '%'-prefixed ASCII header line: printable ASCII / tabs only."""
+    return all(b == 0x09 or 0x20 <= b <= 0x7E for b in line)
+
+
 def _split_header(data: bytes) -> bytes:
-    """Drop '%'-prefixed ASCII header lines; return the binary payload."""
+    """Drop '%'-prefixed ASCII header lines; return the binary payload.
+
+    Headerless streams are accepted, so a leading 0x25 byte alone must not
+    be treated as a header: the candidate line is only stripped when it is
+    newline-terminated printable ASCII (a binary payload whose first word's
+    low byte happens to be '%' fails that test and is kept intact)."""
     pos = 0
     while pos < len(data) and data[pos : pos + 1] == b"%":
         nl = data.find(b"\n", pos)
-        if nl < 0:
-            return b""
+        if nl < 0 or not _is_header_line(data[pos:nl].rstrip(b"\r")):
+            break
         pos = nl + 1
     return data[pos:]
 
@@ -97,6 +108,14 @@ class Evt2Reader(FileReader):
         )
         cd = words[is_cd]
         ts = ((th[is_cd] << 6) | ((cd >> 22) & 0x3F)).astype(np.int64)
+        if ts.size and int(ts.max()) > np.iinfo(np.int32).max:
+            # EVT2 carries 34-bit wire timestamps; the framework's event
+            # contract is int32 µs (~35.8 min).  Refuse to wrap silently.
+            raise ValueError(
+                "EVT2 timestamps exceed the int32 µs range "
+                f"(max {int(ts.max())} µs > {np.iinfo(np.int32).max}); "
+                "rebase or split the recording before decoding"
+            )
         x = ((cd >> 11) & 0x7FF).astype(np.int32)
         y = (cd & 0x7FF).astype(np.int32)
         p = (typ[is_cd] == 0x1).astype(np.int32)
@@ -170,6 +189,15 @@ class Evt3Reader(FileReader):
             wraps = np.zeros(th_seq.size, np.int32)
             wraps[1:] = th_seq[1:] < th_seq[:-1]
             th_seq = th_seq + (np.cumsum(wraps, dtype=np.int32) << 12)
+            if int(th_seq.max()) > (np.iinfo(np.int32).max >> 12):
+                # unwrapped time would exceed int32 µs (~35.8 min); the
+                # event contract is int32 — refuse to wrap silently
+                raise ValueError(
+                    "EVT3 unwrapped timestamps exceed the int32 µs range "
+                    f"(TIME_HIGH reaches {int(th_seq.max())} > "
+                    f"{np.iinfo(np.int32).max >> 12}); rebase or split the "
+                    "recording before decoding"
+                )
         th_vals = np.zeros(n, np.int32)
         th_vals[is_th] = th_seq
         th, _ = _ffill_value(is_th, th_vals, 0, iota)

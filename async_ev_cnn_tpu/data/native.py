@@ -199,4 +199,12 @@ def decode_evt3(payload: bytes):
         raise IOError(
             f"native EVT3 decode count mismatch: prepass {cap}, loop {n}"
         )
+    if n and int(ts.min()) < 0:
+        # wire times are non-negative, so a negative decoded µs value can
+        # only be int32 wrap of a >2^31 µs (~35.8 min) recording — the
+        # same condition the numpy fallback raises on explicitly
+        raise ValueError(
+            "EVT3 timestamps exceed the int32 µs range (decoded values "
+            "wrapped negative); rebase or split the recording"
+        )
     return n, x, y, ts, p

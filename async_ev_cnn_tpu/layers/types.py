@@ -45,10 +45,25 @@ class EventChunk(NamedTuple):
 
     @staticmethod
     def from_arrays(y, x, ts, p=None, capacity: int | None = None) -> "EventChunk":
-        """Builds a padded chunk from variable-length host arrays."""
+        """Builds a padded chunk from variable-length host arrays.
+
+        Raises on timestamps outside the int32 µs contract instead of
+        wrapping silently (EVT2/EVT3 decode to int64-capable wire times; a
+        >~35.8 min recording must be rebased upstream — the runners'
+        ``data_transform`` subtracts the first timestamp)."""
         y = np.asarray(y, np.int32)
         x = np.asarray(x, np.int32)
-        ts = np.asarray(ts, np.int32)
+        ts_in = np.asarray(ts)
+        if ts_in.size and ts_in.dtype != np.int32:
+            lo, hi = int(ts_in.min()), int(ts_in.max())
+            info = np.iinfo(np.int32)
+            if lo < info.min or hi > info.max:
+                raise ValueError(
+                    f"timestamps [{lo}, {hi}] exceed the int32 µs contract "
+                    "(~35.8 min); rebase the recording (subtract the first "
+                    "timestamp) before chunking"
+                )
+        ts = ts_in.astype(np.int32)
         p = np.zeros_like(y) if p is None else np.asarray(p, np.int32)
         n = y.shape[0]
         cap = n if capacity is None else capacity

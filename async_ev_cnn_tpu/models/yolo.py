@@ -63,7 +63,12 @@ class _YoloBase:
         # clustered-stream throughput knob for the parallel-in-time path:
         # per-chunk ts maps inside a square bounding window, exact fallback
         # on overflow (ops/integrate.integrate_parallel)
-        self._ts_window = (ts_window, ts_window) if ts_window else None
+        if ts_window is not None and ts_window < 1:
+            raise ValueError(
+                f"ts_window must be >= 1 (got {ts_window}); pass None to "
+                "disable the windowed ts-map path"
+            )
+        self._ts_window = (ts_window, ts_window) if ts_window is not None else None
         self._weights: dict = {}
         if checkpoint is not None:
             self.restore(checkpoint)

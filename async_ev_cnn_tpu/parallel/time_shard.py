@@ -168,6 +168,15 @@ class TimeShardEngine:
         if self.stream_axis is None:
             chunk_spec = EventChunk(*([P(self.axis)] * 5))
             in_specs = (P(), P(), chunk_spec)
+            # REPLICATION INVARIANT: the state's out_spec is P() (replicated)
+            # because _local_fn ends with every device holding the SAME
+            # final_surface/final_ts — the all_gather prefix composition
+            # gives each device the global totals, and the last device's
+            # local scan result equals every other device's composed total.
+            # check_vma=False means shard_map does NOT verify this: an edit
+            # that makes the returned state device-dependent would silently
+            # return one device's value.  tests/test_parallel.py gates the
+            # invariant numerically against the unsharded path.
             out_specs = (P(), P(self.axis))
             local = self._local_fn
         else:

@@ -176,5 +176,15 @@ def restore_stream_state(path: str, like):
                 f"leaf {i}: checkpoint shape {a.shape} != structure "
                 f"shape {jnp.shape(l)}"
             )
-        out.append(jnp.asarray(a, dtype=jnp.asarray(l).dtype))
+        # the leaf's own dtype, not jnp.asarray(l).dtype — the latter would
+        # x64-demote a float64 structure leaf and mask the mismatch
+        want = np.asarray(l).dtype
+        if a.dtype != want:
+            # the round-trip contract is bit-identical; silently casting
+            # would mask a wrong-dtype checkpoint
+            raise ValueError(
+                f"leaf {i}: checkpoint dtype {a.dtype} != structure "
+                f"dtype {want}"
+            )
+        out.append(jnp.asarray(a))
     return jax.tree.unflatten(treedef, out)

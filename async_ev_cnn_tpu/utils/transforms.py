@@ -63,7 +63,12 @@ def data_transform(l, x, y, ts, p, bboxes, args):
     With ``args.keep_polarity`` the polarity column is appended
     (``[y, x, ts, p]``) for 2-channel ON/OFF surfaces — the reference always
     drops it (runner.py:32)."""
-    ts = ts - ts[0]
+    ts = ts - ts[0] if len(ts) else ts
+    if len(ts) and int(np.asarray(ts).max()) > np.iinfo(np.int32).max:
+        raise ValueError(
+            "event stream spans more than int32 µs (~35.8 min) even after "
+            "rebasing; split the recording before feeding the network"
+        )
     if args.frame_h != args.example_h or args.frame_w != args.example_w:
         l, x, y, ts, p, bboxes = center_crop(
             l, x, y, ts, p, bboxes,

@@ -50,5 +50,12 @@ def test_evt_fuzz(tmp_path, rng, size, header):
     with open(path, "wb") as f:
         f.write(header + payload)
     for codec in (Evt2Reader(), Evt3Reader()):
-        l, x, y, ts, p = codec.read_example(path)
+        try:
+            l, x, y, ts, p = codec.read_example(path)
+        except ValueError:
+            # random bytes can assemble wire times past the int32 µs
+            # contract; the decoders now refuse those explicitly instead of
+            # wrapping — a clean raise is a valid fuzz outcome (the reader
+            # retry loop skips raising files)
+            continue
         assert l == len(x) == len(y) == len(ts) == len(p)

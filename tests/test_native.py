@@ -106,12 +106,29 @@ def test_native_evt3_matches_numpy(rng, tmp_path):
         for a, b in zip(nat, ref):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # round-trip stream with multi-wrap gaps
+    # round-trip stream with multi-wrap gaps, total kept inside the int32
+    # µs contract (both decoders now raise past 2^31 instead of wrapping)
     n = 300
-    ts = np.cumsum(rng.randint(0, 2**25, n).astype(np.int64))
+    gaps = rng.randint(0, 2**20, n).astype(np.int64)
+    gaps[rng.choice(n, 4, replace=False)] = rng.randint(
+        2**25, 2**26, 4
+    )  # k>=2 TIME_HIGH wraps
+    ts = np.cumsum(gaps)
+    assert int(ts[-1]) < 2**31
     codec.save_example(f, rng.randint(0, 1280, n), rng.randint(0, 720, n),
                        ts, rng.randint(0, 2, n))
     compare(f)
+
+    # past the int32 contract both decoders refuse identically
+    f_big = str(tmp_path / "big.raw")
+    codec.save_example(f_big, [1, 2], [3, 4],
+                       np.array([10, 2**31 + 9], np.int64), [0, 1])
+    with open(f_big, "rb") as fh:
+        payload_big = _split_header(fh.read())
+    with pytest.raises(ValueError, match="int32"):
+        native.decode_evt3(payload_big)
+    with pytest.raises(ValueError, match="int32"):
+        codec._decode(np.frombuffer(payload_big, dtype="<u2"))
 
     # hand-assembled vector events (VECT_BASE_X / VECT_12 / VECT_8)
     words = np.array([
