@@ -34,12 +34,18 @@ def test_bench_functions_smoke(bench_mod):
     params = bench_mod.make_params(layer_defs, rng)
     events = bench_mod.synth_stream(rng, bench_mod.T_CHUNKS, bench_mod.CHUNK_EVENTS)
 
-    eps, dt = bench_mod.bench_tpu_async(params, layer_defs, events)
-    assert eps > 0 and dt > 0
-    par_eps, _ = bench_mod.bench_tpu_parallel(params, layer_defs, events)
+    eps, dt, spread = bench_mod.bench_tpu_async(params, layer_defs, events)
+    assert eps > 0 and dt > 0 and spread >= 0
+    par_eps, _, _ = bench_mod.bench_tpu_parallel(params, layer_defs, events)
     assert par_eps > 0
-    dense_eps, _ = bench_mod.bench_tpu_dense_frame(params, layer_defs, events)
+    dense_eps, _, _ = bench_mod.bench_tpu_dense_frame(params, layer_defs, events)
     assert dense_eps > 0
+    serving = bench_mod.bench_tpu_serving_saturation(
+        params, layer_defs, events, streams=(2,)
+    )
+    assert serving["peak_streams"] == 2
+    assert serving["peak_events_per_sec"] > 0
+    assert serving["sweep"][0]["latency_ms_per_dispatch"] > 0
     cpu_eps, _ = bench_mod.bench_cpu_dense_proxy(
         params, layer_defs, events, steps=2
     )
