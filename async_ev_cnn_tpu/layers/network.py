@@ -169,6 +169,19 @@ class EventNetwork:
         )
         self.alpha = alpha
         self.out_shape = self.event_layers[-1].spec.out_shape
+        # conv+pool pairs the time-batched path executes as one
+        # space-to-depth fused op (ops/stem.py): indices into
+        # event_layers[1:] of the conv whose following pool is folded in.
+        from async_ev_cnn_tpu.ops.stem import s2d_pair_applicable, s2d_pair_wins
+
+        self._s2d_pairs = frozenset(
+            i
+            for i, (c, p) in enumerate(
+                zip(self.event_layers[1:], self.event_layers[2:])
+            )
+            if c.kind == "conv" and p.kind == "pool"
+            and s2d_pair_applicable(c.spec, p.spec) and s2d_pair_wins(c.spec)
+        )
 
     @property
     def is_all_full(self) -> bool:
@@ -259,6 +272,7 @@ class EventNetwork:
         chunks: EventChunk,
         window: int | None = None,
         ts_window: tuple[int, int] | None = None,
+        integrate_engine: str = "auto",
     ):
         """Parallel-in-time execution of the same streaming semantics.
 
@@ -280,6 +294,9 @@ class EventNetwork:
         bounding box around its events — a throughput knob for spatially
         clustered streams; exact fallback if any chunk overflows (see
         :func:`~async_ev_cnn_tpu.ops.integrate.integrate_parallel`).
+        ``integrate_engine`` selects the surface-reconstruction engine
+        ('auto' = the Pallas scan kernel on TPU, the max-plus associative
+        scan elsewhere; see integrate_parallel).
         """
         if not self.is_all_full:
             bad = [
@@ -303,7 +320,8 @@ class EventNetwork:
         def window_body(carry, cs):
             surf, pts = carry
             surfaces, last_ts = integrate_parallel(
-                surf, pts, cs, ispec.leak, ts_window=ts_window
+                surf, pts, cs, ispec.leak, ts_window=ts_window,
+                engine=integrate_engine,
             )
             outs = jax.vmap(frame_out)(surfaces)
             return (surfaces[-1], last_ts[-1]), outs
@@ -343,6 +361,8 @@ class EventNetwork:
         (static) truncates after that many conv/pool layers and returns the
         truncated featuremap — the parallel-path profiler's hook
         (utils/profiling.profile_layers_parallel)."""
+        from async_ev_cnn_tpu.ops.stem import fused_conv_pool
+
         ispec = self.event_layers[0].spec
         # surface >= 0 always, so featuremap == surface exactly and the
         # (surface > 0) activation mask is a scalar-1 no-op here.
@@ -352,9 +372,30 @@ class EventNetwork:
             conv_actfn=jnp.zeros((), jnp.float32),
             mask=jnp.ones((ispec.h, ispec.w), bool),
         )
-        for i, (ld, st) in enumerate(zip(self.event_layers[1:], state[1:])):
+        layers = self.event_layers[1:]
+        states = state[1:]
+        i = 0
+        while i < len(layers):
             if upto is not None and i >= upto:
                 return io.featuremap
+            ld, st = layers[i], states[i]
+            if i in self._s2d_pairs and (upto is None or upto >= i + 2):
+                # conv+pool executed as one space-to-depth op (ops/stem.py);
+                # skipped when the profiler's `upto` cuts inside the pair.
+                pool_spec = layers[i + 1].spec
+                fm = fused_conv_pool(
+                    io.featuremap, _kernel_oihw(params, ld.name),
+                    params[f"b_{ld.name}"], ld.spec.alpha,
+                )
+                _, oh, ow = pool_spec.out_shape
+                io = LayerIO(
+                    surface=fm,
+                    layer_actfn=jnp.ones((), jnp.float32),
+                    conv_actfn=jnp.zeros((), jnp.float32),
+                    mask=jnp.ones((oh, ow), bool),
+                )
+                i += 2
+                continue
             if ld.kind == "conv":
                 _, io = conv_step(
                     ld.spec, _kernel_oihw(params, ld.name),
@@ -362,6 +403,7 @@ class EventNetwork:
                 )
             else:
                 _, io = pool_step(ld.spec, st, io, jnp.float32(0))
+            i += 1
         if upto is not None:
             return io.featuremap
         return self.apply_tail(params, jnp.transpose(io.featuremap, (1, 2, 0)))

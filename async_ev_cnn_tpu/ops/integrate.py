@@ -192,24 +192,33 @@ def _ts_maps_windowed(chunks, valid_by_ch, h, w, wh, ww, oy, ox):
 
 
 def integrate_parallel(surface, prev_ts, chunks, leak: float,
-                       ts_window: tuple[int, int] | None = None):
+                       ts_window: tuple[int, int] | None = None,
+                       engine: str = "auto"):
     """All ``T`` chunk-boundary surfaces at once (parallel-in-time).
 
     The sequential per-chunk pixel update (``integrate_step``) is
     ``f(s) = max(max(s - d, 0) + a, 0)`` with ``d`` the chunk's leak and
-    ``a`` its event contribution.  Expanding,
-    ``f(s) = max(s + (a - d), max(a, 0))`` — a member of the max-plus affine
-    family ``g[b, c](s) = max(s + b, c)``, which is *closed under
-    composition*::
+    ``a`` its event contribution — elementwise per pixel, so the
+    parallelism that matters on TPU is across the H*W pixels, not across
+    T.  Two engines compute the same surfaces:
 
-        (g[b2, c2] . g[b1, c1])(s) = g[b1 + b2, max(c1 + b2, c2)](s)
+    * ``'pallas'`` (default on TPU): one kernel pass running the exact
+      sequential recurrence per pixel tile with the carry in VMEM
+      (:mod:`async_ev_cnn_tpu.ops.pallas_scan`) — bit-identical to
+      iterating ``integrate_step``, and one read + one write of HBM
+      instead of the coefficient materialization + log2(T) scan levels.
+    * ``'xla'`` (default elsewhere; also the cross-device building block
+      in parallel/time_shard.py): expanding
+      ``f(s) = max(s + (a - d), max(a, 0))`` shows f is a max-plus affine
+      map ``g[b, c](s) = max(s + b, c)``, closed under composition::
 
-    so the T sequential updates collapse into one associative scan over
-    ``(b, c)`` pairs — O(log T) depth instead of a length-T dependency
-    chain, which lets the whole downstream network batch over T frames.
-    Every ``b``/``c`` ingredient goes through ``snap`` exactly like the
-    sequential path, so the two agree to the snap grid (gated in
-    tests/test_equivalence.py).
+          (g[b2, c2] . g[b1, c1])(s) = g[b1 + b2, max(c1 + b2, c2)](s)
+
+      so the T updates collapse into one ``lax.associative_scan`` over
+      ``(b, c)`` pairs.  Every ingredient goes through ``snap`` exactly
+      like the sequential path, so the engines agree to the snap grid
+      (the pallas engine exactly, the xla engine to ~1 ulp of regrouping;
+      both gated in tests/test_equivalence.py + tests/test_pallas_scan.py).
 
     Args:
       surface: f32 ``[C, H, W]`` surface at the window start.
@@ -225,12 +234,32 @@ def integrate_parallel(surface, prev_ts, chunks, leak: float,
         way.  Note: under ``vmap`` (multi-stream serving) the cond becomes
         a select and BOTH formulations execute — use it on per-stream
         dispatch paths only.
+      engine: ``'auto' | 'pallas' | 'xla'``.  ``'auto'`` picks 'pallas'
+        on the TPU backend, 'xla' elsewhere (the pallas kernel runs in
+        interpret mode off-TPU — exact but slow, for tests).
 
     Returns:
       ``(surfaces, last_ts)``: f32 ``[T, C, H, W]`` surfaces after each
       chunk and the int32 ``[T]`` per-chunk last-event timestamps.
     """
     channels, h, w = surface.shape
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if engine == "pallas":
+        from async_ev_cnn_tpu.ops.pallas_scan import surface_scan_pallas
+
+        ts_map, dd, last_ts = chunk_ts_maps(
+            channels, h, w, prev_ts, chunks, leak, ts_window=ts_window
+        )
+        surfaces = surface_scan_pallas(
+            surface, ts_map, dd, last_ts, leak,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return surfaces, last_ts
+    if engine != "xla":
+        raise ValueError(
+            f"engine must be 'auto', 'pallas' or 'xla', got {engine!r}"
+        )
     b, c, last_ts = chunk_affine_updates(
         channels, h, w, prev_ts, chunks, leak, ts_window=ts_window
     )
@@ -248,18 +277,14 @@ def maxplus_combine(left, right):
     return bl + br, jnp.maximum(cl + br, cr)
 
 
-def chunk_affine_updates(channels, h, w, prev_ts, chunks, leak,
-                         ts_window=None):
-    """Per-chunk max-plus coefficients of the leaky-surface update.
+def chunk_ts_maps(channels, h, w, prev_ts, chunks, leak, ts_window=None):
+    """Per-chunk timestamp maps and leak decrements.
 
-    Returns ``(b, c, last_ts)``: f32 ``[T, C, H, W]`` coefficient pairs
-    such that chunk t's surface update is ``s -> max(s + b[t], c[t])``,
-    and the int32 ``[T]`` global running last-event timestamps.  Shared by
-    :func:`integrate_parallel` (single device: one associative scan over
-    the pairs) and the time-sharded engine
-    (:mod:`async_ev_cnn_tpu.parallel.time_shard`: local scans + a
-    cross-device prefix composition).  All rounded products go through
-    ``snap`` exactly like the sequential path.
+    Returns ``(ts_map, d, last_ts)``: int32 ``[T, C, H, W]`` per-pixel max
+    event timestamps (sentinel where a chunk has no event at that pixel),
+    f32 ``[T]`` snapped leak decrements, and the int32 ``[T]`` global
+    running last-event timestamps.  The shared front half of both
+    parallel-in-time engines (:func:`integrate_parallel`).
     """
     leak = jnp.float32(leak)
 
@@ -309,6 +334,27 @@ def chunk_affine_updates(channels, h, w, prev_ts, chunks, leak,
             _ts_maps_full,
             None,
         )
+    return ts_map, d, last_ts
+
+
+def chunk_affine_updates(channels, h, w, prev_ts, chunks, leak,
+                         ts_window=None):
+    """Per-chunk max-plus coefficients of the leaky-surface update.
+
+    Returns ``(b, c, last_ts)``: f32 ``[T, C, H, W]`` coefficient pairs
+    such that chunk t's surface update is ``s -> max(s + b[t], c[t])``,
+    and the int32 ``[T]`` global running last-event timestamps.  Used by
+    :func:`integrate_parallel`'s 'xla' engine (one associative scan over
+    the pairs) and the time-sharded engine
+    (:mod:`async_ev_cnn_tpu.parallel.time_shard`: local scans + a
+    cross-device prefix composition — the (b, c) algebra is what makes
+    the cross-device composition possible).  All rounded products go
+    through ``snap`` exactly like the sequential path.
+    """
+    ts_map, d, last_ts = chunk_ts_maps(
+        channels, h, w, prev_ts, chunks, leak, ts_window=ts_window
+    )
+    leak = jnp.float32(leak)
     ev_mask = ts_map > TS_SENTINEL
     lt = last_ts[:, None, None, None]
     contrib = jnp.float32(1) - snap((lt - ts_map).astype(jnp.float32) * leak)

@@ -335,3 +335,31 @@ def test_equivalence_10k_steps(rng):
     net, params = reference_test_net()
     chunks = make_stream(rng, steps=10000, events_per_step=5, h=8, w=8)
     _check(run_equivalence(net, params, chunks))
+
+
+@pytest.mark.parametrize("precision", ["high", "default"])
+def test_equivalence_lower_matmul_precision(rng, precision):
+    """The serving-speed knob (--matmul_precision high/default) keeps
+    async-vs-dense parity: both paths share the demoted rounding, so the
+    1e-4 gate must hold at EVERY precision setting, not just 'highest'
+    (docs/performance.md's claim, now contract-backed)."""
+    from async_ev_cnn_tpu.ops.conv import set_matmul_precision
+
+    set_matmul_precision(precision)
+    try:
+        net, params = reference_test_net()
+        chunks = make_stream(rng, steps=500, events_per_step=5, h=8, w=8)
+        _check(run_equivalence(net, params, chunks))
+        # full mode + parallel-in-time at the same setting
+        net_f, _ = reference_test_net(conv_mode="full")
+        _check(run_equivalence(net_f, params, chunks))
+        import jax
+
+        state0 = net_f.init_state(params)
+        _, outs_seq = jax.jit(net_f.scan)(params, state0, chunks)
+        _, outs_par = jax.jit(
+            lambda p, s, c: net_f.scan_parallel(p, s, c)
+        )(params, state0, chunks)
+        assert float(jnp.max(jnp.abs(outs_seq - outs_par))) <= TOL
+    finally:
+        set_matmul_precision("highest")

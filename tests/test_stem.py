@@ -1,0 +1,153 @@
+"""Gates for the space-to-depth conv+pool fusion (ops/stem.py)."""
+
+from collections import OrderedDict
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from async_ev_cnn_tpu.ops.conv import conv2d_dense, leaky
+from async_ev_cnn_tpu.ops.pool import maxpool_dense
+from async_ev_cnn_tpu.ops.stem import (
+    build_s2d_kernel,
+    fused_conv_pool,
+    s2d_pair_wins,
+    space_to_depth,
+)
+
+
+@pytest.mark.parametrize("cin,cout,h,w", [
+    (1, 16, 16, 24), (2, 8, 12, 12), (16, 32, 8, 14),
+])
+def test_fused_conv_pool_matches_direct(rng, cin, cout, h, w):
+    x = jnp.asarray(rng.randn(cin, h, w).astype(np.float32))
+    k = jnp.asarray(rng.randn(cout, cin, 3, 3).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+    direct = maxpool_dense(
+        leaky(conv2d_dense(x, k, b, 1, "SAME"), 0.1), (2, 2), 2, "VALID"
+    )
+    fused = fused_conv_pool(x, k, b, 0.1)
+    assert fused.shape == direct.shape == (cout, h // 2, w // 2)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(direct), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_space_to_depth_layout(rng):
+    x = jnp.asarray(rng.randn(3, 4, 6).astype(np.float32))
+    z = space_to_depth(x)
+    assert z.shape == (12, 2, 3)
+    # channel index = c*4 + r*2 + s
+    for c in range(3):
+        for r in range(2):
+            for s in range(2):
+                np.testing.assert_array_equal(
+                    np.asarray(z[c * 4 + r * 2 + s]),
+                    np.asarray(x[c, r::2, s::2]),
+                )
+
+
+def test_build_s2d_kernel_preserves_map(rng):
+    """conv(Z, W2) phase channels == direct conv at the phase pixels."""
+    from jax import lax
+
+    cin, cout, h, w = 2, 4, 8, 10
+    x = jnp.asarray(rng.randn(cin, h, w).astype(np.float32))
+    k = jnp.asarray(rng.randn(cout, cin, 3, 3).astype(np.float32))
+    direct = conv2d_dense(x, k, None, 1, "SAME")
+    z = space_to_depth(x)[None]
+    out = lax.conv_general_dilated(
+        z, build_s2d_kernel(k), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0].reshape(2, 2, cout, h // 2, w // 2)
+    for a in range(2):
+        for b in range(2):
+            np.testing.assert_allclose(
+                np.asarray(out[a, b]),
+                np.asarray(direct[:, a::2, b::2]),
+                atol=1e-5, rtol=1e-5,
+            )
+
+
+def test_pair_cost_model():
+    """Thin stems fuse; deep layers (contraction already MXU-filling)
+    don't."""
+    from async_ev_cnn_tpu.layers.conv2d import ConvSpec
+
+    def spec(cin, cout, h=32, w=32):
+        return ConvSpec(
+            in_shape=(cin, h, w), out_channels=cout, ksize=(3, 3),
+            stride=1, alpha=0.1, padding="SAME", mode="full",
+        )
+
+    assert s2d_pair_wins(spec(1, 16))
+    assert s2d_pair_wins(spec(16, 32))
+    assert not s2d_pair_wins(spec(32, 64))
+    assert not s2d_pair_wins(spec(128, 256))
+
+
+def test_network_selects_pairs():
+    from async_ev_cnn_tpu.layers.network import EventNetwork
+    from async_ev_cnn_tpu.utils.config import layers_dict
+
+    dsl = ("conv1=3,3,1,16 pool1=2,2 conv2=3,3,16,32 pool2=2,2 "
+           "conv3=3,3,32,64 pool3=2,2 conv4=1,1,64,12")
+    net = EventNetwork(layers_dict(dsl), 160, 224, leak=5e-5, alpha=0.1,
+                       padding="SAME", conv_mode="full")
+    # event_layers[1:]: conv1@0 pool1@1 conv2@2 pool2@3 conv3@4 pool3@5 conv4@6
+    assert net._s2d_pairs == frozenset({0, 2})
+    # odd input dims -> the stem pair can't fuse; conv2 still can (pool1's
+    # VALID floor makes its input 80x112, even again)
+    net_odd = EventNetwork(layers_dict(dsl), 161, 224, leak=5e-5, alpha=0.1,
+                           padding="SAME", conv_mode="full")
+    assert net_odd._s2d_pairs == frozenset({2})
+    # non-full modes never fuse
+    net_d = EventNetwork(layers_dict(dsl), 160, 224, leak=5e-5, alpha=0.1,
+                         padding="SAME", conv_mode="dense")
+    assert net_d._s2d_pairs == frozenset()
+
+
+def test_full_frame_forward_fused_matches_layerwise(rng):
+    """The fused time-batched forward equals running the layers one by one,
+    including when the profiler's `upto` cuts inside a fused pair."""
+    from async_ev_cnn_tpu.layers.network import EventNetwork
+    from async_ev_cnn_tpu.utils.config import layers_dict
+
+    dsl = "conv1=3,3,1,4 pool1=2,2 conv2=3,3,4,8 pool2=2,2 conv3=1,1,8,6"
+    layer_defs = layers_dict(dsl)
+    params = {}
+    for name, size in layer_defs.items():
+        if "conv" in name:
+            kh, kw, ci, co = size
+            params[f"w_{name}"] = jnp.asarray(
+                rng.randn(kh, kw, ci, co).astype(np.float32) * 0.3)
+            params[f"b_{name}"] = jnp.asarray(
+                rng.randn(co).astype(np.float32) * 0.1)
+    net = EventNetwork(layer_defs, 16, 16, leak=0.01, alpha=0.1,
+                       padding="SAME", conv_mode="full")
+    assert net._s2d_pairs  # the stem pair must be fused here
+    state = net.init_state(params)
+    frame = jnp.asarray(rng.rand(1, 16, 16).astype(np.float32))
+
+    # layerwise reference: dense_forward over the same specs
+    from async_ev_cnn_tpu.layers.network import dense_forward
+
+    ref = dense_forward(net.event_layers, params, frame)
+    full = net.full_frame_forward(params, state, frame)
+    ref_out = net.apply_tail(
+        params, jnp.transpose(next(reversed(ref.values())), (1, 2, 0))
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(ref_out), atol=1e-5, rtol=1e-5
+    )
+    # upto cutting inside the pair (after conv1, before pool1) falls back
+    # to the unfused ops and still matches the layerwise tap
+    tap_conv1 = net.full_frame_forward(params, state, frame, upto=1)
+    np.testing.assert_allclose(
+        np.asarray(tap_conv1), np.asarray(ref["conv1"]), atol=1e-5, rtol=1e-5
+    )
+    tap_pool1 = net.full_frame_forward(params, state, frame, upto=2)
+    np.testing.assert_allclose(
+        np.asarray(tap_pool1), np.asarray(ref["pool1"]), atol=1e-5, rtol=1e-5
+    )
