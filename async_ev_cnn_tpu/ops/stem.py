@@ -59,20 +59,20 @@ def s2d_pair_applicable(conv_spec, pool_spec) -> bool:
 
 
 def s2d_pair_wins(conv_spec) -> bool:
-    """Static MXU cost model: fuse when
-    ``M/4 * ceil(36*Cin/128) * ceil(4*O/128) < M * ceil(9*Cin/128) *
-    ceil(O/128)``.  True for thin stems (Cin<=~16); false once the
-    contraction already fills MXU tiles (deep layers), where s2d just
-    multiplies K-passes.  Traffic always improves, so ties fuse."""
-    cin = conv_spec.in_shape[0]
-    o = conv_spec.out_channels
+    """Fuse only TRUE stems: Cin <= 2 (a raw 1- or 2-channel surface).
 
-    def tiles(n):
-        return -(-n // 128)
-
-    direct = 4 * tiles(9 * cin) * tiles(o)
-    fused = tiles(36 * cin) * tiles(4 * o)
-    return fused <= direct
+    A tile-counting model (``M/4 * ceil(36*Cin/128) * ceil(4*O/128)`` vs
+    the direct conv's tiles) predicted wins up to Cin=16, but the v5e
+    measurement says otherwise: fusing eFCN's conv2+pool2 (Cin=16)
+    REGRESSES the whole parallel step 11.9 -> 15.0 ms/dispatch at T=200
+    while conv1+pool1 (Cin=1) measures neutral-to-slightly-positive
+    (11.75 vs 11.88) — XLA's conv emitter handles K=144 well already and
+    the s2d relayout/phase-max overhead dominates at K=576.  So the
+    criterion is the measured one, not the model: only single-digit-Cin
+    stems, where the direct conv's K=9*Cin contraction wastes >90% of an
+    MXU pass and the full-resolution output materialization is the
+    largest activation in the network."""
+    return conv_spec.in_shape[0] <= 2
 
 
 # tap index tables: DY[a, r, ey] = the original kernel row dy feeding

@@ -82,7 +82,10 @@ def test_pair_cost_model():
         )
 
     assert s2d_pair_wins(spec(1, 16))
-    assert s2d_pair_wins(spec(16, 32))
+    assert s2d_pair_wins(spec(2, 16))   # polarity-channel stem
+    # measured on v5e: fusing Cin=16 regresses the whole step ~+3 ms
+    # (ops/stem.py s2d_pair_wins docstring) — deeper layers never fuse
+    assert not s2d_pair_wins(spec(16, 32))
     assert not s2d_pair_wins(spec(32, 64))
     assert not s2d_pair_wins(spec(128, 256))
 
@@ -96,12 +99,11 @@ def test_network_selects_pairs():
     net = EventNetwork(layers_dict(dsl), 160, 224, leak=5e-5, alpha=0.1,
                        padding="SAME", conv_mode="full")
     # event_layers[1:]: conv1@0 pool1@1 conv2@2 pool2@3 conv3@4 pool3@5 conv4@6
-    assert net._s2d_pairs == frozenset({0, 2})
-    # odd input dims -> the stem pair can't fuse; conv2 still can (pool1's
-    # VALID floor makes its input 80x112, even again)
+    assert net._s2d_pairs == frozenset({0})
+    # odd input dims -> the stem pair can't fuse
     net_odd = EventNetwork(layers_dict(dsl), 161, 224, leak=5e-5, alpha=0.1,
                            padding="SAME", conv_mode="full")
-    assert net_odd._s2d_pairs == frozenset({2})
+    assert net_odd._s2d_pairs == frozenset()
     # non-full modes never fuse
     net_d = EventNetwork(layers_dict(dsl), 160, 224, leak=5e-5, alpha=0.1,
                          padding="SAME", conv_mode="dense")
