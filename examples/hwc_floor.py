@@ -29,11 +29,16 @@ reference-semantics execution + far-larger-than-VGA regimes.
 
 Run on the TPU:  python examples/hwc_floor.py
 
-Measured 2026-08-17 on v5e (one chip draw, median of 3, ex-RTT not
-subtracted; K=20 chained steps per dispatch):
-    A  full-mode conv_step          : see JSON line
-    B  incremental state floor      : see JSON line
-(docs/performance.md "The incremental modes" cites the recorded numbers.)
+Measured 2026-08-17 on v5e (one chip draw, median of 3, ~1.45 ms RTT
+share included in both; K=20 chained steps per dispatch):
+    A  full-mode conv_step          : 6.28 ms
+    B  incremental state floor      : 3.93 ms  (0.62x of A)
+Verdict (docs/performance.md "Round-3 verdict"): even with a FREE gather
+the heavy-layer budget left over is ~2.3 ms — the realized rows costs
+put an idealized HWC-resident update at best ~1.2-1.45x vs full, inside
+draw variance; for thin layers the floor alone exceeds the full conv.
+The HWC-resident redesign is closed out as not-worth-it on this
+hardware.
 """
 
 import json
@@ -64,13 +69,14 @@ REPS = 3
 
 
 def timeit(fn, *args):
-    out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0])[..., :1]  # sync
+    # fns return SCALARS: fetching a big array over the ~30 MB/s tunnel
+    # would dominate the measurement (the round-3 first cut of this very
+    # script fetched the full planes and reported pure fetch time)
+    float(fn(*args))  # compile + sync
     times = []
     for _ in range(REPS):
         t0 = time.time()
-        out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[-1]).ravel()[:4]
+        float(fn(*args))
         times.append(time.time() - t0)
     return float(np.median(times)) / K_STEPS * 1e3  # ms per step
 
@@ -95,7 +101,7 @@ def bench_full_conv(rng):
             nxt = carry + jnp.mean(out.surface)
             return nxt, ()
         final, _ = jax.lax.scan(body, x, None, length=K_STEPS)
-        return final
+        return jnp.mean(final)
 
     return timeit(chained, x0)
 
@@ -127,7 +133,7 @@ def bench_incremental_floor(rng):
             return (fm2, ca2, rows2), ()
         (fm, ca, _), _ = jax.lax.scan(
             body, (fm, ca, row_idx), None, length=K_STEPS)
-        return fm, ca
+        return jnp.mean(fm) + jnp.mean(ca)
 
     return timeit(chained, fm0, ca0, row_idx0)
 
