@@ -32,10 +32,12 @@ the >=10x north star refers to (the reference repo publishes no numbers,
 BASELINE.md).
 
 Timing methodology: the tunneled backend costs ~30 ms per dispatch+fetch
-round trip and ~30 MB/s for device->host copies, and ``block_until_ready``
-does not synchronize.  Every TPU measurement therefore chains K dispatches
-back-to-back (state feeds forward on-device) and host-fetches one small
-array at the end — the realistic pipelined-serving shape.
+round trip (and the same again per python-level enqueue), device->host
+copies run at ~30 MB/s, and ``block_until_ready`` does not synchronize.
+Every TPU measurement therefore chains K steps INSIDE one jitted
+``lax.scan`` (state feeds forward on-device) and host-fetches one scalar
+at the end — the realistic pipelined-serving shape, with exactly one
+tunnel round trip per timing (see _chained_events_per_sec).
 """
 
 import json
@@ -71,7 +73,7 @@ CHUNK_EVENTS = 200
 CAPACITY = 256
 T_CHUNKS = 50        # chunks per dispatch for sequential modes
 T_PARALLEL = 200     # chunks per dispatch for the parallel-in-time mode
-DISPATCHES = 5       # back-to-back dispatches per timing
+DISPATCHES = 8       # steps chained in-jit per timing
 
 
 def make_params(layer_defs, rng):
@@ -105,56 +107,54 @@ def clustered_stream(rng, steps, events_per_step, radius=8, rate_us=15):
     return np.stack([y, x, ts], axis=-1)
 
 
-def _fetch_tail(tree):
-    """Host-fetch a handful of elements of the last leaf.
-
-    The fetch is the only true synchronization point on this backend, but
-    the device->host path runs at ~30 MB/s — fetching a whole output array
-    would dominate the measurement.  Leading-axis indexing shrinks the leaf
-    on device (queued async, no host sync) before the small final copy."""
-    import jax
-
-    leaf = jax.tree.leaves(tree)[-1]
-    while leaf.ndim > 1:
-        leaf = leaf[-1]
-    return np.asarray(leaf)
-
-
 REPS = 5  # timing repetitions per measurement (median-of-REPS reported)
 
 
 def _chained_events_per_sec(step_fn, state0, chunks, n_events,
                             dispatches=DISPATCHES, reps=REPS):
-    """Time K back-to-back dispatches with one final host fetch.
+    """Time ``dispatches`` steps chained INSIDE one jitted ``lax.scan``,
+    with one scalar host fetch at the end.
 
-    ``block_until_ready`` can return before completion on this backend; a
-    host fetch is the only true synchronization point.  Fetching from both
-    the last output and the final state makes the sync depend transitively
-    on every dispatched step.
+    Why in-jit chaining: on the tunneled backend every *python-level*
+    dispatch pays ~30 ms of enqueue latency that does not pipeline — a
+    python loop of K dispatches measures mostly the tunnel, not the chip
+    (the round-3 first cut of this protocol reported 1.3 M ev/s with
+    spread 11 where the in-jit measurement gives ~3-4 M).  Chaining the
+    steps inside one program leaves exactly one enqueue+fetch round trip
+    (~29 ms) per timing, amortized over K steps; on non-tunneled
+    deployments the two protocols agree.  State feeds forward through the
+    scan carry (every operand depends on it — no hoisting), and a scalar
+    reduction of every step's output rides the carry (nothing is
+    dead-code-eliminated; docs/performance.md "measurement discipline").
 
-    Statistics: the shared tunneled chip shows ~±30% run-to-run variance,
-    and best-of-N on such a machine systematically reports lucky draws
-    (round-2 verdict) — so every number here is the MEDIAN of ``reps``
+    Statistics: the shared chip shows large run-to-run variance, and
+    best-of-N on such a machine systematically reports lucky draws
+    (round-2 verdict) — so every number is the MEDIAN of ``reps``
     timings, with ``spread`` = (max - min) / median published alongside.
 
-    Returns ``(events_per_sec_median, seconds_median, spread)``.
+    Returns ``(events_per_sec_median, seconds_median_per_timing, spread)``.
     """
     import jax
+    import jax.numpy as jnp
 
-    st, outs = step_fn(state0, chunks)  # compile + warm
-    _fetch_tail(outs)
-    st, outs = step_fn(state0, chunks)  # second warm pass (steady clocks)
-    _fetch_tail(outs)
+    @jax.jit
+    def chained(st):
+        def body(carry, _):
+            st, acc = carry
+            st2, outs = step_fn(st, chunks)
+            acc = acc + jnp.mean(jax.tree.leaves(outs)[-1])
+            return (st2, acc), ()
+        (st, acc), _ = jax.lax.scan(
+            body, (st, jnp.float32(0)), None, length=dispatches
+        )
+        return acc
+
+    float(chained(state0))  # compile + sync
+    float(chained(state0))  # second warm pass (steady clocks)
     times = []
     for _ in range(reps):
-        st = state0
         t0 = time.time()
-        for _ in range(dispatches):
-            st, outs = step_fn(st, chunks)
-        _fetch_tail(outs)
-        # the first state leaf is the integration surface — the recurrence
-        # carrier (later leaves may be stateless placeholders in full mode)
-        _fetch_tail(jax.tree.leaves(st)[0])
+        float(chained(state0))  # the float() fetch is the only sync point
         times.append(time.time() - t0)
     med = float(np.median(times))
     spread = (max(times) - min(times)) / med if med else 0.0
@@ -246,8 +246,9 @@ def bench_tpu_serving(params, layer_defs, events, n_streams=8):
     parallel-in-time, vmapped into one time*stream-batched program.
 
     Returns ``(aggregate_events_per_sec, latency_sec_per_dispatch, spread)``
-    — latency is the median wall time of one dispatched batch (T_CHUNKS
-    chunks per stream), including ~1/dispatches of the tunnel RTT."""
+    — latency is the median wall time of one chained batch step (T_CHUNKS
+    chunks per stream), including ~1/dispatches of the tunnel round
+    trip."""
     import jax
     import jax.numpy as jnp
     from async_ev_cnn_tpu.utils.runner import pack_chunks
