@@ -399,6 +399,9 @@ def main():
     high = _try(bench_tpu_parallel_high, params, layer_defs, events_par)
     high_eps = high[0] if high else None
     serving = _try(bench_tpu_serving_saturation, params, layer_defs, events)
+    events_400 = synth_stream(rng, 2 * T_PARALLEL, CHUNK_EVENTS)
+    t400 = _try(bench_tpu_parallel, params, layer_defs, events_400)
+    t400_eps = t400[0] if t400 else None
     clustered = clustered_stream(rng, T_CHUNKS, CHUNK_EVENTS)
     window = _try(bench_tpu_async, params, layer_defs, clustered, conv_mode="window")
     window_eps = window[0] if window else None
@@ -431,6 +434,8 @@ def main():
         "serving_saturation_latency_ms_per_dispatch":
             serving["peak_latency_ms_per_dispatch"] if serving else None,
         "serving_sweep": serving["sweep"] if serving else None,
+        "parallel_T400_events_per_sec":
+            round(t400_eps, 1) if t400_eps else None,
         "window_mode_clustered_events_per_sec":
             round(window_eps, 1) if window_eps else None,
         "baseline_cpu_async_events_per_sec": round(cpu_async_eps, 1),
