@@ -127,6 +127,13 @@ def _chained_events_per_sec(step_fn, state0, chunks, n_events,
     reduction of every step's output rides the carry (nothing is
     dead-code-eliminated; docs/performance.md "measurement discipline").
 
+    Every step consumes a DIFFERENT chunk batch (``chunks`` carries a
+    leading ``[dispatches]`` axis the scan iterates over): feeding one
+    batch K times would let XLA's while-loop-invariant code motion hoist
+    everything that depends only on the events — notably the per-chunk
+    ts-map compare, the integrate stage's main cost — out of the loop,
+    overstating throughput.  Real serving sees new events every step.
+
     Statistics: the shared chip shows large run-to-run variance, and
     best-of-N on such a machine systematically reports lucky draws
     (round-2 verdict) — so every number is the MEDIAN of ``reps``
@@ -137,16 +144,16 @@ def _chained_events_per_sec(step_fn, state0, chunks, n_events,
     import jax
     import jax.numpy as jnp
 
+    assert jax.tree.leaves(chunks)[0].shape[0] == dispatches
+
     @jax.jit
     def chained(st):
-        def body(carry, _):
+        def body(carry, chunk_t):
             st, acc = carry
-            st2, outs = step_fn(st, chunks)
+            st2, outs = step_fn(st, chunk_t)
             acc = acc + jnp.mean(jax.tree.leaves(outs)[-1])
             return (st2, acc), ()
-        (st, acc), _ = jax.lax.scan(
-            body, (st, jnp.float32(0)), None, length=dispatches
-        )
+        (st, acc), _ = jax.lax.scan(body, (st, jnp.float32(0)), chunks)
         return acc
 
     float(chained(state0))  # compile + sync
@@ -158,7 +165,41 @@ def _chained_events_per_sec(step_fn, state0, chunks, n_events,
         times.append(time.time() - t0)
     med = float(np.median(times))
     spread = (max(times) - min(times)) / med if med else 0.0
-    return n_events * dispatches / med, med, spread
+    return n_events / med, med, spread
+
+
+def _pack_k(events, capacity, dispatches=DISPATCHES):
+    """Pack a stream into chunk leaves with a leading ``[dispatches]``
+    axis for the chained timer (each chained step consumes a fresh window
+    of the stream).  Returns ``(chunks_k, n_real_events)`` — the ragged
+    tail that does not fill ``dispatches`` equal windows is dropped and
+    excluded from the event count."""
+    import jax
+    from async_ev_cnn_tpu.utils.runner import pack_chunks
+
+    import jax.numpy as jnp
+
+    chunks = pack_chunks(events, capacity)
+    t_total = chunks.y.shape[0]
+    if t_total < dispatches:
+        # tiny streams (toy tests): pad with all-invalid chunks — exact
+        # no-op steps that contribute zero events
+        pad = dispatches - t_total
+        chunks = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)]
+            ),
+            chunks,
+        )
+        t_total = dispatches
+    t_step = t_total // dispatches
+    kept = t_step * dispatches
+    chunks = jax.tree.map(lambda a: a[:kept], chunks)
+    n_events = int(np.asarray(chunks.valid).sum())
+    chunks_k = jax.tree.map(
+        lambda a: a.reshape(dispatches, t_step, *a.shape[1:]), chunks
+    )
+    return chunks_k, n_events
 
 
 def _net(layer_defs, conv_mode):
@@ -169,18 +210,18 @@ def _net(layer_defs, conv_mode):
 
 
 def bench_tpu_parallel(params, layer_defs, events):
-    """Headline: parallel-in-time streaming (full mode + associative-scan
-    surfaces + time-batched network)."""
+    """Headline: parallel-in-time streaming (full mode + surface-scan
+    kernel + time-batched network).  The stream is split into DISPATCHES
+    equal windows; each chained step consumes a fresh one."""
     import jax
     import jax.numpy as jnp
-    from async_ev_cnn_tpu.utils.runner import pack_chunks
 
     net = _net(layer_defs, "full")
     jparams = {k: jnp.asarray(v) for k, v in params.items()}
     state = net.init_state(jparams)
-    chunks = pack_chunks(events, CAPACITY)
+    chunks, n_events = _pack_k(events, CAPACITY)
     fn = jax.jit(lambda s, c: net.scan_parallel(jparams, s, c))
-    return _chained_events_per_sec(fn, state, chunks, events.shape[0])
+    return _chained_events_per_sec(fn, state, chunks, n_events)
 
 
 def bench_tpu_parallel_bf16(params, layer_defs, events):
@@ -221,9 +262,9 @@ def bench_tpu_dense_frame(params, layer_defs, events):
     net = _net(layer_defs, "full")
     jparams = {k: jnp.asarray(v) for k, v in params.items()}
     state = net.init_state(jparams)
-    chunks = pack_chunks(events, CAPACITY)
+    chunks, n_events = _pack_k(events, CAPACITY)
     fn = jax.jit(lambda s, c: net.scan(jparams, s, c))
-    return _chained_events_per_sec(fn, state, chunks, events.shape[0])
+    return _chained_events_per_sec(fn, state, chunks, n_events)
 
 
 def bench_tpu_async(params, layer_defs, events, conv_mode="dense"):
@@ -236,9 +277,9 @@ def bench_tpu_async(params, layer_defs, events, conv_mode="dense"):
     net = _net(layer_defs, conv_mode)
     jparams = {k: jnp.asarray(v) for k, v in params.items()}
     state = net.init_state(jparams)
-    chunks = pack_chunks(events, CAPACITY)
+    chunks, n_events = _pack_k(events, CAPACITY)
     fn = jax.jit(lambda s, c: net.scan(jparams, s, c))
-    return _chained_events_per_sec(fn, state, chunks, events.shape[0])
+    return _chained_events_per_sec(fn, state, chunks, n_events)
 
 
 def bench_tpu_serving(params, layer_defs, events, n_streams=8):
@@ -257,13 +298,16 @@ def bench_tpu_serving(params, layer_defs, events, n_streams=8):
     jparams = {k: jnp.asarray(v) for k, v in params.items()}
     base = net.init_state(jparams)
     states = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_streams, *x.shape)), base)
-    chunks = pack_chunks(events, CAPACITY)
+    # [K, T, E] -> [K, S, T, E]: every chained step sees fresh chunks,
+    # broadcast across the streams
+    chunks, n_events = _pack_k(events, CAPACITY)
     chunks = jax.tree.map(
-        lambda a: jnp.broadcast_to(a[None], (n_streams, *a.shape)), chunks
+        lambda a: jnp.broadcast_to(a[:, None], (a.shape[0], n_streams, *a.shape[1:])),
+        chunks,
     )
     fn = jax.jit(jax.vmap(lambda s, c: net.scan_parallel(jparams, s, c)))
     eps, dt, spread = _chained_events_per_sec(
-        fn, states, chunks, events.shape[0] * n_streams
+        fn, states, chunks, n_events * n_streams
     )
     return eps, dt / DISPATCHES, spread
 
@@ -374,8 +418,10 @@ def main():
     layer_defs = layers_dict(EFCN_DSL)
     rng = np.random.RandomState(0)
     params = make_params(layer_defs, rng)
-    events_par = synth_stream(rng, T_PARALLEL, CHUNK_EVENTS)
-    events = events_par[: T_CHUNKS * CHUNK_EVENTS]
+    # DISPATCHES distinct stream windows per measurement: ~T_PARALLEL
+    # (resp. T_CHUNKS) capacity-packed chunks per chained step
+    events_par = synth_stream(rng, DISPATCHES * T_PARALLEL, CAPACITY)
+    events = events_par[: DISPATCHES * T_CHUNKS * CAPACITY]
 
     tpu_eps, _, tpu_spread = bench_tpu_parallel(params, layer_defs, events_par)
     dense_eps, _, _ = bench_tpu_dense_frame(params, layer_defs, events)
@@ -399,10 +445,10 @@ def main():
     high = _try(bench_tpu_parallel_high, params, layer_defs, events_par)
     high_eps = high[0] if high else None
     serving = _try(bench_tpu_serving_saturation, params, layer_defs, events)
-    events_400 = synth_stream(rng, 2 * T_PARALLEL, CHUNK_EVENTS)
+    events_400 = synth_stream(rng, DISPATCHES * 2 * T_PARALLEL, CAPACITY)
     t400 = _try(bench_tpu_parallel, params, layer_defs, events_400)
     t400_eps = t400[0] if t400 else None
-    clustered = clustered_stream(rng, T_CHUNKS, CHUNK_EVENTS)
+    clustered = clustered_stream(rng, DISPATCHES * T_CHUNKS, CAPACITY)
     window = _try(bench_tpu_async, params, layer_defs, clustered, conv_mode="window")
     window_eps = window[0] if window else None
 
