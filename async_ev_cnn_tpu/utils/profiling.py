@@ -144,10 +144,19 @@ def profile_layers_parallel(net, params, chunks, reps: int = 3,
 
     def timed(upto):
         def probe(surf0, pts0, acc0):
-            def body(carry, _):
+            def body(carry, k):
                 surf, pts, acc = carry
+                # roll every chunk leaf along the event axis by the loop
+                # counter: a within-chunk permutation leaves every ts map
+                # (a max over the chunk's events) BIT-IDENTICAL, but makes
+                # the operands loop-variant so XLA cannot hoist the
+                # event-only work (the ts-map compare) out of the chained
+                # loop and under-attribute the integrate stage
+                chunks_k = jax.tree.map(
+                    lambda a: jnp.roll(a, k, axis=-1), chunks
+                )
                 surfaces, last_ts = integrate_parallel(
-                    surf, pts, chunks, ispec.leak
+                    surf, pts, chunks_k, ispec.leak
                 )
                 if upto == 0:
                     out = jnp.mean(surfaces)
@@ -163,7 +172,7 @@ def profile_layers_parallel(net, params, chunks, reps: int = 3,
                 new_pts = jax.lax.rem(last_ts[-1], jnp.int32(7))
                 return (surfaces[-1], new_pts, acc + out), None
             (_, _, acc), _ = jax.lax.scan(
-                body, (surf0, pts0, acc0), None, length=dispatches
+                body, (surf0, pts0, acc0), jnp.arange(dispatches)
             )
             return acc
 
