@@ -487,7 +487,7 @@ def main():
         "baseline_cpu_async_events_per_sec": round(cpu_async_eps, 1),
         "baseline_cpu_dense_numpy_events_per_sec": round(cpu_eps, 1),
         "vs_cpu_dense": round(tpu_eps / cpu_eps, 2),
-        "config": "efcn_event (160x224, leak 5e-5, 200 ev/chunk)",
+        "config": "efcn_event (160x224, leak 5e-5, capacity-256-packed chunks)",
     }))
 
 
