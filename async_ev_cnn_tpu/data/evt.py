@@ -51,8 +51,14 @@ from async_ev_cnn_tpu.data.file_reader import FileReader
 
 def _is_header_line(line: bytes) -> bool:
     """True when ``line`` (without the trailing newline) looks like a
-    '%'-prefixed ASCII header line: printable ASCII / tabs only."""
-    return all(b == 0x09 or 0x20 <= b <= 0x7E for b in line)
+    text header line: no control bytes other than tab.
+
+    High-bit bytes (>= 0x80) are ACCEPTED — vendor headers may carry
+    UTF-8/Latin-1 text (camera names, serials); only control characters
+    mark the line as binary.  The headerless-binary edge case this guards
+    (a payload whose first byte happens to be '%') almost always contains
+    control bytes before the first newline."""
+    return all(b == 0x09 or b >= 0x20 for b in line)
 
 
 def _split_header(data: bytes) -> bytes:

@@ -178,6 +178,20 @@ def decode_evt3(payload: bytes):
     buf = np.frombuffer(payload[: len(payload) & ~1], dtype="<u2")
     typ = buf >> 12
     val = (buf & 0xFFF).astype(np.uint32)
+    # same int32-µs bound the numpy fallback enforces (evt.py): the
+    # C++ loop's int32 ts can wrap all the way past negative for very
+    # long recordings, so a min()<0 post-check alone is not equivalent
+    th_seq = val[typ == 0x8].astype(np.int64)
+    if th_seq.size:
+        wraps = np.zeros(th_seq.size, np.int64)
+        wraps[1:] = th_seq[1:] < th_seq[:-1]
+        th_max = int((th_seq + (np.cumsum(wraps) << 12)).max())
+        if th_max > (2**31 - 1) >> 12:
+            raise ValueError(
+                "EVT3 unwrapped timestamps exceed the int32 µs range "
+                f"(TIME_HIGH reaches {th_max} > {(2**31 - 1) >> 12}); "
+                "rebase or split the recording before decoding"
+            )
     bits12 = val[typ == 0x4]
     bits8 = val[typ == 0x5] & 0xFF
     popcount = np.unpackbits(

@@ -379,9 +379,22 @@ class EventNetwork:
             if upto is not None and i >= upto:
                 return io.featuremap
             ld, st = layers[i], states[i]
-            if i in self._s2d_pairs and (upto is None or upto >= i + 2):
+            from jax.lax import Precision
+
+            from async_ev_cnn_tpu.ops.conv import matmul_precision
+
+            if (
+                i in self._s2d_pairs
+                and matmul_precision() is Precision.HIGHEST
+                and (upto is None or upto >= i + 2)
+            ):
                 # conv+pool executed as one space-to-depth op (ops/stem.py);
-                # skipped when the profiler's `upto` cuts inside the pair.
+                # skipped when the profiler's `upto` cuts inside the pair,
+                # and at demoted matmul precision: under bf16 operand
+                # rounding the re-blocked contraction is no longer within
+                # float-noise of the direct conv, which would break the
+                # scan-vs-scan_parallel parity contract (the sequential
+                # path always runs the direct conv).
                 pool_spec = layers[i + 1].spec
                 fm = fused_conv_pool(
                     io.featuremap, _kernel_oihw(params, ld.name),

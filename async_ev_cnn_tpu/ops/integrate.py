@@ -27,7 +27,10 @@ import jax.numpy as jnp
 
 from async_ev_cnn_tpu.ops.numerics import snap
 
-TS_SENTINEL = jnp.int32(-(2**31) + 1)
+# canonical sentinel for "no event at this pixel"; the Pallas surface-scan
+# kernel (ops/pallas_scan.py) uses the python-int form — keep them one value
+TS_SENTINEL_VALUE = -(2**31) + 1
+TS_SENTINEL = jnp.int32(TS_SENTINEL_VALUE)
 
 
 def _event_ts_map(y, x, ts, valid, h: int, w: int) -> jnp.ndarray:
@@ -251,9 +254,13 @@ def integrate_parallel(surface, prev_ts, chunks, leak: float,
         ts_map, dd, last_ts = chunk_ts_maps(
             channels, h, w, prev_ts, chunks, leak, ts_window=ts_window
         )
+        # interpret everywhere the Mosaic kernel can't compile.  Note the
+        # limitation: this keys off the process-default backend at trace
+        # time — jitting for a non-default backend on a mixed host should
+        # pass engine='xla' explicitly.
         surfaces = surface_scan_pallas(
             surface, ts_map, dd, last_ts, leak,
-            interpret=jax.default_backend() == "cpu",
+            interpret=jax.default_backend() != "tpu",
         )
         return surfaces, last_ts
     if engine != "xla":

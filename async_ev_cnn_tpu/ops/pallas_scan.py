@@ -45,6 +45,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from async_ev_cnn_tpu.ops.integrate import TS_SENTINEL_VALUE
 from async_ev_cnn_tpu.ops.numerics import SNAP_BITS
 
 # ops.numerics.snap's constants are module-level jnp scalars, which a
@@ -62,7 +63,7 @@ LANES = 128
 SUBLANES = 8
 TB = 8  # chunks per grid step (time block)
 
-TS_SENTINEL_INT = -(2**31) + 1
+TS_SENTINEL_INT = TS_SENTINEL_VALUE  # shared with ops.integrate
 
 
 def _scan_kernel(ts_ref, d_ref, lt_ref, s0_ref, out_ref, s_scr, *, leak, tb):
@@ -128,7 +129,6 @@ def surface_scan_pallas(
     c, h, w = surface.shape
     t = ts_map.shape[0]
     p = c * h * w
-    pix_block = SUBLANES * LANES
     rows = -(-p // LANES)
     rows_pad = -(-rows // SUBLANES) * SUBLANES
     pp = rows_pad * LANES

@@ -189,7 +189,28 @@ def profile_layers_parallel(net, params, chunks, reps: int = 3,
     rows = []
     prev = 0.0
     names = ["integrate"] + [ld.name for ld in net.event_layers[1:]]
-    probes = list(enumerate(names))
+    # conv+pool pairs the forward executes as ONE space-to-depth op
+    # (network._s2d_pairs, active at HIGHEST matmul precision) must be
+    # probed as one row: cutting between them would time an unfused conv
+    # variant production never runs and corrupt both marginals
+    from jax.lax import Precision
+
+    from async_ev_cnn_tpu.ops.conv import matmul_precision
+
+    fused = (
+        net._s2d_pairs
+        if matmul_precision() is Precision.HIGHEST
+        else frozenset()
+    )
+    probes = []
+    k = 0
+    while k < len(names):
+        if (k - 1) in fused and k + 1 < len(names):
+            probes.append((k + 1, f"{names[k]}+{names[k + 1]} (s2d)"))
+            k += 2
+        else:
+            probes.append((k, names[k]))
+            k += 1
     if net.dense_tail:
         probes.append((None, "tail"))  # upto=None = full forward incl. tail
     for upto, name in probes:

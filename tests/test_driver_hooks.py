@@ -152,7 +152,8 @@ def test_profile_layers_parallel_toy(rng):
     chunks = pack_chunks(events, 16)
     rows = profile_layers_parallel(net, params, chunks, reps=1, dispatches=2)
     names = [n for n, _ in rows]
-    assert names == ["integrate", "conv1", "pool1", "conv2", "TOTAL"]
+    # conv1+pool1 is a fused s2d pair in this net, probed as one row
+    assert names == ["integrate", "conv1+pool1 (s2d)", "conv2", "TOTAL"]
     marginals = [ms for _, ms in rows[:-1]]
     assert abs(sum(marginals) - rows[-1][1]) < 1e-6
 

@@ -342,7 +342,14 @@ def test_equivalence_lower_matmul_precision(rng, precision):
     """The serving-speed knob (--matmul_precision high/default) keeps
     async-vs-dense parity: both paths share the demoted rounding, so the
     1e-4 gate must hold at EVERY precision setting, not just 'highest'
-    (docs/performance.md's claim, now contract-backed)."""
+    (docs/performance.md's claim, now contract-backed).
+
+    Note: the CPU test backend treats the demoted settings as f32, so the
+    load-bearing on-chip evidence is the scripts/test_correctness runs
+    recorded in docs/performance.md; this gate pins the code paths (incl.
+    that the s2d stem fusion disables itself at demoted precision, where
+    the re-blocked conv would no longer match the sequential path's
+    direct conv within float noise)."""
     from async_ev_cnn_tpu.ops.conv import set_matmul_precision
 
     set_matmul_precision(precision)

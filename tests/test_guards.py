@@ -143,3 +143,28 @@ def test_yolo_ts_window_validation():
     with pytest.raises(ValueError, match="ts_window"):
         YoloEventJax(**kw, ts_window=0)
     YoloEventJax(**kw, ts_window=8)  # valid
+
+
+def test_evt3_decoders_raise_on_full_wrap(tmp_path):
+    """A recording whose TIME_HIGH stream unwraps past int32 µs must raise
+    in BOTH decoders — including the full-wrap case where the C++ loop's
+    int32 ts would wrap all the way back to positive (so a min()<0
+    post-check alone would miss it)."""
+    import numpy as np
+
+    from async_ev_cnn_tpu.data import native
+    from async_ev_cnn_tpu.data.evt import Evt3Reader
+
+    words = [(0x8 << 12) | 1, (0x6 << 12) | 5, (0x0 << 12) | 3,
+             (0x2 << 12) | 4]
+    # 129 full 12-bit TIME_HIGH wraps -> unwrapped high 129*4096 > 524287
+    for _ in range(129):
+        words += [(0x8 << 12) | 0xFFF, (0x8 << 12) | 0x000]
+    words += [(0x8 << 12) | 5, (0x6 << 12) | 1, (0x2 << 12) | 7]
+    payload = np.array(words, "<u2").tobytes()
+
+    with pytest.raises(ValueError, match="int32"):
+        Evt3Reader._decode(np.frombuffer(payload, "<u2"))
+    if native.available():
+        with pytest.raises(ValueError, match="int32"):
+            native.decode_evt3(payload)
