@@ -162,6 +162,7 @@ class EventNetwork:
         conv_mode: str = "dense",
         capacity_frac: float = 0.25,
         window_frac: float = 0.25,
+        stem_fusion: bool = False,
     ):
         self.event_layers, self.dense_tail = build_layer_defs(
             layer_defs, frame_h, frame_w, leak, alpha, padding,
@@ -172,6 +173,11 @@ class EventNetwork:
         # conv+pool pairs the time-batched path executes as one
         # space-to-depth fused op (ops/stem.py): indices into
         # event_layers[1:] of the conv whose following pool is folded in.
+        # DEFAULT OFF: on v5e the fusion measures between -0.13 and
+        # +0.50 ms/dispatch at T=200 across same-process A/Bs — no
+        # reliable win at eFCN scale (docs/performance.md); it remains an
+        # explicit opt-in for thinner-stem / larger-frame configs where
+        # the saved full-resolution activation actually dominates.
         from async_ev_cnn_tpu.ops.stem import s2d_pair_applicable, s2d_pair_wins
 
         self._s2d_pairs = frozenset(
@@ -179,7 +185,7 @@ class EventNetwork:
             for i, (c, p) in enumerate(
                 zip(self.event_layers[1:], self.event_layers[2:])
             )
-            if c.kind == "conv" and p.kind == "pool"
+            if stem_fusion and c.kind == "conv" and p.kind == "pool"
             and s2d_pair_applicable(c.spec, p.spec) and s2d_pair_wins(c.spec)
         )
 

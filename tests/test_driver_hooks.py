@@ -146,7 +146,7 @@ def test_profile_layers_parallel_toy(rng):
             params[f"b_{name}"] = jnp.asarray(
                 rng.randn(co).astype(np.float32) * 0.2)
     net = EventNetwork(layer_defs, 16, 16, leak=0.01, alpha=0.1,
-                       padding="SAME", conv_mode="full")
+                       padding="SAME", conv_mode="full", stem_fusion=True)
     events = np.stack([rng.randint(0, 16, 40), rng.randint(0, 16, 40),
                        np.sort(rng.randint(1, 99, 40))], -1).astype(np.int32)
     chunks = pack_chunks(events, 16)

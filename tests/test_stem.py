@@ -97,16 +97,20 @@ def test_network_selects_pairs():
     dsl = ("conv1=3,3,1,16 pool1=2,2 conv2=3,3,16,32 pool2=2,2 "
            "conv3=3,3,32,64 pool3=2,2 conv4=1,1,64,12")
     net = EventNetwork(layers_dict(dsl), 160, 224, leak=5e-5, alpha=0.1,
-                       padding="SAME", conv_mode="full")
+                       padding="SAME", conv_mode="full", stem_fusion=True)
     # event_layers[1:]: conv1@0 pool1@1 conv2@2 pool2@3 conv3@4 pool3@5 conv4@6
     assert net._s2d_pairs == frozenset({0})
+    # fusion is an explicit opt-in (measured no-reliable-win at eFCN scale)
+    net_default = EventNetwork(layers_dict(dsl), 160, 224, leak=5e-5,
+                               alpha=0.1, padding="SAME", conv_mode="full")
+    assert net_default._s2d_pairs == frozenset()
     # odd input dims -> the stem pair can't fuse
     net_odd = EventNetwork(layers_dict(dsl), 161, 224, leak=5e-5, alpha=0.1,
-                           padding="SAME", conv_mode="full")
+                           padding="SAME", conv_mode="full", stem_fusion=True)
     assert net_odd._s2d_pairs == frozenset()
     # non-full modes never fuse
     net_d = EventNetwork(layers_dict(dsl), 160, 224, leak=5e-5, alpha=0.1,
-                         padding="SAME", conv_mode="dense")
+                         padding="SAME", conv_mode="dense", stem_fusion=True)
     assert net_d._s2d_pairs == frozenset()
 
 
@@ -127,7 +131,7 @@ def test_full_frame_forward_fused_matches_layerwise(rng):
             params[f"b_{name}"] = jnp.asarray(
                 rng.randn(co).astype(np.float32) * 0.1)
     net = EventNetwork(layer_defs, 16, 16, leak=0.01, alpha=0.1,
-                       padding="SAME", conv_mode="full")
+                       padding="SAME", conv_mode="full", stem_fusion=True)
     assert net._s2d_pairs  # the stem pair must be fused here
     state = net.init_state(params)
     frame = jnp.asarray(rng.rand(1, 16, 16).astype(np.float32))
