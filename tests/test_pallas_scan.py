@@ -182,3 +182,25 @@ def test_bad_engine_rejected(rng):
     with pytest.raises(ValueError, match="engine"):
         integrate_parallel(surface, jnp.int32(0), chunks, 1e-3,
                            engine="nope")
+
+
+def test_kernel_identity_on_empty_chunks(rng):
+    """All-invalid chunks (empty µs time bins) are exact identity steps:
+    last_ts holds, d = 0, no event lands — the surfaces must equal the
+    incoming surface bit-for-bit at every such step."""
+    h, w = 8, 16
+    t, e = 5, 6
+    chunks = EventChunk(
+        y=jnp.zeros((t, e), jnp.int32), x=jnp.zeros((t, e), jnp.int32),
+        ts=jnp.zeros((t, e), jnp.int32), p=jnp.zeros((t, e), jnp.int32),
+        valid=jnp.zeros((t, e), bool),
+    )
+    surface = jnp.asarray(
+        np.round(rng.rand(1, h, w) * 2**20).astype(np.float32) / 2**20
+    )
+    s, lt = integrate_parallel(surface, jnp.int32(42), chunks, 1e-3,
+                               engine="pallas")
+    np.testing.assert_array_equal(
+        np.asarray(s), np.broadcast_to(np.asarray(surface), (t, 1, h, w))
+    )
+    np.testing.assert_array_equal(np.asarray(lt), np.full(t, 42, np.int32))
