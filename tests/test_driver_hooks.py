@@ -161,3 +161,21 @@ def test_profile_layers_parallel_toy(rng):
                          padding="SAME", conv_mode="dense")
     with pytest.raises(ValueError):
         profile_layers_parallel(net_d, params, chunks)
+
+
+def test_pack_k_windows_are_distinct(bench_mod):
+    """The chained timer must scan over DISTINCT chunk windows — identical
+    windows would let XLA hoist the event-only work out of the timing
+    loop and overstate throughput (bench.py _chained_events_per_sec)."""
+    rng = np.random.RandomState(3)
+    events = bench_mod.synth_stream(
+        rng, bench_mod.DISPATCHES * bench_mod.T_CHUNKS, bench_mod.CAPACITY
+    )
+    chunks_k, n_events = bench_mod._pack_k(events, bench_mod.CAPACITY)
+    k = chunks_k.y.shape[0]
+    assert k == bench_mod.DISPATCHES
+    ys = np.asarray(chunks_k.y)
+    for i in range(1, k):
+        assert not np.array_equal(ys[0], ys[i])
+    # every real event is counted exactly once
+    assert n_events == events.shape[0]
