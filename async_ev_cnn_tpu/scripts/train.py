@@ -48,6 +48,15 @@ def main(argv=None):
     parser.add_argument("--save_to", type=str, required=True,
                         help="Output checkpoint path (.npz).")
     parser.add_argument("--log_every", type=int, default=20)
+    parser.add_argument("--checkpoint_every", type=int, default=0,
+                        help="Also save the checkpoint every N steps "
+                             "(0 = only at the end) — crash recovery for "
+                             "long runs.")
+    parser.add_argument("--resume_from", type=str, default=None,
+                        help="Initialize weights from an existing "
+                             "checkpoint (.npz / TF bundle / Orbax) "
+                             "instead of random — continue an interrupted "
+                             "run or fine-tune.")
     args, _ = parser.parse_known_args(argv)
     if args.config:
         import yaml
@@ -85,6 +94,23 @@ def main(argv=None):
             params[f"w_{name}"] = jnp.asarray(
                 rng.randn(kh, kw, ci, co).astype(np.float32) * scale)
             params[f"b_{name}"] = jnp.zeros(co, jnp.float32)
+    if args.resume_from:
+        from async_ev_cnn_tpu.utils.checkpoint import load_params, normalize_names
+
+        restored = normalize_names(load_params(args.resume_from))
+        for k in params:
+            if k not in restored:
+                raise ValueError(
+                    f"--resume_from checkpoint is missing {k!r} for the "
+                    "configured layers"
+                )
+            if tuple(restored[k].shape) != tuple(params[k].shape):
+                raise ValueError(
+                    f"--resume_from {k!r}: checkpoint shape "
+                    f"{restored[k].shape} != configured {params[k].shape}"
+                )
+            params[k] = jnp.asarray(restored[k])
+        print(f"resumed {len(params)} tensors from {args.resume_from}")
 
     trainer = Trainer(net, num_classes=num_classes, num_bbox=args.yolo_num_bbox,
                       grid_shape=(sh, sw),
@@ -115,6 +141,9 @@ def main(argv=None):
         )
         if step % args.log_every == 0:
             print(f"step {step:5d}: loss {float(loss):.4f}")
+        if args.checkpoint_every and (step + 1) % args.checkpoint_every == 0:
+            save_params(args.save_to,
+                        {k: np.asarray(v) for k, v in params.items()})
 
     save_params(args.save_to, {k: np.asarray(v) for k, v in params.items()})
     print(json.dumps({"final_loss": float(loss), "checkpoint": args.save_to,

@@ -79,3 +79,44 @@ def test_train_then_evaluate(tmp_path, learnable_detection_root):
                         "--eval_iou", "0.3"])
     assert result["mAP"] >= 0.25, result
     assert result["mAP"] >= base["mAP"] + 0.2, (result, base)
+
+
+def test_train_checkpoint_every_and_resume(tmp_path, learnable_detection_root):
+    """--checkpoint_every writes intermediate checkpoints; --resume_from
+    continues from one (the training-side crash-recovery story)."""
+    from async_ev_cnn_tpu.scripts.train import main as train_main
+    from async_ev_cnn_tpu.utils.checkpoint import load_params
+
+    ckpt = str(tmp_path / "mid.npz")
+    cfg = _cfg(tmp_path, learnable_detection_root, ckpt)
+
+    # a short run with mid-run checkpointing: the file must exist even if
+    # we pretend the run crashed right after step 10 (checkpoint_every=5)
+    loss1 = train_main(["-c", str(cfg), "--train_steps", "10",
+                        "--checkpoint_every", "5", "--save_to", ckpt,
+                        "--learning_rate", "3e-3"])
+    p1 = load_params(ckpt)
+    assert "w_conv1" in p1 and np.isfinite(loss1)
+
+    # resume and keep training; the resumed run must not restart from the
+    # random init (its first-step loss is far below the cold start's)
+    ckpt2 = str(tmp_path / "resumed.npz")
+    loss2 = train_main(["-c", str(cfg), "--train_steps", "40",
+                        "--resume_from", ckpt, "--save_to", ckpt2,
+                        "--learning_rate", "3e-3"])
+    assert np.isfinite(loss2) and loss2 < loss1
+    p2 = load_params(ckpt2)
+    assert not np.allclose(p2["w_conv1"], p1["w_conv1"])  # training moved on
+
+    # shape mismatches fail loudly
+    import pytest
+
+    bad_cfg = tmp_path / "bad.yml"
+    bad_cfg.write_text(
+        _cfg(tmp_path, learnable_detection_root, ckpt).read_text().replace(
+            "conv1=3,3,1,8", "conv1=5,5,1,8"
+        )
+    )
+    with pytest.raises(ValueError, match="shape"):
+        train_main(["-c", str(bad_cfg), "--train_steps", "1",
+                    "--resume_from", ckpt, "--save_to", ckpt2])
