@@ -56,7 +56,9 @@ def main(argv=None):
                         help="Initialize weights from an existing "
                              "checkpoint (.npz / TF bundle / Orbax) "
                              "instead of random — continue an interrupted "
-                             "run or fine-tune.")
+                             "run or fine-tune.  Optimizer moments restart "
+                             "(weights-only checkpoints, the w_/b_ "
+                             "contract).")
     args, _ = parser.parse_known_args(argv)
     if args.config:
         import yaml
