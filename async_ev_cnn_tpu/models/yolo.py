@@ -47,6 +47,7 @@ class _YoloBase:
         conv_mode: str = "dense",
         capacity_frac: float = 0.25,
         ts_window: int | None = None,
+        stem_fusion: bool = False,
     ):
         self._h_frame = h_frame
         self._w_frame = w_frame
@@ -60,6 +61,7 @@ class _YoloBase:
         self._leak = leak
         self._conv_mode = conv_mode
         self._capacity_frac = capacity_frac
+        self._stem_fusion = stem_fusion
         # clustered-stream throughput knob for the parallel-in-time path:
         # per-chunk ts maps inside a square bounding window, exact fallback
         # on overflow (ops/integrate.integrate_parallel)
@@ -117,6 +119,7 @@ class YoloEventJax(_YoloBase):
             self._padding,
             conv_mode=self._conv_mode,
             capacity_frac=self._capacity_frac,
+            stem_fusion=self._stem_fusion,
         )
         self._jit_step = jax.jit(self._step_impl)
         self._jit_scan = jax.jit(self._scan_impl)

@@ -129,6 +129,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "square window of this many pixels around each "
                         "chunk's events (clustered-stream speedup; exact "
                         "fallback when a chunk overflows)")
+    p.add_argument("--stem_fusion", type=boolean, default=False,
+                   help="parallel-in-time: execute thin-stem (Cin<=2) "
+                        "conv+pool pairs as one space-to-depth conv "
+                        "(ops/stem.py) — measured neutral at eFCN scale, "
+                        "an opt-in for larger frames.")
     p.add_argument("--matmul_precision", type=str, default="highest",
                    help="MXU precision for convs/GEMMs: 'highest' (full f32, "
                         "the parity default), 'high', or 'default' (bf16 "

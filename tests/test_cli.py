@@ -229,3 +229,12 @@ def test_repo_configs_parse(tmp_path, tiny_detection_root, tiny_ckpt):
     for cfg in sorted(glob.glob("configs/*.yml")):
         args = config(["-c", cfg, "--input_data_dir", str(tiny_detection_root)])
         assert args.yolo_cnn_layers and args.frame_h > 0, cfg
+
+
+def test_run_networks_stem_fusion_flag(tmp_path, tiny_detection_root, tiny_ckpt):
+    """--stem_fusion composes with full-mode execution (opt-in s2d pairs)."""
+    from async_ev_cnn_tpu.scripts.run_networks import main
+
+    cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", tiny_ckpt)
+    stats = main(["-c", str(cfg), "--mode", "full", "--stem_fusion", "true"])
+    assert stats["steps"] >= 2 and stats["events_per_sec"] > 0
