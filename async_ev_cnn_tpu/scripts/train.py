@@ -22,8 +22,18 @@ import numpy as np
 from async_ev_cnn_tpu.data import detection_reader
 from async_ev_cnn_tpu.ops.integrate import integrate_frame
 from async_ev_cnn_tpu.utils.config import build_parser
-from async_ev_cnn_tpu.utils.checkpoint import save_params
+from async_ev_cnn_tpu.utils.checkpoint import (
+    restore_stream_state,
+    save_params,
+    save_stream_state,
+)
 from async_ev_cnn_tpu.scripts.evaluate import _eval_transform
+
+
+def opt_state_path(ckpt_path: str) -> str:
+    """Sibling file holding the optimizer state for a weights checkpoint."""
+    base = ckpt_path[:-4] if ckpt_path.endswith(".npz") else ckpt_path
+    return base + ".opt.npz"
 
 
 def build_targets(bboxes: np.ndarray, sh: int, sw: int):
@@ -56,9 +66,13 @@ def main(argv=None):
                         help="Initialize weights from an existing "
                              "checkpoint (.npz / TF bundle / Orbax) "
                              "instead of random — continue an interrupted "
-                             "run or fine-tune.  Optimizer moments restart "
-                             "(weights-only checkpoints, the w_/b_ "
-                             "contract).")
+                             "run or fine-tune.  When the sibling "
+                             "<ckpt>.opt.npz written by --checkpoint_every "
+                             "exists, the optimizer state (Adam moments + "
+                             "step count) is restored too, so the resumed "
+                             "loss trajectory matches the uninterrupted "
+                             "run; otherwise moments restart (fine-tune "
+                             "semantics).")
     args, _ = parser.parse_known_args(argv)
     if args.config:
         import yaml
@@ -118,6 +132,13 @@ def main(argv=None):
                       grid_shape=(sh, sw),
                       optimizer=optax.adam(args.learning_rate))
     opt_state = trainer.init(params)
+    if args.resume_from:
+        import os
+
+        opt_ckpt = opt_state_path(args.resume_from)
+        if os.path.exists(opt_ckpt):
+            opt_state = restore_stream_state(opt_ckpt, like=opt_state)
+            print(f"resumed optimizer state from {opt_ckpt}")
 
     loss = None
     for step in range(args.train_steps):
@@ -146,8 +167,10 @@ def main(argv=None):
         if args.checkpoint_every and (step + 1) % args.checkpoint_every == 0:
             save_params(args.save_to,
                         {k: np.asarray(v) for k, v in params.items()})
+            save_stream_state(opt_state_path(args.save_to), opt_state)
 
     save_params(args.save_to, {k: np.asarray(v) for k, v in params.items()})
+    save_stream_state(opt_state_path(args.save_to), opt_state)
     print(json.dumps({"final_loss": float(loss), "checkpoint": args.save_to,
                       "steps": args.train_steps}))
     return float(loss)

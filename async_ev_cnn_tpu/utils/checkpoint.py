@@ -19,9 +19,34 @@ event_numpy.py:37-40.
 from __future__ import annotations
 
 import os
+import tempfile
 from typing import Dict
 
 import numpy as np
+
+
+def _atomic_savez(path: str, arrays: Dict[str, np.ndarray]) -> None:
+    """Write an ``.npz`` atomically: temp file in the same directory, then
+    ``os.replace``.  A crash mid-write (the exact scenario periodic
+    checkpointing exists for) can otherwise leave a truncated archive as
+    the only copy of the run's state."""
+    # np.savez appends ".npz" when the target lacks it — mirror that so the
+    # final rename lands on the name np.savez would have written.
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(os.path.abspath(path)), suffix=".tmp.npz"
+    )
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def latest_checkpoint(path: str) -> str:
@@ -107,8 +132,8 @@ def normalize_names(params: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 
 def save_params(path: str, params: Dict[str, np.ndarray]) -> None:
-    """Save weights in this framework's native .npz format."""
-    np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+    """Save weights in this framework's native .npz format (atomically)."""
+    _atomic_savez(path, {k: np.asarray(v) for k, v in params.items()})
 
 
 def save_params_tf(prefix: str, params: Dict[str, np.ndarray]) -> None:
@@ -151,7 +176,7 @@ def save_stream_state(path: str, state) -> None:
     import jax
 
     leaves = jax.tree.leaves(state)
-    np.savez(path, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    _atomic_savez(path, {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
 
 
 def restore_stream_state(path: str, like):

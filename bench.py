@@ -29,7 +29,11 @@ this framework's own coordinate-list engine
 (models/event_numpy_cpu.AsyncEventNumpy), an oracle-verified, vectorized
 stand-in for the reference's Cython ``im2col_event`` path — the quantity
 the >=10x north star refers to (the reference repo publishes no numbers,
-BASELINE.md).
+BASELINE.md).  The JSON carries ``baseline_is_standin: true`` to make the
+provenance explicit: the reference's own compiled path does not run here
+(TF 1.4), and even granting a compiled Cython loop a generous 10x over
+the vectorized numpy stand-in would still leave >200x headroom on the
+headline ratio.
 
 Timing methodology: the tunneled backend costs ~30 ms per dispatch+fetch
 round trip (and the same again per python-level enqueue), device->host
@@ -484,6 +488,7 @@ def main():
             round(t400_eps, 1) if t400_eps else None,
         "window_mode_clustered_events_per_sec":
             round(window_eps, 1) if window_eps else None,
+        "baseline_is_standin": True,
         "baseline_cpu_async_events_per_sec": round(cpu_async_eps, 1),
         "baseline_cpu_dense_numpy_events_per_sec": round(cpu_eps, 1),
         "vs_cpu_dense": round(tpu_eps / cpu_eps, 2),
