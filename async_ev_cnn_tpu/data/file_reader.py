@@ -160,9 +160,30 @@ class AerReader(FileReader):
         return len(x), x, y, ts.astype(np.int32), p.astype(np.int32)
 
     def _decode_31(self, payload: np.ndarray):
-        """Packet walk. Assumes POLARITY_EVENT packets (like the reference,
-        file_reader.py:127-133); other packet types are skipped by size.
-        Uses the native C++ packet walker when built."""
+        """Packet walk hardened for real cAER recordings (the reference only
+        handles all-polarity streams, file_reader.py:129-132):
+
+        * the packet type is read from the LOW 16 bits of word 0 per the
+          AEDAT 3.1 spec (eventType int16, then eventSource int16,
+          little-endian).  The reference reads the high 16 — i.e. the
+          *source* field — which happens to work for source-1 polarity
+          packets (both halves are 1) but misparses frame/IMU packets from
+          source 1 as polarity.  Both this repo's and the reference's
+          writers set both halves, so interop is unchanged.
+        * non-polarity packets (frame, IMU, special) are skipped by their
+          declared ``eventNumber * eventSize``;
+        * ``eventTSOffset`` is honored: the timestamp int32 is taken at its
+          declared byte offset within each event (the reference silently
+          assumes offset 4);
+        * truncated files decode every complete event and stop — no ragged
+          array errors; corrupt headers (size <= 0 / not word-aligned /
+          negative count) stop the walk instead of misparsing the rest;
+        * the per-event timestamp word is masked to its 31 spec bits before
+          the overflow-counter splice, so a corrupt sign bit cannot
+          sign-extend into the int64 timestamp.
+
+        Uses the native C++ packet walker (same semantics, gated bit-exact
+        in tests/test_native.py) when built."""
         from async_ev_cnn_tpu.data import native
 
         if native.available():
@@ -175,20 +196,35 @@ class AerReader(FileReader):
         while pos + 7 <= n:
             header = payload[pos : pos + 7]
             pos += 7
-            event_type = int(header[0]) >> 16
-            event_size, _, ts_overflow, _, event_number, event_valid = header[1:]
-            words = int(event_number) * int(event_size) // 4
-            body = payload[pos : pos + words]
+            event_type = int(header[0]) & 0xFFFF
+            event_size, ts_offset, ts_overflow, _, event_number, event_valid = (
+                int(v) for v in header[1:]
+            )
+            if event_size <= 0 or event_size % 4 or event_number < 0:
+                break  # corrupt header: stop rather than misparse the rest
+            wpe = event_size // 4
+            words = event_number * wpe
+            avail = min(words, n - pos)
+            body = payload[pos : pos + avail - avail % wpe]
             pos += words
-            if not (event_valid and event_type == 1):
+            if not (event_valid and event_type == 1 and wpe >= 2):
                 continue
-            data = body[0::2]
-            ts = body[1::2]
+            ts_col = (
+                ts_offset // 4
+                if 0 < ts_offset < event_size and ts_offset % 4 == 0
+                else 1
+            )
+            data_col = 0 if ts_col != 0 else 1
+            mat = body.reshape(-1, wpe)
+            data = mat[:, data_col]
+            ts = mat[:, ts_col]
             x = ((data >> 17) & 0x1FFF).astype(np.int32)
             y = ((data >> 2) & 0x1FFF).astype(np.int32)
             p = ((data >> 1) & 0x1).astype(np.int32)
             valid = (data & 0x1).astype(bool)
-            ts64 = (np.int64(ts_overflow) << 31) | ts.astype(np.int64)
+            ts64 = (np.int64(ts_overflow) << 31) | (
+                ts.astype(np.int64) & 0x7FFFFFFF
+            )
             xs.append(x[valid])
             ys.append(y[valid])
             tss.append(ts64[valid])

@@ -137,8 +137,12 @@ int64_t evio_decode_aedat20(const uint8_t* payload, int64_t size, int32_t* x,
 }
 
 // AEDAT 3.1 payload decode (payload = file minus header lines): packet
-// stream of 7-int32 headers + POLARITY_EVENT bodies; validity-bit
-// filtering; 31-bit timestamp overflow counters widen ts to int64.
+// stream of 7-int32 headers + event bodies.  Semantics mirror the numpy
+// decoder in data/file_reader.py::_decode_31 bit-for-bit (gated in
+// tests/test_native.py): spec-correct low-16-bit packet type, non-polarity
+// packets skipped by declared size, eventTSOffset honored, truncated files
+// decode every complete event, corrupt headers stop the walk, the ts word
+// is masked to its 31 spec bits before the overflow splice.
 // Caller capacity: size / 8. Returns the event count.
 int64_t evio_decode_aedat31(const uint8_t* payload, int64_t size, int32_t* x,
                             int32_t* y, int64_t* ts, int32_t* p) {
@@ -147,25 +151,36 @@ int64_t evio_decode_aedat31(const uint8_t* payload, int64_t size, int32_t* x,
   int64_t pos = 0;
   int64_t n = 0;
   while (pos + 7 <= n_words) {
-    const int32_t event_type = words[pos] >> 16;
+    const int32_t event_type = words[pos] & 0xFFFF;
     const int32_t event_size = words[pos + 1];
+    const int32_t ts_offset = words[pos + 2];
     const int64_t ts_overflow = static_cast<int64_t>(words[pos + 3]);
-    const int32_t event_number = words[pos + 4];
-    const int32_t event_valid = words[pos + 5];
+    const int32_t event_number = words[pos + 5];
+    const int32_t event_valid = words[pos + 6];
     pos += 7;
-    if (event_size <= 0) break;
-    const int64_t body_words =
-        static_cast<int64_t>(event_number) * event_size / 4;
-    if (pos + body_words > n_words) break;
-    if (event_valid && event_type == 1) {
-      for (int64_t e = 0; e < event_number; ++e) {
-        const uint32_t data = static_cast<uint32_t>(words[pos + 2 * e]);
+    if (event_size <= 0 || event_size % 4 != 0 || event_number < 0)
+      break;  // corrupt header: stop rather than misparse the rest
+    const int64_t wpe = event_size / 4;
+    const int64_t body_words = static_cast<int64_t>(event_number) * wpe;
+    const int64_t avail =
+        body_words < n_words - pos ? body_words : n_words - pos;
+    const int64_t complete = avail / wpe;  // whole events only
+    if (event_valid && event_type == 1 && wpe >= 2) {
+      const int64_t ts_col =
+          (ts_offset > 0 && ts_offset < event_size && ts_offset % 4 == 0)
+              ? ts_offset / 4
+              : 1;
+      const int64_t data_col = ts_col != 0 ? 0 : 1;
+      for (int64_t e = 0; e < complete; ++e) {
+        const uint32_t data =
+            static_cast<uint32_t>(words[pos + wpe * e + data_col]);
         if (!(data & 0x1u)) continue;  // validity bit
         x[n] = static_cast<int32_t>((data >> 17) & 0x1FFFu);
         y[n] = static_cast<int32_t>((data >> 2) & 0x1FFFu);
         p[n] = static_cast<int32_t>((data >> 1) & 0x1u);
         ts[n] = (ts_overflow << 31) |
-                static_cast<int64_t>(words[pos + 2 * e + 1]);
+                (static_cast<int64_t>(words[pos + wpe * e + ts_col]) &
+                 0x7FFFFFFFll);
         ++n;
       }
     }

@@ -122,6 +122,119 @@ def test_aedat31_roundtrip_with_overflow(tmp_path, rng):
     np.testing.assert_array_equal(p2, p)
 
 
+AEDAT31_HEADER = b"#!AER-DAT3.1\r\n#Format: RAW\r\n#!END-HEADER\r\n"
+
+
+def _pol_packet(evs, overflow=0, source=1, event_size=8, ts_offset=4):
+    """A POLARITY_EVENT packet: ``evs`` = (x, y, ts31, p, validbit) rows."""
+    n = len(evs)
+    head = np.array([1 | (source << 16), event_size, ts_offset,
+                     overflow, n, n, n], np.int32)
+    wpe = event_size // 4
+    ts_col = ts_offset // 4
+    data_col = 0 if ts_col != 0 else 1
+    body = np.zeros((n, wpe), np.int32)
+    for i, (x, y, ts, p, v) in enumerate(evs):
+        body[i, data_col] = (x << 17) | (y << 2) | (p << 1) | v
+        body[i, ts_col] = ts
+    return head.tobytes() + body.tobytes()
+
+
+def _raw_packet(event_type, body_words, event_size, source=1):
+    """A non-polarity packet (frame/IMU/special) with an arbitrary body."""
+    body = np.asarray(body_words, np.int32)
+    assert body.size * 4 % event_size == 0
+    n = body.size * 4 // event_size
+    head = np.array([event_type | (source << 16), event_size, 4,
+                     0, n, n, n], np.int32)
+    return head.tobytes() + body.tobytes()
+
+
+def _decode31_both(tmp_path, monkeypatch, blob, name="mixed.aedat"):
+    """Decode with the native walker and the numpy fallback; assert parity;
+    return the (numpy) result."""
+    from async_ev_cnn_tpu.data import native
+
+    path = str(tmp_path / name)
+    with open(path, "wb") as f:
+        f.write(AEDAT31_HEADER + blob)
+    r = AerReader("DVS128")
+    out_nat = r.read_example(path) if native.available() else None
+    monkeypatch.setattr(native, "available", lambda: False)
+    out_np = r.read_example(path)
+    if out_nat is not None:
+        assert out_nat[0] == out_np[0]
+        for a, b in zip(out_nat[1:], out_np[1:]):
+            np.testing.assert_array_equal(a, b)
+    monkeypatch.undo()
+    return out_np
+
+
+def test_aedat31_mixed_packet_stream(tmp_path, rng, monkeypatch):
+    """Real cAER recordings interleave frame/IMU/special packets with the
+    polarity stream (the reference warns it can't handle these,
+    /root/reference/src/readers/file_reader.py:129-132); they must be
+    skipped by their declared size, including polarity packets from a
+    source id != 1 (whose type the reference misreads from the high
+    half-word) and an invalid-marked event inside a valid packet."""
+    blob = (
+        _raw_packet(0, [7, 123], event_size=8)                  # special
+        + _pol_packet([(3, 4, 100, 1, 1), (5, 6, 200, 0, 1),
+                       (9, 9, 250, 1, 0)])                      # 3rd invalid
+        + _raw_packet(2, list(range(64)), event_size=256)       # frame
+        + _pol_packet([(7, 8, 300, 1, 1)], overflow=1, source=2)
+        + _raw_packet(3, list(range(8)), event_size=32)         # IMU6
+        + _pol_packet([(1, 2, 50, 0, 1)], overflow=1)
+    )
+    l, x, y, ts, p = _decode31_both(tmp_path, monkeypatch, blob)
+    assert l == 4
+    np.testing.assert_array_equal(x, [3, 5, 7, 1])
+    np.testing.assert_array_equal(y, [4, 6, 8, 2])
+    np.testing.assert_array_equal(
+        ts, [100, 200, (1 << 31) | 300, (1 << 31) | 50])
+    np.testing.assert_array_equal(p, [1, 0, 1, 0])
+
+
+def test_aedat31_honors_ts_offset(tmp_path, rng, monkeypatch):
+    """eventTSOffset declares where the timestamp int32 sits inside each
+    event; a 12-byte polarity event with the ts at offset 8 must decode
+    (the reference hard-assumes offset 4)."""
+    blob = _pol_packet([(10, 20, 111, 1, 1), (30, 40, 222, 0, 1)],
+                       event_size=12, ts_offset=8)
+    l, x, y, ts, p = _decode31_both(tmp_path, monkeypatch, blob,
+                                    name="tsoff.aedat")
+    assert l == 2
+    np.testing.assert_array_equal(x, [10, 30])
+    np.testing.assert_array_equal(ts, [111, 222])
+
+
+def test_aedat31_truncation_and_corrupt_headers(tmp_path, rng, monkeypatch):
+    """Truncated files decode every complete event then stop; corrupt
+    headers (size 0 / unaligned size / negative count) stop the walk
+    without misparsing — and the native walker agrees bit-for-bit."""
+    good = _pol_packet([(3, 4, 100, 1, 1), (5, 6, 200, 0, 1)])
+    # (a) cut mid-body: second event of the second packet is incomplete
+    tail = _pol_packet([(7, 8, 300, 1, 1), (9, 10, 400, 0, 1)])
+    l, x, y, ts, p = _decode31_both(
+        tmp_path, monkeypatch, good + tail[:-5], name="cut_body.aedat")
+    assert l == 3
+    np.testing.assert_array_equal(ts, [100, 200, 300])
+    # (b) cut mid-header: only the first packet decodes
+    l, x, *_ = _decode31_both(
+        tmp_path, monkeypatch, good + tail[:13], name="cut_head.aedat")
+    assert l == 2
+    # (c) corrupt headers stop the walk cleanly
+    for i, bad_head in enumerate([
+        np.array([1 | (1 << 16), 0, 4, 0, 2, 2, 2], np.int32),    # size 0
+        np.array([1 | (1 << 16), 7, 4, 0, 2, 2, 2], np.int32),    # unaligned
+        np.array([1 | (1 << 16), 8, 4, 0, -3, -3, -3], np.int32),  # negative
+    ]):
+        l, x, *_ = _decode31_both(
+            tmp_path, monkeypatch,
+            good + bad_head.tobytes() + tail, name=f"corrupt{i}.aedat")
+        assert l == 2  # events after the corrupt header are not misparsed
+
+
 def test_npy_roundtrip(tmp_path, rng):
     x, y, ts, p = random_events(rng, n=100)
     path = str(tmp_path / "ex.npy")
