@@ -189,6 +189,44 @@ class EventNetwork:
             and s2d_pair_applicable(c.spec, p.spec) and s2d_pair_wins(c.spec)
         )
 
+    # ---- memory model for the parallel-in-time path ---------------------
+
+    def parallel_live_bytes_per_chunk(self) -> int:
+        """Estimated live HBM bytes per time-batched chunk in
+        :meth:`scan_parallel`.
+
+        XLA frees each layer's activation once its consumer is done, so the
+        live set at the peak is NOT the sum of all layers: it is the widest
+        adjacent producer/consumer activation pair (for the eFCN that is
+        conv1's [T, 16, H, W] output next to the surface input), plus the
+        two surface-sized arrays of the integrate front half (the f32
+        surfaces and the int32 per-chunk ts maps) that stay live across
+        the network sweep.  Calibration: this model predicts ~2.7 MB/chunk
+        for the eFCN at 160x224 vs ~0.9 GB measured peak at T=400
+        (2.2 MB/chunk) — conservative by ~20%, which is the right side to
+        err on for a budget.
+        """
+        from math import prod
+
+        ispec = self.event_layers[0].spec
+        surface_px = ispec.channels * ispec.h * ispec.w
+        shapes = [surface_px] + [
+            int(prod(ld.spec.out_shape)) for ld in self.event_layers[1:]
+        ]
+        peak_pair = max(a + b for a, b in zip(shapes[:-1], shapes[1:]))
+        return 4 * (2 * surface_px + peak_pair)
+
+    def auto_window(self, t: int, budget_mb: float) -> int | None:
+        """Largest time window (chunks per sequential dispatch of
+        :meth:`scan_parallel`) whose estimated peak activation memory fits
+        ``budget_mb``, with a 2x safety factor for XLA temporaries.
+        Returns ``None`` when all ``t`` chunks fit (no windowing needed).
+        Replaces the round-3 folklore of hand-picking ``window``."""
+        per = 2 * self.parallel_live_bytes_per_chunk()
+        w = int(budget_mb * 2**20 // per)
+        w = max(1, w - w % 8 if w >= 8 else w)
+        return None if w >= t else w
+
     @property
     def is_all_full(self) -> bool:
         """True when every conv/pool layer runs in 'full' (recompute) mode —
@@ -279,6 +317,7 @@ class EventNetwork:
         window: int | None = None,
         ts_window: tuple[int, int] | None = None,
         integrate_engine: str = "auto",
+        window_budget_mb: float | None = None,
     ):
         """Parallel-in-time execution of the same streaming semantics.
 
@@ -295,7 +334,10 @@ class EventNetwork:
         Requires every conv/pool layer in 'full' mode (the modes with
         per-chunk state have a real step-to-step dependency and cannot be
         time-batched).  ``window`` bounds peak memory: the T axis is
-        processed in sequential windows of that many chunks.  ``ts_window``
+        processed in sequential windows of that many chunks; alternatively
+        pass ``window_budget_mb`` and the window is derived from the
+        network's activation-memory model (:meth:`auto_window` — ignored
+        when ``window`` is given explicitly).  ``ts_window``
         (static ``(wh, ww)``) computes each chunk's ts map inside a
         bounding box around its events — a throughput knob for spatially
         clustered streams; exact fallback if any chunk overflows (see
@@ -334,6 +376,8 @@ class EventNetwork:
 
         carry0 = (intgr_state.surface, intgr_state.prev_ts)
         t = chunks.y.shape[0]
+        if window is None and window_budget_mb is not None:
+            window = self.auto_window(t, window_budget_mb)
         if window is None or window >= t:
             carry, outs = window_body(carry0, chunks)
         else:

@@ -48,6 +48,7 @@ class _YoloBase:
         capacity_frac: float = 0.25,
         ts_window: int | None = None,
         stem_fusion: bool = False,
+        window_budget_mb: float | None = None,
     ):
         self._h_frame = h_frame
         self._w_frame = w_frame
@@ -71,6 +72,12 @@ class _YoloBase:
                 "disable the windowed ts-map path"
             )
         self._ts_window = (ts_window, ts_window) if ts_window is not None else None
+        if window_budget_mb is not None and window_budget_mb <= 0:
+            raise ValueError(
+                f"window_budget_mb must be > 0 (got {window_budget_mb}); "
+                "pass None for the fixed default window"
+            )
+        self._window_budget_mb = window_budget_mb
         self._weights: dict = {}
         if checkpoint is not None:
             self.restore(checkpoint)
@@ -149,9 +156,13 @@ class YoloEventJax(_YoloBase):
     PARALLEL_WINDOW = 256
 
     def _scan_parallel_impl(self, params, state, chunks):
+        # window_budget_mb derives the window from the activation-memory
+        # model (EventNetwork.auto_window); otherwise the fixed default cap
+        window = None if self._window_budget_mb is not None else self.PARALLEL_WINDOW
         state, outs = self.net.scan_parallel(
-            params, state, chunks, window=self.PARALLEL_WINDOW,
+            params, state, chunks, window=window,
             ts_window=self._ts_window,
+            window_budget_mb=self._window_budget_mb,
         )
         return state, jnp.reshape(outs, (outs.shape[0], *self.grid_shape))
 

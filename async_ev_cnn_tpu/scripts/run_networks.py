@@ -54,7 +54,7 @@ def main(argv=None):
         w_cells=args.yolo_num_cells_w, num_bbox=args.yolo_num_bbox,
         alpha=0.1, leak=args.leak, checkpoint=args.restore_net,
         conv_mode=args.mode, ts_window=args.ts_window,
-        stem_fusion=args.stem_fusion,
+        stem_fusion=args.stem_fusion, window_budget_mb=args.window_budget_mb,
     )
     if args.num_streams > 1:
         if not isinstance(network, YoloEventJax):

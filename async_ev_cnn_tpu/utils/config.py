@@ -129,6 +129,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "square window of this many pixels around each "
                         "chunk's events (clustered-stream speedup; exact "
                         "fallback when a chunk overflows)")
+    p.add_argument("--window_budget_mb", type=float, default=None,
+                   help="parallel-in-time: derive the time-window size "
+                        "(chunks per dispatch) from this activation-memory "
+                        "budget via the network's memory model "
+                        "(EventNetwork.auto_window) instead of the fixed "
+                        "default window — bounded memory on arbitrarily "
+                        "long streams.")
     p.add_argument("--stem_fusion", type=boolean, default=False,
                    help="parallel-in-time: execute thin-stem (Cin<=2) "
                         "conv+pool pairs as one space-to-depth conv "

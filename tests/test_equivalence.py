@@ -238,6 +238,63 @@ def test_scan_parallel_matches_sequential(rng):
         net_d.scan_parallel(params, net_d.init_state(params), chunks)
 
 
+def test_scan_parallel_window_budget(rng):
+    """window_budget_mb derives the time window from the activation-memory
+    model: a long (T=2000) stream runs at bounded memory and still matches
+    the sequential scan (round-3 verdict: the caller used to pick `window`
+    by folklore)."""
+    import jax
+
+    net, params = reference_test_net(conv_mode="full")
+    state0 = net.init_state(params)
+    chunks = make_stream(rng, steps=2000, events_per_step=5, h=8, w=8)
+    # a budget that forces real windowing on even this tiny net
+    per = net.parallel_live_bytes_per_chunk()
+    budget_mb = (per * 2 * 64) / 2**20  # ~64-chunk windows
+    w = net.auto_window(2000, budget_mb)
+    assert w is not None and 8 <= w <= 128 and w % 8 == 0
+    _, outs_seq = jax.jit(net.scan)(params, state0, chunks)
+    st_b, outs_b = jax.jit(
+        lambda p, s, c: net.scan_parallel(p, s, c, window_budget_mb=budget_mb)
+    )(params, state0, chunks)
+    assert outs_b.shape == outs_seq.shape
+    assert float(jnp.max(jnp.abs(outs_seq - outs_b))) <= 1e-4
+    # a generous budget disables windowing; an explicit window wins over it
+    assert net.auto_window(2000, 1e9) is None
+    _, outs_x = jax.jit(
+        lambda p, s, c: net.scan_parallel(
+            p, s, c, window=100, window_budget_mb=budget_mb
+        )
+    )(params, state0, chunks)
+    assert float(jnp.max(jnp.abs(outs_seq - outs_x))) <= 1e-4
+
+
+def test_auto_window_memory_model_efcn_scale():
+    """The memory model at eFCN scale: ~2-3.5 MB live per chunk, so a
+    512 MB budget yields a window near T=100 and a tiny budget degrades
+    gracefully to 1 (never 0)."""
+    from collections import OrderedDict
+
+    from async_ev_cnn_tpu.layers.network import EventNetwork
+
+    defs = OrderedDict([
+        ("conv1", [3, 3, 1, 16]), ("pool1", [2, 2]),
+        ("conv2", [3, 3, 16, 32]), ("pool2", [2, 2]),
+        ("conv3", [3, 3, 32, 64]), ("pool3", [2, 2]),
+        ("conv4", [3, 3, 64, 128]), ("pool4", [2, 2]),
+        ("conv5", [3, 3, 128, 256]), ("pool5", [2, 2]),
+        ("conv6", [1, 1, 256, 512]), ("conv7", [1, 1, 512, 110]),
+    ])
+    net = EventNetwork(defs, 160, 224, leak=5e-5, alpha=0.1, padding="SAME",
+                       conv_mode="full")
+    per = net.parallel_live_bytes_per_chunk()
+    assert 2e6 < per < 4e6, per  # conv1's [16, 160, 224] pair dominates
+    w = net.auto_window(t=2000, budget_mb=512)
+    assert w is not None and 48 <= w <= 128 and w % 8 == 0, w
+    assert net.auto_window(t=2000, budget_mb=0.001) == 1
+    assert net.auto_window(t=64, budget_mb=1e6) is None
+
+
 @pytest.mark.slow
 def test_scan_parallel_long_horizon(rng):
     # 10k-step drift bound for the associative-scan surface reconstruction
