@@ -203,14 +203,22 @@ def integrate_parallel(surface, prev_ts, chunks, leak: float,
     ``f(s) = max(max(s - d, 0) + a, 0)`` with ``d`` the chunk's leak and
     ``a`` its event contribution — elementwise per pixel, so the
     parallelism that matters on TPU is across the H*W pixels, not across
-    T.  Two engines compute the same surfaces:
+    T.  Three engines compute the same surfaces:
 
-    * ``'pallas'`` (default on TPU): one kernel pass running the exact
-      sequential recurrence per pixel tile with the carry in VMEM
-      (:mod:`async_ev_cnn_tpu.ops.pallas_scan`) — bit-identical to
-      iterating ``integrate_step``, and one read + one write of HBM
-      instead of the coefficient materialization + log2(T) scan levels.
-    * ``'xla'`` (default elsewhere; also the cross-device building block
+    * ``'pallas'`` (default on TPU): the event-scatter kernel — the
+      O(T*E) per-event winner lists (``chunk_event_updates``) are placed
+      onto the surface *inside* the kernel by an exact one-hot MXU
+      contraction, and the sequential recurrence runs with the carry in
+      VMEM (:func:`~async_ev_cnn_tpu.ops.pallas_scan.surface_scan_events_pallas`).
+      No [T, C, H, W] ts map is ever materialized in HBM and the
+      O(H*W*E) per-chunk compare disappears.  Bit-identical to iterating
+      ``integrate_step``.
+    * ``'pallas_tsmap'``: the round-3 kernel — per-chunk int32 ts maps
+      built by the XLA compare-reduce and streamed through the same
+      VMEM-carried recurrence
+      (:func:`~async_ev_cnn_tpu.ops.pallas_scan.surface_scan_pallas`).
+      Kept as the A/B reference for the event-scatter engine.
+    * ``'xla'`` (default off-TPU; also the cross-device building block
       in parallel/time_shard.py): expanding
       ``f(s) = max(s + (a - d), max(a, 0))`` shows f is a max-plus affine
       map ``g[b, c](s) = max(s + b, c)``, closed under composition::
@@ -236,10 +244,12 @@ def integrate_parallel(surface, prev_ts, chunks, leak: float,
         bounding box exceeds the window, so results are bit-exact either
         way.  Note: under ``vmap`` (multi-stream serving) the cond becomes
         a select and BOTH formulations execute — use it on per-stream
-        dispatch paths only.
-      engine: ``'auto' | 'pallas' | 'xla'``.  ``'auto'`` picks 'pallas'
-        on the TPU backend, 'xla' elsewhere (the pallas kernel runs in
-        interpret mode off-TPU — exact but slow, for tests).
+        dispatch paths only.  The 'pallas' event-scatter engine ignores
+        it (the O(H*W*E) compare it optimizes does not exist there).
+      engine: ``'auto' | 'pallas' | 'pallas_tsmap' | 'xla'``.  ``'auto'``
+        picks 'pallas' on the TPU backend, 'xla' elsewhere (the pallas
+        kernels run in interpret mode off-TPU — exact but slow, for
+        tests).
 
     Returns:
       ``(surfaces, last_ts)``: f32 ``[T, C, H, W]`` surfaces after each
@@ -248,24 +258,35 @@ def integrate_parallel(surface, prev_ts, chunks, leak: float,
     channels, h, w = surface.shape
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # interpret everywhere the Mosaic kernels can't compile.  Note the
+    # limitation: this keys off the process-default backend at trace
+    # time — jitting for a non-default backend on a mixed host should
+    # pass engine='xla' explicitly.
+    interpret = jax.default_backend() != "tpu"
     if engine == "pallas":
+        from async_ev_cnn_tpu.ops.pallas_scan import surface_scan_events_pallas
+
+        pix_r, pix_c, dt, d, last_ts = chunk_event_updates(
+            channels, h, w, prev_ts, chunks, leak
+        )
+        surfaces = surface_scan_events_pallas(
+            surface, pix_r, pix_c, dt, d, leak, interpret=interpret
+        )
+        return surfaces, last_ts
+    if engine == "pallas_tsmap":
         from async_ev_cnn_tpu.ops.pallas_scan import surface_scan_pallas
 
         ts_map, dd, last_ts = chunk_ts_maps(
             channels, h, w, prev_ts, chunks, leak, ts_window=ts_window
         )
-        # interpret everywhere the Mosaic kernel can't compile.  Note the
-        # limitation: this keys off the process-default backend at trace
-        # time — jitting for a non-default backend on a mixed host should
-        # pass engine='xla' explicitly.
         surfaces = surface_scan_pallas(
-            surface, ts_map, dd, last_ts, leak,
-            interpret=jax.default_backend() != "tpu",
+            surface, ts_map, dd, last_ts, leak, interpret=interpret
         )
         return surfaces, last_ts
     if engine != "xla":
         raise ValueError(
-            f"engine must be 'auto', 'pallas' or 'xla', got {engine!r}"
+            "engine must be 'auto', 'pallas', 'pallas_tsmap' or 'xla', "
+            f"got {engine!r}"
         )
     b, c, last_ts = chunk_affine_updates(
         channels, h, w, prev_ts, chunks, leak, ts_window=ts_window
@@ -284,19 +305,13 @@ def maxplus_combine(left, right):
     return bl + br, jnp.maximum(cl + br, cr)
 
 
-def chunk_ts_maps(channels, h, w, prev_ts, chunks, leak, ts_window=None):
-    """Per-chunk timestamp maps and leak decrements.
+def _ts_chain(prev_ts, chunks, leak):
+    """Per-chunk running last-event timestamps and snapped leak decrements
+    — the scalar chain shared by every parallel-in-time front half.
 
-    Returns ``(ts_map, d, last_ts)``: int32 ``[T, C, H, W]`` per-pixel max
-    event timestamps (sentinel where a chunk has no event at that pixel),
-    f32 ``[T]`` snapped leak decrements, and the int32 ``[T]`` global
-    running last-event timestamps.  The shared front half of both
-    parallel-in-time engines (:func:`integrate_parallel`).
+    Returns ``(last_ts [T] int32, d [T] f32)``.  No-op (all-padding) chunks
+    keep the previous last_ts, making them exact identity updates.
     """
-    leak = jnp.float32(leak)
-
-    # per-chunk last_ts chain: running max of chunk max-ts (no-op chunks
-    # keep the previous value, making them exact identity updates)
     chunk_max = jnp.max(
         jnp.where(chunks.valid, chunks.ts, TS_SENTINEL), axis=1
     ).astype(jnp.int32)
@@ -304,7 +319,72 @@ def chunk_ts_maps(channels, h, w, prev_ts, chunks, leak, ts_window=None):
         jnp.maximum, jnp.maximum(chunk_max, prev_ts)
     )
     prev_last = jnp.concatenate([prev_ts[None], last_ts[:-1]])
-    d = snap((last_ts - prev_last).astype(jnp.float32) * leak)  # [T]
+    d = snap((last_ts - prev_last).astype(jnp.float32) * jnp.float32(leak))
+    return last_ts, d
+
+
+def chunk_event_updates(channels, h, w, prev_ts, chunks, leak, lanes=128):
+    """O(E) per-event update lists for the event-scatter Pallas engine.
+
+    The ts-map engines materialize int32 ``[T, C, H, W]`` maps in HBM
+    (~29 MB/dispatch at T=200, 160x224) from an O(H*W*E) compare-reduce;
+    but a chunk only carries E <= a few hundred events, so the surface
+    update is fully described by O(T*E) numbers.  This computes them:
+
+    * the in-chunk winner per pixel (the reference's last-duplicate-wins,
+      integration.py:71 — = lexicographic (ts, index) max among same-pixel
+      valid events, identical to the ts-map's per-pixel max-ts value);
+    * each winner's flattened [C*H*W] pixel split into the kernel's
+      (row = pix // lanes, lane = pix % lanes) coordinates, losers/padding
+      marked with row -1 (their one-hot placement row never matches);
+    * ``dt = last_ts[t] - ts`` (int32, in [0, 2^31) given the non-negative
+      timestamp contract the wrap guards enforce), from which the kernel
+      reconstructs the event contribution with the exact
+      :func:`integrate_step` arithmetic.
+
+    Returns ``(pix_r, pix_c, dt, d, last_ts)`` with ``[T, E]`` int32 event
+    arrays and the ``[T]`` scalar chains.
+    """
+    last_ts, d = _ts_chain(prev_ts, chunks, leak)
+
+    yi = chunks.y.astype(jnp.int32)
+    xi = chunks.x.astype(jnp.int32)
+    if channels == 1:
+        ch = jnp.zeros_like(yi)
+        valid = chunks.valid
+    else:
+        ch = jnp.clip(chunks.p.astype(jnp.int32), 0, channels - 1)
+        valid = chunks.valid & (chunks.p >= 0) & (chunks.p < channels)
+    pix = jnp.where(valid, ch * (h * w) + yi * w + xi, -1)  # [T, E]
+
+    # winner per pixel: no later (ts, idx)-lexicographic event at the same
+    # pixel (same winner-value as _event_ts_map's max; O(T*E^2) compares on
+    # E<=a few hundred — trivial next to the O(H*W*E) map it replaces)
+    ts_b = jnp.where(valid, chunks.ts.astype(jnp.int32), TS_SENTINEL)
+    idx = jax.lax.broadcasted_iota(jnp.int32, pix.shape, 1)
+    same = (pix[:, :, None] == pix[:, None, :]) & valid[:, None, :]
+    later = (ts_b[:, None, :] > ts_b[:, :, None]) | (
+        (ts_b[:, None, :] == ts_b[:, :, None])
+        & (idx[:, None, :] > idx[:, :, None])
+    )
+    keep = valid & ~jnp.any(same & later, axis=2)  # [T, E]
+
+    pix_r = jnp.where(keep, pix // lanes, -1)
+    pix_c = jnp.where(keep, pix % lanes, 0)
+    dt = jnp.where(keep, last_ts[:, None] - ts_b, 0)
+    return pix_r, pix_c, dt, d, last_ts
+
+
+def chunk_ts_maps(channels, h, w, prev_ts, chunks, leak, ts_window=None):
+    """Per-chunk timestamp maps and leak decrements.
+
+    Returns ``(ts_map, d, last_ts)``: int32 ``[T, C, H, W]`` per-pixel max
+    event timestamps (sentinel where a chunk has no event at that pixel),
+    f32 ``[T]`` snapped leak decrements, and the int32 ``[T]`` global
+    running last-event timestamps.  The shared front half of the ts-map
+    parallel-in-time engines (:func:`integrate_parallel`).
+    """
+    last_ts, d = _ts_chain(prev_ts, chunks, leak)
 
     if channels == 1:
         valid_by_ch = [chunks.valid]

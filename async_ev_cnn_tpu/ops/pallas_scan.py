@@ -174,3 +174,166 @@ def surface_scan_pallas(
         interpret=interpret,
     )(tsf, d2, lt2, s0)
     return out.reshape(tp, pp)[:t, :p].reshape(t, c, h, w)
+
+
+# ---------------------------------------------------------------------------
+# Event-scatter engine: O(E) per chunk, no ts-map in HBM.
+#
+# The ts-map engine above still pays the O(H*W*E) XLA compare-reduce that
+# BUILDS its [T, C, H, W] int32 input, plus the ~29 MB/dispatch HBM round
+# trip to materialize it (T=200 at 160x224) — measured ~1.3 ms of the
+# ~8.8 ms step, the last shared cost of both round-3 integrate engines
+# (docs/performance.md).  This engine reads the O(T*E) per-event lists from
+# ops.integrate.chunk_event_updates instead and PLACES each chunk's <=E
+# winning events onto the surface inside the kernel with a one-hot MXU
+# contraction:
+#
+#     planes[r, c + 128*k] = sum_e onehot_row[r, e] * (onehot_col[c, e]
+#                                                      * limb_k[e])
+#
+# Exactness without f32-matmul precision games: the placed payload is
+# dt = last_ts - ts split into four 8-bit limbs, and a one-hot x
+# 8-bit-integer product is exact in bf16 (integers < 256 fit bf16's 8
+# significand bits); after the XLA-side dedup each output position has at
+# most ONE nonzero addend, so the f32 accumulation is exact regardless of
+# order.  The kernel reassembles dt in int32, converts to f32 and applies
+# the bit-for-bit integrate_step arithmetic (same snap fences), so the
+# engine is bit-identical to iterating integrate_step — gated in
+# tests/test_pallas_scan.py.  The presence flag rides in limb 3's spare
+# high bit (dt < 2^31 so limb3 <= 127; winners add 128).
+#
+# Cost per chunk: one [R, E] x [E, 4*128] bf16 matmul (~24 MXU tile passes
+# at eFCN scale: R=288, E=256) + a few full-surface VPU passes; HBM
+# traffic drops to the event lists (~16 B/event) + the surfaces the caller
+# needs anyway.  Reference ethos restored: O(events) work per chunk
+# (cutils.pyx:26-134), on the MXU instead of a serialized scatter.
+# ---------------------------------------------------------------------------
+
+
+def _scan_events_kernel(pr_ref, pc_ref, dt_ref, d_ref, s0_ref, out_ref,
+                        s_scr, *, leak, rows, ep):
+    """One chunk of the recurrence with in-kernel event placement.
+
+    pr_ref/pc_ref/dt_ref: int32 [1, ep] — winner row/lane/dt lists
+      (row -1 = no event: its one-hot column is all-zero)
+    d_ref: f32 [1, 1] SMEM — this chunk's snapped leak decrement
+    s0_ref: f32 [rows, 128] initial surface
+    out_ref: f32 [1, rows, 128] surface after this chunk
+    s_scr: f32 [rows, 128] carry across chunks
+    """
+    leak_f = np.float32(leak)
+    zero = np.float32(0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        s_scr[:] = s0_ref[:]
+
+    pr = pr_ref[:]  # [1, ep]
+    pc = pc_ref[:]
+    dt = dt_ref[:]
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, ep), 0)
+    lhs = (row_iota == pr).astype(jnp.bfloat16)  # [rows, ep]
+    col_hit = (
+        jax.lax.broadcasted_iota(jnp.int32, (LANES, ep), 0) == pc
+    ).astype(jnp.bfloat16)  # [128, ep]
+    l0 = (dt & 0xFF).astype(jnp.bfloat16)
+    l1 = ((dt >> 8) & 0xFF).astype(jnp.bfloat16)
+    l2 = ((dt >> 16) & 0xFF).astype(jnp.bfloat16)
+    # presence rides in limb 3's spare bit: dt < 2^31 => limb3 <= 127
+    l3 = (((dt >> 24) & 0x7F) | 128).astype(jnp.bfloat16)
+    rhs_t = jnp.concatenate(
+        [col_hit * l0, col_hit * l1, col_hit * l2, col_hit * l3], axis=0
+    )  # [4*128, ep]
+    planes = jax.lax.dot_general(
+        lhs, rhs_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [rows, 4*128] — exact integers (see module comment)
+    p0 = planes[:, 0 * LANES : 1 * LANES].astype(jnp.int32)
+    p1 = planes[:, 1 * LANES : 2 * LANES].astype(jnp.int32)
+    p2 = planes[:, 2 * LANES : 3 * LANES].astype(jnp.int32)
+    p3 = planes[:, 3 * LANES : 4 * LANES].astype(jnp.int32)
+    pres = p3 >= 128
+    dt_px = p0 | (p1 << 8) | (p2 << 16) | ((p3 & 0x7F) << 24)
+
+    # EXACT integrate_step arithmetic (ops/integrate.py): leak-subtract,
+    # clamp, event-add, clamp — two sequential clamps, products snapped.
+    s1 = s_scr[:] - d_ref[0, 0]
+    s1 = jnp.where(s1 <= zero, zero, s1)
+    contrib = jnp.float32(1) - _snap(dt_px.astype(jnp.float32) * leak_f)
+    s2 = s1 + jnp.where(pres, contrib, zero)
+    s2 = jnp.where(s2 <= zero, zero, s2)
+    out_ref[0] = s2
+    s_scr[:] = s2
+
+
+def surface_scan_events_pallas(
+    surface: jnp.ndarray,
+    pix_r: jnp.ndarray,
+    pix_c: jnp.ndarray,
+    dt: jnp.ndarray,
+    d: jnp.ndarray,
+    leak: float,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """All T chunk-boundary surfaces from per-event update lists.
+
+    Args:
+      surface: f32 [C, H, W] surface at the window start.
+      pix_r, pix_c, dt: int32 [T, E] winner lists from
+        :func:`async_ev_cnn_tpu.ops.integrate.chunk_event_updates`.
+      d: f32 [T] per-chunk snapped leak decrements.
+      leak: leak rate per microsecond (static).
+
+    Returns:
+      f32 [T, C, H, W] surfaces after each chunk — bit-identical to
+      iterating ``integrate_step``.
+    """
+    c, h, w = surface.shape
+    t, e = pix_r.shape
+    p = c * h * w
+    rows = -(-p // LANES)
+    rows_pad = -(-rows // 16) * 16  # bf16 one-hot lhs wants 16-sublane tiles
+    pp = rows_pad * LANES
+    ep = -(-e // LANES) * LANES
+
+    s0 = jnp.pad(surface.reshape(-1), (0, pp - p)).reshape(rows_pad, LANES)
+    pr = jnp.pad(
+        pix_r.astype(jnp.int32), ((0, 0), (0, ep - e)), constant_values=-1
+    )
+    pc = jnp.pad(pix_c.astype(jnp.int32), ((0, 0), (0, ep - e)))
+    dtp = jnp.pad(dt.astype(jnp.int32), ((0, 0), (0, ep - e)))
+    d2 = d.astype(jnp.float32).reshape(t, 1)
+
+    kernel = functools.partial(
+        _scan_events_kernel, leak=float(leak), rows=rows_pad, ep=ep
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, ep), lambda ti: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ep), lambda ti: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ep), lambda ti: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda ti: (ti, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows_pad, LANES), lambda ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows_pad, LANES), lambda ti: (ti, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, rows_pad, LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows_pad, LANES), jnp.float32)],
+        # the scratch carries the recurrence: time iterates in order
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(pr, pc, dtp, d2, s0)
+    return out.reshape(t, pp)[:, :p].reshape(t, c, h, w)

@@ -77,6 +77,116 @@ def test_kernel_bit_exact_vs_sequential(rng, channels, shape):
     np.testing.assert_array_equal(np.asarray(got), ref)
 
 
+@pytest.mark.parametrize("channels", [1, 2])
+@pytest.mark.parametrize("shape", [(13, 17), (16, 16)])
+def test_events_kernel_bit_exact_vs_sequential(rng, channels, shape):
+    """The event-scatter kernel (one-hot MXU placement of per-event limb
+    payloads) against the sequential integrate_step chain — exact equality.
+    Unaligned shapes exercise pixel padding; E=12 exercises the event-axis
+    padding to a lane multiple; 2 channels the CHW flattening (polarity
+    routes each event into its channel plane)."""
+    from async_ev_cnn_tpu.ops.integrate import chunk_event_updates
+    from async_ev_cnn_tpu.ops.pallas_scan import surface_scan_events_pallas
+
+    h, w = shape
+    leak = 3e-3
+    chunks = _chunks(rng, 10, 12, h, w)
+    surface = jnp.asarray(
+        np.round(rng.rand(channels, h, w) * 2**20).astype(np.float32) / 2**20
+    )
+    prev_ts = jnp.int32(5)
+
+    ref = _sequential_surfaces(surface, prev_ts, chunks, leak)
+    pix_r, pix_c, dt, d, last_ts = chunk_event_updates(
+        channels, h, w, prev_ts, chunks, leak
+    )
+    got = surface_scan_events_pallas(
+        surface, pix_r, pix_c, dt, d, leak, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_events_kernel_duplicates_and_ts_ties(rng):
+    """In-chunk duplicate pixels: the reference's fancy-index += makes the
+    LAST occurrence win (integration.py:71) = max-(ts, index) event; equal
+    timestamps at the same pixel tie-break by position.  The XLA-side
+    dedup must hand the kernel exactly one winner per pixel — two winners
+    would double-add through the one-hot sums."""
+    h, w = 11, 9
+    leak = 2e-3
+    # every event in chunk 0 hits pixel (3, 4); ts ties included
+    y = np.full((2, 6), 3, np.int32)
+    x = np.full((2, 6), 4, np.int32)
+    ts = np.array([[7, 9, 9, 9, 8, 7], [12, 12, 15, 15, 15, 13]], np.int32)
+    chunks = EventChunk(
+        y=jnp.asarray(y), x=jnp.asarray(x), ts=jnp.asarray(ts),
+        p=jnp.zeros((2, 6), jnp.int32), valid=jnp.ones((2, 6), bool),
+    )
+    surface = jnp.asarray(
+        np.round(rng.rand(1, h, w) * 2**20).astype(np.float32) / 2**20
+    )
+    ref = _sequential_surfaces(surface, jnp.int32(0), chunks, leak)
+    from async_ev_cnn_tpu.ops.integrate import chunk_event_updates
+    from async_ev_cnn_tpu.ops.pallas_scan import surface_scan_events_pallas
+
+    pix_r, pix_c, dt, d, _ = chunk_event_updates(1, h, w, jnp.int32(0),
+                                                 chunks, leak)
+    # exactly one winner per chunk survives the dedup
+    np.testing.assert_array_equal((np.asarray(pix_r) >= 0).sum(axis=1), [1, 1])
+    got = surface_scan_events_pallas(
+        surface, pix_r, pix_c, dt, d, leak, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_events_kernel_large_dt_limbs(rng):
+    """dt >= 2^24 exercises limb 3 and the int32->f32 rounding, which must
+    match the ts-map path's identical conversion bit-for-bit."""
+    h, w = 8, 8
+    leak = 1e-9
+    t, e = 3, 4
+    # dt = last_ts[t] - ts is WITHIN-chunk: spread each chunk's events over
+    # a huge ts range so dt spans all four limbs (up to ~2^30)
+    spread = np.array([0, 255, 2**24 + 5, 2**31 - 20], np.int64)
+    base = np.array([0, 7, 13], np.int64)
+    ts = (base[:, None] + spread[None, :]).astype(np.int32)
+    y = rng.randint(0, h, (t, e)).astype(np.int32)
+    x = rng.randint(0, w, (t, e)).astype(np.int32)
+    chunks = EventChunk(
+        y=jnp.asarray(y), x=jnp.asarray(x), ts=jnp.asarray(ts),
+        p=jnp.zeros((t, e), jnp.int32), valid=jnp.ones((t, e), bool),
+    )
+    surface = jnp.asarray(
+        np.round(rng.rand(1, h, w) * 2**20).astype(np.float32) / 2**20
+    )
+    ref = _sequential_surfaces(surface, jnp.int32(0), chunks, leak)
+    from async_ev_cnn_tpu.ops.integrate import chunk_event_updates
+    from async_ev_cnn_tpu.ops.pallas_scan import surface_scan_events_pallas
+
+    pix_r, pix_c, dt, d, _ = chunk_event_updates(1, h, w, jnp.int32(0),
+                                                 chunks, leak)
+    assert int(np.asarray(dt).max()) >= 2**30  # limb 3 genuinely exercised
+    got = surface_scan_events_pallas(
+        surface, pix_r, pix_c, dt, d, leak, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_events_engine_matches_tsmap_engine(rng):
+    """The two Pallas engines are both bit-identical to the sequential
+    chain, hence to each other."""
+    h, w = 16, 24
+    leak = 1e-3
+    chunks = _chunks(rng, 12, 16, h, w)
+    surface = jnp.asarray(rng.rand(1, h, w).astype(np.float32))
+    s_e, lt_e = integrate_parallel(surface, jnp.int32(0), chunks, leak,
+                                   engine="pallas")
+    s_t, lt_t = integrate_parallel(surface, jnp.int32(0), chunks, leak,
+                                   engine="pallas_tsmap")
+    np.testing.assert_array_equal(np.asarray(s_e), np.asarray(s_t))
+    np.testing.assert_array_equal(np.asarray(lt_e), np.asarray(lt_t))
+
+
 def test_engine_pallas_vs_xla(rng):
     """The two integrate_parallel engines agree to the snap grid (the xla
     engine regroups the max-plus algebra; ~1 ulp)."""
@@ -116,8 +226,10 @@ def test_engine_pallas_under_vmap(rng):
 
 
 def test_engine_pallas_with_ts_window(rng):
-    """ts_window changes only the ts-map construction; the kernel consumes
-    it unchanged and must stay bit-exact vs the full compare."""
+    """ts_window changes only the ts-map construction of the ts-map engine;
+    the kernel consumes it unchanged and must stay bit-exact vs the full
+    compare.  (The event-scatter 'pallas' engine ignores ts_window — the
+    compare it optimizes does not exist there.)"""
     h, w = 16, 16
     leak = 1e-3
     t, e = 6, 8
@@ -131,9 +243,9 @@ def test_engine_pallas_with_ts_window(rng):
     )
     surface = jnp.asarray(rng.rand(1, h, w).astype(np.float32))
     s_w, _ = integrate_parallel(surface, jnp.int32(0), chunks, leak,
-                                ts_window=(8, 8), engine="pallas")
+                                ts_window=(8, 8), engine="pallas_tsmap")
     s_f, _ = integrate_parallel(surface, jnp.int32(0), chunks, leak,
-                                engine="pallas")
+                                engine="pallas_tsmap")
     np.testing.assert_array_equal(np.asarray(s_w), np.asarray(s_f))
 
 

@@ -1,0 +1,54 @@
+"""The compact wire format must round-trip exactly vs pack_chunks."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from async_ev_cnn_tpu.utils.runner import pack_chunks
+from async_ev_cnn_tpu.utils.wire import chunks_from_wire, pack_wire
+
+
+def _stream(rng, n, h=160, w=224):
+    y = rng.randint(0, h, n).astype(np.int32)
+    x = rng.randint(0, w, n).astype(np.int32)
+    ts = np.cumsum(rng.randint(1, 20, n)).astype(np.int32)
+    return np.stack([y, x, ts], axis=-1)
+
+
+def test_wire_roundtrip_matches_pack_chunks(rng):
+    for n in (0, 1, 255, 256, 1000):
+        events = _stream(rng, n)
+        ref = pack_chunks(events, 256)
+        yx, ts, counts = pack_wire(events, 256)
+        assert yx.nbytes + ts.nbytes + counts.nbytes <= max(n, 1) * 8 + 256 * 8 + 4
+        got = jax.jit(chunks_from_wire)(yx, ts, counts)
+        np.testing.assert_array_equal(np.asarray(got.y), np.asarray(ref.y))
+        np.testing.assert_array_equal(np.asarray(got.x), np.asarray(ref.x))
+        np.testing.assert_array_equal(np.asarray(got.ts), np.asarray(ref.ts))
+        np.testing.assert_array_equal(
+            np.asarray(got.valid), np.asarray(ref.valid)
+        )
+
+
+def test_wire_rejects_out_of_range(rng):
+    import pytest
+
+    events = np.array([[70000, 3, 10]], np.int64)
+    with pytest.raises(ValueError, match="2\\*\\*16"):
+        pack_wire(events, 8)
+
+
+def test_wire_batched_unpack(rng):
+    """Leading batch axes (stacked dispatches / streams) unpack unchanged."""
+    events = _stream(rng, 512)
+    yx, ts, counts = pack_wire(events, 256)
+    got = chunks_from_wire(
+        jnp.stack([yx, yx]), jnp.stack([ts, ts]), jnp.stack([counts, counts])
+    )
+    ref = pack_chunks(events, 256)
+    for i in range(2):
+        np.testing.assert_array_equal(np.asarray(got.y[i]), np.asarray(ref.y))
+        np.testing.assert_array_equal(
+            np.asarray(got.valid[i]), np.asarray(ref.valid)
+        )
