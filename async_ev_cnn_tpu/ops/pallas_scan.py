@@ -214,9 +214,12 @@ def _scan_events_kernel(pr_ref, pc_ref, dt_ref, d_ref, s0_ref, out_ref,
                         s_scr, *, leak, rows, ep):
     """One chunk of the recurrence with in-kernel event placement.
 
-    pr_ref/pc_ref/dt_ref: int32 [1, ep] — winner row/lane/dt lists
-      (row -1 = no event: its one-hot column is all-zero)
-    d_ref: f32 [1, 1] SMEM — this chunk's snapped leak decrement
+    pr_ref/pc_ref/dt_ref: int32 [1, 1, ep] — winner row/lane/dt lists
+      (row -1 = no event: its one-hot column is all-zero).  The unit
+      middle axis satisfies Mosaic's block-shape rule (the last two block
+      dims must divide (8, 128) or equal the array dims — a [1, ep] block
+      of a [T, ep] array does neither).
+    d_ref: f32 [1, 1, 1] SMEM — this chunk's snapped leak decrement
     s0_ref: f32 [rows, 128] initial surface
     out_ref: f32 [1, rows, 128] surface after this chunk
     s_scr: f32 [rows, 128] carry across chunks
@@ -228,9 +231,9 @@ def _scan_events_kernel(pr_ref, pc_ref, dt_ref, d_ref, s0_ref, out_ref,
     def _():
         s_scr[:] = s0_ref[:]
 
-    pr = pr_ref[:]  # [1, ep]
-    pc = pc_ref[:]
-    dt = dt_ref[:]
+    pr = pr_ref[0]  # [1, ep]
+    pc = pc_ref[0]
+    dt = dt_ref[0]
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, ep), 0)
     lhs = (row_iota == pr).astype(jnp.bfloat16)  # [rows, ep]
@@ -258,7 +261,7 @@ def _scan_events_kernel(pr_ref, pc_ref, dt_ref, d_ref, s0_ref, out_ref,
 
     # EXACT integrate_step arithmetic (ops/integrate.py): leak-subtract,
     # clamp, event-add, clamp — two sequential clamps, products snapped.
-    s1 = s_scr[:] - d_ref[0, 0]
+    s1 = s_scr[:] - d_ref[0, 0, 0]
     s1 = jnp.where(s1 <= zero, zero, s1)
     contrib = jnp.float32(1) - _snap(dt_px.astype(jnp.float32) * leak_f)
     s2 = s1 + jnp.where(pres, contrib, zero)
@@ -301,10 +304,10 @@ def surface_scan_events_pallas(
     s0 = jnp.pad(surface.reshape(-1), (0, pp - p)).reshape(rows_pad, LANES)
     pr = jnp.pad(
         pix_r.astype(jnp.int32), ((0, 0), (0, ep - e)), constant_values=-1
-    )
-    pc = jnp.pad(pix_c.astype(jnp.int32), ((0, 0), (0, ep - e)))
-    dtp = jnp.pad(dt.astype(jnp.int32), ((0, 0), (0, ep - e)))
-    d2 = d.astype(jnp.float32).reshape(t, 1)
+    ).reshape(t, 1, ep)
+    pc = jnp.pad(pix_c.astype(jnp.int32), ((0, 0), (0, ep - e))).reshape(t, 1, ep)
+    dtp = jnp.pad(dt.astype(jnp.int32), ((0, 0), (0, ep - e))).reshape(t, 1, ep)
+    d2 = d.astype(jnp.float32).reshape(t, 1, 1)
 
     kernel = functools.partial(
         _scan_events_kernel, leak=float(leak), rows=rows_pad, ep=ep
@@ -313,13 +316,13 @@ def surface_scan_events_pallas(
         kernel,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, ep), lambda ti: (ti, 0),
+            pl.BlockSpec((1, 1, ep), lambda ti: (ti, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ep), lambda ti: (ti, 0),
+            pl.BlockSpec((1, 1, ep), lambda ti: (ti, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ep), lambda ti: (ti, 0),
+            pl.BlockSpec((1, 1, ep), lambda ti: (ti, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda ti: (ti, 0),
+            pl.BlockSpec((1, 1, 1), lambda ti: (ti, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((rows_pad, LANES), lambda ti: (0, 0),
                          memory_space=pltpu.VMEM),
