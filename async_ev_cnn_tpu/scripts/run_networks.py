@@ -38,6 +38,20 @@ def main(argv=None):
     from async_ev_cnn_tpu.ops.conv import set_matmul_precision
 
     set_matmul_precision(args.matmul_precision)
+    layer_modes = set(getattr(args.yolo_cnn_layers, "modes", {}).values())
+    incremental = {args.mode, *layer_modes} - {"full", "auto"}
+    if args.matmul_precision == "default" and incremental:
+        import sys
+
+        print(
+            "WARNING: --matmul_precision default with incremental conv "
+            f"mode(s) {sorted(incremental)}: the async-vs-dense gate drifts "
+            "past 1e-4 at bf16 over 10k steps (on-chip drift experiment, "
+            "docs/performance.md) — use 'high' or 'highest' with "
+            "incremental modes.  'full'/'auto' hold the gate exactly at "
+            "every tier.",
+            file=sys.stderr,
+        )
 
     reader = detection_reader.factory(args.input_data_dir, file_format=args.file_format)
 

@@ -427,3 +427,22 @@ def test_equivalence_lower_matmul_precision(rng, precision):
         assert float(jnp.max(jnp.abs(outs_seq - outs_par))) <= TOL
     finally:
         set_matmul_precision("highest")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("precision", ["high", "default"])
+def test_equivalence_precision_full_10k(rng, precision):
+    """The reference's full 10k horizon at the demoted tiers, 'full' mode —
+    the headline execution path's contract (the round-4 on-chip experiment
+    in examples/tpu_precision_drift.py measured 0.0 at every tier in this
+    mode; this slow gate pins the code path on the CPU backend, where the
+    demoted settings lower to f32)."""
+    from async_ev_cnn_tpu.ops.conv import set_matmul_precision
+
+    set_matmul_precision(precision)
+    try:
+        net, params = reference_test_net(conv_mode="full")
+        chunks = make_stream(rng, steps=10_000, events_per_step=5, h=8, w=8)
+        _check(run_equivalence(net, params, chunks))
+    finally:
+        set_matmul_precision("highest")
