@@ -49,6 +49,65 @@ def pack_wire(events: np.ndarray, capacity: int):
     return yx.reshape(t, capacity), tsp.reshape(t, capacity), counts
 
 
+def pack_wire_compact(events: np.ndarray, capacity: int):
+    """4 bytes/event wire: uint16 ``(y << 8) | x`` + uint16 ts deltas
+    against a per-chunk int32 base.
+
+    Applicable when every coordinate fits 8 bits (frames < 256 on each
+    axis — the eFCN's 160x224 does) and every chunk's timestamp span fits
+    16 bits (spans < 65.5 ms; count-packed DVS chunks are typically a few
+    ms).  Returns ``(yx u16 [T, E], dts u16 [T, E], base i32 [T],
+    counts i32 [T])`` or ``None`` when the stream does not fit — callers
+    fall back to :func:`pack_wire` (8 B/event).  Exact: the device
+    reconstructs ``ts = base + dts`` in int32.
+    """
+    n = events.shape[0]
+    t = max(1, -(-n // capacity))
+    pad = t * capacity - n
+    y = np.asarray(events[:, 0], np.int64)
+    x = np.asarray(events[:, 1], np.int64)
+    ts = np.asarray(events[:, 2], np.int64)
+    if n == 0:
+        return (np.zeros((1, capacity), np.uint16),
+                np.zeros((1, capacity), np.uint16),
+                np.zeros(1, np.int32), np.zeros(1, np.int32))
+    if y.min() < 0 or x.min() < 0 or y.max() >= 256 or x.max() >= 256:
+        return None
+    tsp = np.concatenate([ts, np.full(pad, ts[-1])]).reshape(t, capacity)
+    base = tsp.min(axis=1)
+    dts = tsp - base[:, None]
+    if dts.max() >= 2**16:
+        return None
+    yxp = np.concatenate(
+        [(y << 8) | x, np.zeros(pad, np.int64)]
+    ).reshape(t, capacity)
+    counts = np.full(t, capacity, np.int32)
+    counts[-1] = capacity - pad
+    return (yxp.astype(np.uint16), dts.astype(np.uint16),
+            base.astype(np.int32), counts)
+
+
+def chunks_from_wire_compact(yx, dts, base, counts):
+    """Expand the compact wire quadruple into an EventChunk — inside jit."""
+    import jax
+    import jax.numpy as jnp
+
+    from async_ev_cnn_tpu.layers.types import EventChunk
+
+    yx = jnp.asarray(yx).astype(jnp.int32)
+    valid = jax.lax.broadcasted_iota(jnp.int32, yx.shape, yx.ndim - 1) < (
+        jnp.asarray(counts, jnp.int32)[..., None]
+    )
+    return EventChunk(
+        y=yx >> 8,
+        x=yx & 0xFF,
+        ts=jnp.asarray(base, jnp.int32)[..., None]
+        + jnp.asarray(dts).astype(jnp.int32),
+        p=jnp.zeros_like(yx),
+        valid=valid,
+    )
+
+
 def chunks_from_wire(yx, ts, counts):
     """Expand the wire triple into an :class:`EventChunk` — inside jit."""
     import jax

@@ -372,7 +372,12 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
     import jax.numpy as jnp
 
     from async_ev_cnn_tpu.data.file_reader import NReader
-    from async_ev_cnn_tpu.utils.wire import chunks_from_wire, pack_wire
+    from async_ev_cnn_tpu.utils.wire import (
+        chunks_from_wire,
+        chunks_from_wire_compact,
+        pack_wire,
+        pack_wire_compact,
+    )
 
     events_per_file = chunks_per_dispatch * CAPACITY
     rng = np.random.RandomState(7)
@@ -388,9 +393,21 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
                                 ev[:, 2], np.zeros(len(ev), np.int32))
             paths.append(path)
 
-        def decode_pack(path):
+        # wire format chosen once from the first file: 4 B/event compact
+        # (fits when coords < 256 and chunk ts spans < 2^16 — the link is
+        # this pipe's scarce resource) else the general 8 B/event wire
+        def decode(path):
             _, x, y, ts, _ = reader.read_example(path)
-            ev = np.stack([y % H, x % W, ts], axis=-1)
+            return np.stack([y % H, x % W, ts], axis=-1)
+
+        use_compact = pack_wire_compact(decode(paths[0]), CAPACITY) is not None
+
+        def decode_pack(path):
+            ev = decode(path)
+            if use_compact:
+                wire = pack_wire_compact(ev, CAPACITY)
+                if wire is not None:
+                    return wire
             return pack_wire(ev, CAPACITY)
 
         # host-only stage rate (decode + pack, one pass)
@@ -404,8 +421,9 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
         state = net.init_state(jparams)
 
         @jax.jit
-        def dispatch(st, acc, yx, ts, counts):
-            chunks = chunks_from_wire(yx, ts, counts)
+        def dispatch(st, acc, *wire):
+            unpack = chunks_from_wire_compact if len(wire) == 4 else chunks_from_wire
+            chunks = unpack(*wire)
             st2, outs = net.scan_parallel(jparams, st, chunks,
                                           window=T_PARALLEL)
             return st2, acc + jnp.mean(outs)
@@ -429,18 +447,18 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
         th.start()
         try:
             # warm compile outside the timed window
-            yx, ts, counts = q.get()
+            wire = q.get()
             acc = jnp.float32(0)
-            state, acc = dispatch(state, acc, yx, ts, counts)
+            state, acc = dispatch(state, acc, *wire)
             float(acc)  # sync
 
             n_dispatches = 0
             t0 = time.time()
             wire_bytes = 0
             while time.time() - t0 < seconds:
-                yx, ts, counts = q.get()
-                state, acc = dispatch(state, acc, yx, ts, counts)
-                wire_bytes += yx.nbytes + ts.nbytes + counts.nbytes
+                wire = q.get()
+                state, acc = dispatch(state, acc, *wire)
+                wire_bytes += sum(a.nbytes for a in wire)
                 n_dispatches += 1
             float(acc)  # the single end-of-run sync
             dt = time.time() - t0

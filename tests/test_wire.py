@@ -39,6 +39,42 @@ def test_wire_rejects_out_of_range(rng):
         pack_wire(events, 8)
 
 
+def test_wire_compact_roundtrip(rng):
+    from async_ev_cnn_tpu.utils.wire import (
+        chunks_from_wire_compact,
+        pack_wire_compact,
+    )
+
+    for n in (0, 1, 255, 256, 1000):
+        events = _stream(rng, n)  # 160x224: coords fit 8 bits, deltas small
+        ref = pack_chunks(events, 256)
+        wire = pack_wire_compact(events, 256)
+        assert wire is not None
+        yx, dts, base, counts = wire
+        assert yx.nbytes + dts.nbytes <= max(n, 1) * 4 + 256 * 4
+        got = jax.jit(chunks_from_wire_compact)(yx, dts, base, counts)
+        valid = np.asarray(ref.valid)
+        np.testing.assert_array_equal(np.asarray(got.valid), valid)
+        for a, b in ((got.y, ref.y), (got.x, ref.x), (got.ts, ref.ts)):
+            # padded slots carry a repeated ts (keeps the delta span tight)
+            # and are masked invalid — compare the valid slots
+            np.testing.assert_array_equal(
+                np.asarray(a)[valid], np.asarray(b)[valid]
+            )
+
+
+def test_wire_compact_fallback(rng):
+    """Streams that don't fit the compact format return None (callers fall
+    back to the 8 B/event wire): coords >= 256 or chunk ts spans >= 2^16."""
+    from async_ev_cnn_tpu.utils.wire import pack_wire_compact
+
+    big_coords = _stream(rng, 100, h=300, w=224)
+    assert pack_wire_compact(big_coords, 64) is None
+    wide_span = _stream(rng, 100)
+    wide_span[:, 2] = np.arange(100) * 3000  # 300k µs span per 64-chunk
+    assert pack_wire_compact(wide_span, 64) is None
+
+
 def test_wire_batched_unpack(rng):
     """Leading batch axes (stacked dispatches / streams) unpack unchanged."""
     events = _stream(rng, 512)
