@@ -346,8 +346,9 @@ def bench_tpu_serving_saturation(params, layer_defs, events,
 def bench_sustained_pipeline(params, layer_defs, seconds=25,
                              files=24, chunks_per_dispatch=1000):
     """Sustained FILE -> network pipeline: on-disk N-data tree -> native
-    decode -> vectorized packing -> compact wire upload (utils/wire.py,
-    8 B/event) -> parallel-in-time network, for >= ``seconds`` of wall
+    decode -> vectorized packing -> wire upload (utils/wire.py, 4 B/event
+    compact with 8 B fallback) -> parallel-in-time network, for >=
+    ``seconds`` of wall
     time.  The reference's flagship loop is file->network in one process
     (/root/reference/src/libs/runner.py:49-103); the round-3 verdict
     flagged that ingest (56M ev/s native) and device serving (~4-5M ev/s)
@@ -360,9 +361,11 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
     wire_mbps, dispatches)`` where ``host_events_per_sec`` is the
     decode+pack stage alone (same thread count, no device).
 
-    On this tunneled dev chip the link (~30 MB/s) bounds the pipe at
-    ~8 B/event; the number is still honest end-to-end — on a co-located
-    deployment (PCIe ~10 GB/s) the same pipe is compute-bound.
+    On this tunneled dev chip the link (~30-40 MB/s) is the binding
+    stage (measured: host 51M ev/s, device ~7.5M, 8 B-wire pipe 4.8M);
+    the compact wire doubles the link-bound ceiling.  The number is
+    honest end-to-end — on a co-located deployment (PCIe ~10 GB/s) the
+    same pipe is compute-bound.
     """
     import queue as queue_mod
     import tempfile
