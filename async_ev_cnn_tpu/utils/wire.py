@@ -64,22 +64,25 @@ def pack_wire_compact(events: np.ndarray, capacity: int):
     n = events.shape[0]
     t = max(1, -(-n // capacity))
     pad = t * capacity - n
-    y = np.asarray(events[:, 0], np.int64)
-    x = np.asarray(events[:, 1], np.int64)
-    ts = np.asarray(events[:, 2], np.int64)
+    y = np.asarray(events[:, 0], np.int32)
+    x = np.asarray(events[:, 1], np.int32)
+    ts = np.asarray(events[:, 2], np.int32)
     if n == 0:
         return (np.zeros((1, capacity), np.uint16),
                 np.zeros((1, capacity), np.uint16),
                 np.zeros(1, np.int32), np.zeros(1, np.int32))
     if y.min() < 0 or x.min() < 0 or y.max() >= 256 or x.max() >= 256:
         return None
-    tsp = np.concatenate([ts, np.full(pad, ts[-1])]).reshape(t, capacity)
+    tsp = np.concatenate([ts, np.full(pad, ts[-1], np.int32)]).reshape(
+        t, capacity)
     base = tsp.min(axis=1)
-    dts = tsp - base[:, None]
+    # int64 diff: an int32 subtraction could wrap for adversarial spans
+    # (> 2**31) and sneak past the gate below
+    dts = tsp.astype(np.int64) - base[:, None]
     if dts.max() >= 2**16:
         return None
     yxp = np.concatenate(
-        [(y << 8) | x, np.zeros(pad, np.int64)]
+        [(y << 8) | x, np.zeros(pad, np.int32)]
     ).reshape(t, capacity)
     counts = np.full(t, capacity, np.int32)
     counts[-1] = capacity - pad

@@ -344,7 +344,9 @@ def bench_tpu_serving_saturation(params, layer_defs, events,
 
 
 def bench_sustained_pipeline(params, layer_defs, seconds=25,
-                             files=24, chunks_per_dispatch=1000):
+                             files=24, chunks_per_dispatch=1000,
+                             force_wire=None, max_in_flight=8,
+                             streams=1):
     """Sustained FILE -> network pipeline: on-disk N-data tree -> native
     decode -> vectorized packing -> wire upload (utils/wire.py, 4 B/event
     compact with 8 B fallback) -> parallel-in-time network, for >=
@@ -366,6 +368,12 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
     the compact wire doubles the link-bound ceiling.  The number is
     honest end-to-end — on a co-located deployment (PCIe ~10 GB/s) the
     same pipe is compute-bound.
+
+    ``streams > 1`` runs the multi-camera serving shape: each dispatch
+    stacks ``streams`` per-file wires on a leading axis and vmaps the
+    network over per-stream state (device throughput saturates with
+    streams — the serving sweep — while the wire cost grows linearly,
+    so pick ``chunks_per_dispatch`` so streams*chunks stays ~1-2k).
     """
     import queue as queue_mod
     import tempfile
@@ -403,7 +411,12 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
             _, x, y, ts, _ = reader.read_example(path)
             return np.stack([y % H, x % W, ts], axis=-1)
 
-        use_compact = pack_wire_compact(decode(paths[0]), CAPACITY) is not None
+        if force_wire is None:
+            use_compact = (
+                pack_wire_compact(decode(paths[0]), CAPACITY) is not None
+            )
+        else:
+            use_compact = force_wire == "compact"
 
         def decode_pack(path):
             ev = decode(path)
@@ -422,23 +435,37 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
         net = _net(layer_defs, "full")
         jparams = {k: jnp.asarray(v) for k, v in params.items()}
         state = net.init_state(jparams)
+        if streams > 1:
+            # S independent streams share one dispatch (the serving shape):
+            # wire arrays gain a leading [S] axis, the network vmaps over
+            # per-stream state.  Each stream still consumes its own file
+            # sequence, so this is the sustained multi-camera pipe.
+            state = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (streams, *a.shape)), state
+            )
 
         @jax.jit
         def dispatch(st, acc, *wire):
             unpack = chunks_from_wire_compact if len(wire) == 4 else chunks_from_wire
             chunks = unpack(*wire)
-            st2, outs = net.scan_parallel(jparams, st, chunks,
-                                          window=T_PARALLEL)
+            if streams > 1:
+                st2, outs = jax.vmap(
+                    lambda s, c: net.scan_parallel(jparams, s, c,
+                                                   window=T_PARALLEL)
+                )(st, chunks)
+            else:
+                st2, outs = net.scan_parallel(jparams, st, chunks,
+                                              window=T_PARALLEL)
             return st2, acc + jnp.mean(outs)
 
-        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=3)
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(3, streams + 2))
         stop = threading.Event()
 
-        def producer():
-            i = 0
+        def producer(offset, stride):
+            i = offset
             while not stop.is_set():
                 item = decode_pack(paths[i % files])
-                i += 1
+                i += stride
                 while not stop.is_set():
                     try:
                         q.put(item, timeout=0.1)
@@ -446,28 +473,63 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
                     except queue_mod.Full:
                         continue
 
-        th = threading.Thread(target=producer, daemon=True)
-        th.start()
+        # two decode+pack threads: the compact packer runs ~11M ev/s per
+        # thread — one thread leaves no headroom over a ~7M ev/s pipe
+        n_producers = 2
+        for k in range(n_producers):
+            threading.Thread(target=producer, args=(k, n_producers),
+                             daemon=True).start()
+
+        def get_wire():
+            if streams == 1:
+                return q.get()
+            return tuple(np.stack(parts)
+                         for parts in zip(*(q.get() for _ in range(streams))))
+
         try:
             # warm compile outside the timed window
-            wire = q.get()
+            wire = get_wire()
             acc = jnp.float32(0)
             state, acc = dispatch(state, acc, *wire)
             float(acc)  # sync
 
+            from collections import deque
+
             n_dispatches = 0
             t0 = time.time()
             wire_bytes = 0
+            # Bounded in-flight dispatches: acc chains through every
+            # dispatch, so fetching the acc from k dispatches ago waits
+            # until that dispatch retired.  Without any bound a fast
+            # link enqueues an unbounded device backlog — every pending
+            # dispatch pins its input buffers in HBM — and the end-of-
+            # run drain dominates wall time (measured 2026-08-17: the
+            # 4 B wire DROPPED the pipe 4.8 -> 2.5M ev/s from exactly
+            # this before backpressure existed).  Watermark drain with
+            # ONE fetch per half-window: a single device executes
+            # programs in enqueue order, so fetching the newest popped
+            # acc proves every older dispatch retired — one ~30 ms
+            # tunnel RTT amortized over ``max_in_flight/2`` dispatches
+            # (fetching each popped acc, or one per dispatch, would
+            # serialize the pipe on the RTT: measured 2.3-3.0M ev/s vs
+            # 4.8M).
+            in_flight: "deque" = deque()
             while time.time() - t0 < seconds:
-                wire = q.get()
+                wire = get_wire()
                 state, acc = dispatch(state, acc, *wire)
+                in_flight.append(acc)
+                if len(in_flight) > max_in_flight:
+                    newest_done = None
+                    while len(in_flight) > max_in_flight // 2:
+                        newest_done = in_flight.popleft()
+                    float(newest_done)
                 wire_bytes += sum(a.nbytes for a in wire)
                 n_dispatches += 1
-            float(acc)  # the single end-of-run sync
+            float(acc)  # drain the tail of the chain
             dt = time.time() - t0
         finally:
             stop.set()
-    n_events = n_dispatches * events_per_file
+    n_events = n_dispatches * streams * events_per_file
     return n_events / dt, host_eps, wire_bytes / dt / 1e6, n_dispatches
 
 

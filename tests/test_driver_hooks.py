@@ -56,6 +56,25 @@ def test_bench_functions_smoke(bench_mod):
     assert async_eps > 0
 
 
+@pytest.mark.parametrize("streams", [1, 2])
+@pytest.mark.parametrize("wire", ["compact", "plain"])
+def test_bench_sustained_pipeline_smoke(bench_mod, monkeypatch, streams, wire):
+    """The sustained file->device pipeline must run end-to-end at toy
+    scale on CPU, for both wire formats and both the single-stream and
+    the vmapped multi-stream (serving-shape) dispatch."""
+    from async_ev_cnn_tpu.utils.config import layers_dict
+
+    monkeypatch.setattr(bench_mod, "T_PARALLEL", 4)
+    layer_defs = layers_dict(bench_mod.EFCN_DSL)
+    rng = np.random.RandomState(0)
+    params = bench_mod.make_params(layer_defs, rng)
+    eps, host_eps, mbps, n = bench_mod.bench_sustained_pipeline(
+        params, layer_defs, seconds=1, files=3, chunks_per_dispatch=4,
+        force_wire=wire, max_in_flight=4, streams=streams,
+    )
+    assert eps > 0 and host_eps > 0 and mbps > 0 and n >= 1
+
+
 def test_graft_entry_single_chip():
     import jax
 
