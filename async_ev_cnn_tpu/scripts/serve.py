@@ -1,0 +1,209 @@
+"""Continuous serving CLI: stream a dataset through the
+:class:`~async_ev_cnn_tpu.utils.serving.StreamingPipeline` engine.
+
+    python -m async_ev_cnn_tpu.scripts.serve -c configs/efcn_event.yml \
+        --mode full --num_streams 4 --serve_chunks 64 --out dets.jsonl
+
+Where ``run_networks`` evaluates per example (state reset between
+examples, one dispatch per micro-batch or per example), ``serve`` is the
+deployment loop: the test split becomes ``--num_streams`` endless camera
+feeds — examples concatenate onto each stream with timestamps rebased
+monotone, network state flows across file boundaries, and every
+dispatch carries exactly ``--serve_chunks`` chunks per stream (short
+tails padded with exact no-op chunks), so one compiled program serves
+the whole run.  Events cross the host->device link on the compact
+4 B/event wire when they fit.  The reference's closest shape is the
+``Runner`` loop (/root/reference/src/libs/runner.py:49-103); it has no
+transfer or dispatch cost to hide, so the chaining/backpressure
+machinery here has no analog there.
+
+``--out`` decodes the YOLO head ON DEVICE (only small box tensors cross
+the link back) and writes host-NMS'd detections as JSON lines; without
+it nothing is fetched per dispatch and the loop runs at full pipe rate.
+Prints one JSON stats line either way.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+
+import numpy as np
+
+from async_ev_cnn_tpu.data import detection_reader
+from async_ev_cnn_tpu.models import YoloEventJax
+from async_ev_cnn_tpu.utils.config import config
+from async_ev_cnn_tpu.utils.transforms import data_transform
+
+_INT32_TS_CEIL = np.iinfo(np.int32).max - 2**24
+
+
+def _stream_items(reader, args, pipe, streams, capacity, t_chunks):
+    """Yield packed wire items, ``streams`` consecutive per dispatch
+    round (one per stream slot), until the test split is exhausted
+    (ragged tails are flushed as padded final items)."""
+    bufs = [np.zeros((0, 3), np.int64) for _ in range(streams)]
+    toffs = [0] * streams
+    pulls, total = 0, reader.test_size()
+    need = t_chunks * capacity
+
+    def refill(s):
+        nonlocal pulls
+        while bufs[s].shape[0] < need and pulls < total:
+            _, ev = reader.next_batch(
+                1, dataset="test",
+                preprocessing_fn=partial(data_transform, args=args),
+                concat_features=False, threads=args.reader_threads,
+            )
+            pulls += 1
+            if ev.shape[0] == 0:
+                continue
+            ev = ev[:, :3].astype(np.int64)
+            ev[:, 2] += toffs[s]
+            toffs[s] = int(ev[-1, 2]) + 1
+            if toffs[s] > _INT32_TS_CEIL:
+                raise SystemExit(
+                    "stream time exceeded the int32 microsecond range "
+                    "(~35.8 min); split the run (the surface state's "
+                    "prev_ts is int32 — the same contract data_transform "
+                    "enforces per example)"
+                )
+            bufs[s] = np.concatenate([bufs[s], ev])
+
+    while True:
+        for s in range(streams):
+            refill(s)
+        if all(b.shape[0] == 0 for b in bufs):
+            return
+        for s in range(streams):
+            take, bufs[s] = bufs[s][:need], bufs[s][need:]
+            yield pipe.pack(take, t_chunks=t_chunks)
+
+
+def _write_detections(fh, res, args, num_classes, dispatch_idx, streams):
+    """Host NMS + JSONL for one retired dispatch's decoded boxes."""
+    from async_ev_cnn_tpu.utils.nms import nms
+
+    boxes, scores, probs = (np.asarray(a) for a in res.outputs)
+    # leading axes: [T, ...] or [S, T, ...]
+    if streams == 1:
+        boxes, scores, probs = boxes[None], scores[None], probs[None]
+    n_written = 0
+    for s in range(boxes.shape[0]):
+        for t in range(boxes.shape[1]):
+            conf = probs[s, t].max(axis=-1)
+            cls = probs[s, t].argmax(axis=-1)
+            keepable = conf >= args.conf_threshold
+            if not keepable.any():
+                continue
+            keep = nms(boxes[s, t], conf, valid=keepable, iou_threshold=0.5)
+            for k in keep:
+                fh.write(json.dumps({
+                    "dispatch": dispatch_idx, "stream": s, "chunk": t,
+                    "bbox_xywh": [round(float(v), 2) for v in boxes[s, t, k]],
+                    "score": round(float(conf[k]), 4),
+                    "class": int(cls[k]),
+                }) + "\n")
+                n_written += 1
+    return n_written
+
+
+def main(argv=None):
+    args = config(argv)
+
+    from async_ev_cnn_tpu.ops.conv import set_matmul_precision
+    from async_ev_cnn_tpu.utils.serving import (
+        StreamingPipeline,
+        threaded_source,
+    )
+
+    set_matmul_precision(args.matmul_precision)
+    if args.network not in ("YoloEventJax", "YoloEventNumpy"):
+        raise SystemExit("serve drives the event network (YoloEventJax)")
+    if getattr(args, "keep_polarity", False):
+        raise SystemExit(
+            "serve's wire format carries (y, x, ts) only; polarity "
+            "surfaces need run_networks"
+        )
+
+    reader = detection_reader.factory(args.input_data_dir,
+                                      file_format=args.file_format)
+    model = YoloEventJax(
+        h_frame=args.frame_h, w_frame=args.frame_w,
+        num_classes=reader.num_classes(), cnn_layers=args.yolo_cnn_layers,
+        cnn_padding=args.yolo_cnn_padding, h_cells=args.yolo_num_cells_h,
+        w_cells=args.yolo_num_cells_w, num_bbox=args.yolo_num_bbox,
+        alpha=0.1, leak=args.leak, checkpoint=args.restore_net,
+        conv_mode=args.mode, stem_fusion=args.stem_fusion,
+    )
+    if not model.net.is_all_full:
+        raise SystemExit(
+            "serve requires conv_mode 'full'/'auto' for every layer "
+            "(the parallel-in-time dispatch; incremental per-chunk modes "
+            "cannot be time-batched)"
+        )
+
+    capacity = max(int(args.batch_event_size), 1)
+    streams = max(int(args.num_streams), 1)
+    t_chunks = int(args.serve_chunks)
+    num_classes = reader.num_classes()
+
+    post = None
+    if args.out:
+        import jax
+
+        from async_ev_cnn_tpu.models import head
+
+        def post(outs):
+            lead = outs.shape[:-3]
+            flat = outs.reshape((-1,) + outs.shape[-3:])
+            b, sc, pr = jax.vmap(
+                lambda g: head.decode(g, num_classes, args.yolo_num_bbox,
+                                      args.frame_h, args.frame_w)
+            )(flat)
+            return (b.reshape(lead + b.shape[1:]),
+                    sc.reshape(lead + sc.shape[1:]),
+                    pr.reshape(lead + pr.shape[1:]))
+
+    pipe = StreamingPipeline(model.net, model.params, capacity=capacity,
+                             streams=streams, postprocess=post)
+    src = threaded_source(
+        lambda: _stream_items(reader, args, pipe, streams, capacity,
+                              t_chunks),
+        depth=max(4, streams + 2), threads=1,
+    )
+
+    fh = open(args.out, "w") if args.out else None
+    n_events = n_dispatches = n_det = 0
+    t0 = time.time()
+    try:
+        for res in pipe.serve(src):
+            n_events += res.n_events
+            if fh is not None:
+                n_det += _write_detections(fh, res, args, num_classes,
+                                           n_dispatches, streams)
+            n_dispatches += 1
+            if (args.serve_max_dispatches is not None
+                    and n_dispatches >= args.serve_max_dispatches):
+                break
+    finally:
+        if fh is not None:
+            fh.close()
+    dt = time.time() - t0
+
+    stats = {
+        "dispatches": n_dispatches,
+        "streams": streams,
+        "chunks_per_dispatch": t_chunks,
+        "events": n_events,
+        "seconds": round(dt, 3),
+        "events_per_sec": round(n_events / max(dt, 1e-9), 1),
+        "detections_written": n_det if fh is not None else None,
+    }
+    print(json.dumps(stats))
+    return stats
+
+
+if __name__ == "__main__":
+    main()

@@ -141,6 +141,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "conv+pool pairs as one space-to-depth conv "
                         "(ops/stem.py) — measured neutral at eFCN scale, "
                         "an opt-in for larger frames.")
+    p.add_argument("--serve_chunks", type=int, default=64,
+                   help="serve CLI: chunks per stream per dispatch (every "
+                        "dispatch keeps this static shape; short items are "
+                        "padded with exact no-op chunks).")
+    p.add_argument("--serve_max_dispatches", type=int, default=None,
+                   help="serve CLI: stop after this many dispatches "
+                        "(default: one pass over the test split).")
+    p.add_argument("--out", type=str, default=None,
+                   help="serve CLI: write decoded detections (host NMS) "
+                        "as JSON lines to this path.")
+    p.add_argument("--conf_threshold", type=float, default=0.2,
+                   help="serve CLI: detection confidence threshold for "
+                        "--out.")
     p.add_argument("--matmul_precision", type=str, default="highest",
                    help="MXU precision for convs/GEMMs: 'highest' (full f32, "
                         "the parity default), 'high', or 'default' (bf16 "

@@ -127,31 +127,63 @@ class StreamingPipeline:
 
         self._dispatch = _dispatch
 
+        #: cumulative serve() counters: dispatches enqueued, wire bytes
+        #: shipped, valid events consumed
+        self.stats = {"dispatches": 0, "wire_bytes": 0, "events": 0}
+
     @property
     def state(self):
         """Current per-stream network state (mid-stream serving state —
         checkpointable via utils/checkpoint like any pytree)."""
         return self._state
 
-    def _pack(self, events: np.ndarray):
+    def pack(self, events: np.ndarray, t_chunks: int | None = None):
+        """Pack a host ``[N, >=3]`` event array into this pipeline's wire
+        tuple.  Public so producer threads can pre-pack (the host stage
+        overlaps the device pipe — see :func:`threaded_source`); sources
+        may yield either raw event arrays or tuples from this method.
+
+        ``t_chunks`` pads the packed wire to exactly that many chunks
+        with zero-count (all-invalid) chunks — exact no-op steps for
+        every layer — so every dispatch keeps one static shape and the
+        jitted program never recompiles (raises if the events need more
+        chunks than ``t_chunks``)."""
         from async_ev_cnn_tpu.utils.wire import pack_wire, pack_wire_compact
 
+        w = None
         if self._wire in ("auto", "compact"):
             w = pack_wire_compact(events, self._capacity)
-            if w is not None:
-                return w
-            if self._wire == "compact":
+            if w is None and self._wire == "compact":
                 raise ValueError(
                     "stream does not fit the compact wire (coords >= 256 "
                     "or chunk ts span >= 2**16 us); use wire='auto'"
                 )
-        return pack_wire(events, self._capacity)
+        if w is None:
+            w = pack_wire(events, self._capacity)
+        if t_chunks is not None:
+            t0 = w[0].shape[0]
+            if t0 > t_chunks:
+                raise ValueError(
+                    f"{t0} chunks of {self._capacity} events exceed "
+                    f"t_chunks={t_chunks}; feed fewer events per item"
+                )
+            if t0 < t_chunks:
+                w = tuple(
+                    np.concatenate(
+                        [a, np.zeros((t_chunks - t0, *a.shape[1:]), a.dtype)]
+                    )
+                    for a in w
+                )
+        return w
 
-    def serve(self, source: Iterable[np.ndarray]) -> Iterator[DispatchResult]:
-        """Drive the pipeline over ``source`` (an iterable of host
-        ``[N, >=3]`` (y, x, ts, ...) event arrays; with ``streams > 1``
-        every ``streams`` consecutive items form one dispatch and a
-        ragged tail is dropped).  Yields one in-order
+    def serve(self, source: Iterable) -> Iterator[DispatchResult]:
+        """Drive the pipeline over ``source`` — an iterable of host
+        ``[N, >=3]`` (y, x, ts, ...) event arrays, or of wire tuples
+        from :meth:`pack` (pre-packed in producer threads; a
+        multi-stream source must then pack consistently, since raw
+        events are no longer available for a fallback re-pack).  With
+        ``streams > 1`` every ``streams`` consecutive items form one
+        dispatch and a ragged tail is dropped.  Yields one in-order
         :class:`DispatchResult` per dispatch, each only after its
         retirement on device is proven.  The network state persists
         across calls (stop/resume mid-stream)."""
@@ -185,10 +217,18 @@ class StreamingPipeline:
                         break
                 if len(group) < self._streams:
                     break  # ragged tail dropped (documented)
-            wires = [self._pack(np.asarray(ev)) for ev in group]
+            prepacked = [isinstance(ev, tuple) for ev in group]
+            wires = [ev if pre else self.pack(np.asarray(ev))
+                     for ev, pre in zip(group, prepacked)]
             if len({len(w) for w in wires}) > 1:
                 # mixed compact/plain within one dispatch cannot stack;
                 # re-pack the whole group on the 8 B wire
+                if any(prepacked):
+                    raise ValueError(
+                        "mixed wire arity in a pre-packed multi-stream "
+                        "group; pre-packed sources must pack consistently "
+                        "(e.g. wire='plain')"
+                    )
                 from async_ev_cnn_tpu.utils.wire import pack_wire
 
                 wires = [pack_wire(np.asarray(ev), self._capacity)
@@ -204,7 +244,11 @@ class StreamingPipeline:
                 wire = wires[0]
             else:
                 wire = tuple(np.stack(parts) for parts in zip(*wires))
-            n = sum(len(ev) for ev in group)
+            # the counts plane is the last wire array in both formats
+            n = sum(int(w[-1].sum()) for w in wires)
+            self.stats["dispatches"] += 1
+            self.stats["wire_bytes"] += sum(a.nbytes for a in wire)
+            self.stats["events"] += n
             self._state, outs, chk = self._dispatch(self._state, *wire)
             in_flight.append((outs, n, chk))
             if len(in_flight) > self._max_in_flight:
@@ -212,14 +256,17 @@ class StreamingPipeline:
         yield from release(0)
 
 
-def threaded_source(make_items, depth=4, threads=2) -> Iterator[np.ndarray]:
+def threaded_source(make_items, fn=None, depth=4,
+                    threads=2) -> Iterator[np.ndarray]:
     """Pull items from ``make_items`` (a callable returning a fresh
-    iterable, e.g. ``lambda: (decode(p) for p in paths)``) through
-    ``threads`` background workers with a bounded queue — the decode+pack
-    host stage overlaps the device pipe (Prefetcher-style, but for plain
-    iterables).  Workers stride the item sequence so ordering within a
-    stride is preserved; across workers it is approximate, which is fine
-    for independent files."""
+    iterable of cheap descriptors, e.g. ``lambda: iter(paths)``) through
+    ``threads`` background workers with a bounded queue, applying ``fn``
+    (the expensive per-item transform, e.g. decode+:meth:`pack`) INSIDE
+    the workers — the host stage overlaps the device pipe
+    (Prefetcher-style, but for plain iterables).  Workers stride the
+    descriptor sequence so the transform runs once per item; ordering
+    within a stride is preserved, across workers it is approximate,
+    which is fine for independent files."""
     import itertools
     import queue as queue_mod
     import threading
@@ -227,13 +274,15 @@ def threaded_source(make_items, depth=4, threads=2) -> Iterator[np.ndarray]:
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
     stop = threading.Event()
     n_live = threading.Semaphore(0)
+    fn = fn if fn is not None else (lambda x: x)
 
     def work(offset):
         try:
             for item in itertools.islice(make_items(), offset, None, threads):
+                out = fn(item)
                 while not stop.is_set():
                     try:
-                        q.put(item, timeout=0.1)
+                        q.put(out, timeout=0.1)
                         break
                     except queue_mod.Full:
                         continue

@@ -345,7 +345,7 @@ def bench_tpu_serving_saturation(params, layer_defs, events,
 
 def bench_sustained_pipeline(params, layer_defs, seconds=25,
                              files=24, chunks_per_dispatch=1000,
-                             force_wire=None, max_in_flight=8,
+                             force_wire=None, max_in_flight=16,
                              streams=1):
     """Sustained FILE -> network pipeline: on-disk N-data tree -> native
     decode -> vectorized packing -> wire upload (utils/wire.py, 4 B/event
@@ -356,12 +356,13 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
     flagged that ingest (56M ev/s native) and device serving (~4-5M ev/s)
     were each measured but never as ONE sustained pipe.
 
-    A background thread decodes+packs ahead (Prefetcher-style, depth 3);
-    the consumer loop enqueues one jitted dispatch per packed window and
-    fetches a single checksum at the end (device-side state chain - no
-    per-step sync).  Returns ``(events_per_sec, host_events_per_sec,
+    The loop is the library serving engine
+    (:class:`async_ev_cnn_tpu.utils.serving.StreamingPipeline`):
+    producer threads decode+pack ahead, dispatches chain on-device, and
+    a bounded in-flight window is released by one tail fetch per
+    half-window.  Returns ``(events_per_sec, host_events_per_sec,
     wire_mbps, dispatches)`` where ``host_events_per_sec`` is the
-    decode+pack stage alone (same thread count, no device).
+    decode+pack stage alone (one pass, one thread, no device).
 
     On this tunneled dev chip the link (~30-40 MB/s) is the binding
     stage (measured: host 51M ev/s, device ~7.5M, 8 B-wire pipe 4.8M);
@@ -375,20 +376,14 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
     streams — the serving sweep — while the wire cost grows linearly,
     so pick ``chunks_per_dispatch`` so streams*chunks stays ~1-2k).
     """
-    import queue as queue_mod
     import tempfile
-    import threading
-
-    import jax
-    import jax.numpy as jnp
 
     from async_ev_cnn_tpu.data.file_reader import NReader
-    from async_ev_cnn_tpu.utils.wire import (
-        chunks_from_wire,
-        chunks_from_wire_compact,
-        pack_wire,
-        pack_wire_compact,
+    from async_ev_cnn_tpu.utils.serving import (
+        StreamingPipeline,
+        threaded_source,
     )
+    from async_ev_cnn_tpu.utils.wire import pack_wire_compact
 
     events_per_file = chunks_per_dispatch * CAPACITY
     rng = np.random.RandomState(7)
@@ -411,125 +406,57 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
             _, x, y, ts, _ = reader.read_example(path)
             return np.stack([y % H, x % W, ts], axis=-1)
 
-        if force_wire is None:
-            use_compact = (
-                pack_wire_compact(decode(paths[0]), CAPACITY) is not None
-            )
-        else:
-            use_compact = force_wire == "compact"
+        # the serving engine IS the library component (utils/serving.py):
+        # wire compression, chained dispatches, bounded in-flight window
+        # with the one-fetch watermark drain (rationale + the measured
+        # failure modes of the alternatives live in its module docstring)
+        net = _net(layer_defs, "full")
+        wire = "auto" if force_wire is None else (
+            "compact" if force_wire == "compact" else "plain")
+        if wire == "auto" and pack_wire_compact(
+                decode(paths[0]), CAPACITY) is None:  # pragma: no cover
+            wire = "plain"
+        pipe = StreamingPipeline(net, params, capacity=CAPACITY,
+                                 window=T_PARALLEL, streams=streams,
+                                 max_in_flight=max_in_flight, wire=wire)
 
         def decode_pack(path):
-            ev = decode(path)
-            if use_compact:
-                wire = pack_wire_compact(ev, CAPACITY)
-                if wire is not None:
-                    return wire
-            return pack_wire(ev, CAPACITY)
+            return pipe.pack(decode(path))
 
-        # host-only stage rate (decode + pack, one pass)
+        # host-only stage rate (decode + pack, one pass, one thread)
         t0 = time.time()
         for path in paths:
             decode_pack(path)
         host_eps = files * events_per_file / (time.time() - t0)
 
-        net = _net(layer_defs, "full")
-        jparams = {k: jnp.asarray(v) for k, v in params.items()}
-        state = net.init_state(jparams)
-        if streams > 1:
-            # S independent streams share one dispatch (the serving shape):
-            # wire arrays gain a leading [S] axis, the network vmaps over
-            # per-stream state.  Each stream still consumes its own file
-            # sequence, so this is the sustained multi-camera pipe.
-            state = jax.tree.map(
-                lambda a: jnp.broadcast_to(a, (streams, *a.shape)), state
-            )
+        # warm compile outside the timed window
+        for _ in pipe.serve([decode_pack(paths[0])] * streams):
+            pass
 
-        @jax.jit
-        def dispatch(st, acc, *wire):
-            unpack = chunks_from_wire_compact if len(wire) == 4 else chunks_from_wire
-            chunks = unpack(*wire)
-            if streams > 1:
-                st2, outs = jax.vmap(
-                    lambda s, c: net.scan_parallel(jparams, s, c,
-                                                   window=T_PARALLEL)
-                )(st, chunks)
-            else:
-                st2, outs = net.scan_parallel(jparams, st, chunks,
-                                              window=T_PARALLEL)
-            return st2, acc + jnp.mean(outs)
+        # producers decode+pack ahead of the device pipe (the compact
+        # packer runs ~11-19M ev/s per thread — one thread leaves no
+        # headroom over a multi-M ev/s pipe); the deadline stops the
+        # source, serve() then drains the in-flight tail, and the
+        # drained tail stays inside the timed window
+        deadline = [None]
 
-        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(3, streams + 2))
-        stop = threading.Event()
+        def path_gen():
+            i = 0
+            while deadline[0] is None or time.time() < deadline[0]:
+                yield paths[i % files]
+                i += 1
 
-        def producer(offset, stride):
-            i = offset
-            while not stop.is_set():
-                item = decode_pack(paths[i % files])
-                i += stride
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue_mod.Full:
-                        continue
-
-        # two decode+pack threads: the compact packer runs ~11M ev/s per
-        # thread — one thread leaves no headroom over a ~7M ev/s pipe
-        n_producers = 2
-        for k in range(n_producers):
-            threading.Thread(target=producer, args=(k, n_producers),
-                             daemon=True).start()
-
-        def get_wire():
-            if streams == 1:
-                return q.get()
-            return tuple(np.stack(parts)
-                         for parts in zip(*(q.get() for _ in range(streams))))
-
-        try:
-            # warm compile outside the timed window
-            wire = get_wire()
-            acc = jnp.float32(0)
-            state, acc = dispatch(state, acc, *wire)
-            float(acc)  # sync
-
-            from collections import deque
-
-            n_dispatches = 0
-            t0 = time.time()
-            wire_bytes = 0
-            # Bounded in-flight dispatches: acc chains through every
-            # dispatch, so fetching the acc from k dispatches ago waits
-            # until that dispatch retired.  Without any bound a fast
-            # link enqueues an unbounded device backlog — every pending
-            # dispatch pins its input buffers in HBM — and the end-of-
-            # run drain dominates wall time (measured 2026-08-17: the
-            # 4 B wire DROPPED the pipe 4.8 -> 2.5M ev/s from exactly
-            # this before backpressure existed).  Watermark drain with
-            # ONE fetch per half-window: a single device executes
-            # programs in enqueue order, so fetching the newest popped
-            # acc proves every older dispatch retired — one ~30 ms
-            # tunnel RTT amortized over ``max_in_flight/2`` dispatches
-            # (fetching each popped acc, or one per dispatch, would
-            # serialize the pipe on the RTT: measured 2.3-3.0M ev/s vs
-            # 4.8M).
-            in_flight: "deque" = deque()
-            while time.time() - t0 < seconds:
-                wire = get_wire()
-                state, acc = dispatch(state, acc, *wire)
-                in_flight.append(acc)
-                if len(in_flight) > max_in_flight:
-                    newest_done = None
-                    while len(in_flight) > max_in_flight // 2:
-                        newest_done = in_flight.popleft()
-                    float(newest_done)
-                wire_bytes += sum(a.nbytes for a in wire)
-                n_dispatches += 1
-            float(acc)  # drain the tail of the chain
-            dt = time.time() - t0
-        finally:
-            stop.set()
-    n_events = n_dispatches * streams * events_per_file
+        src = threaded_source(path_gen, fn=decode_pack,
+                              depth=max(3, streams + 2), threads=2)
+        stats0 = dict(pipe.stats)
+        t0 = time.time()
+        deadline[0] = t0 + seconds
+        n_events = 0
+        for res in pipe.serve(src):
+            n_events += res.n_events
+        dt = time.time() - t0
+        n_dispatches = pipe.stats["dispatches"] - stats0["dispatches"]
+        wire_bytes = pipe.stats["wire_bytes"] - stats0["wire_bytes"]
     return n_events / dt, host_eps, wire_bytes / dt / 1e6, n_dispatches
 
 
@@ -659,6 +586,12 @@ def main():
                   params, layer_defs, clustered, conv_mode="window")
     window_eps = window[0] if window else None
     pipeline = _try(bench_sustained_pipeline, params, layer_defs)
+    # the multi-camera serving shape of the same pipe (4 streams vmapped
+    # per dispatch, same total chunks) — exercises the library engine's
+    # multi-stream leg on the real chip
+    pipeline4 = _try(bench_sustained_pipeline, params, layer_defs,
+                     seconds=12, chunks_per_dispatch=500, streams=4,
+                     files=32)
 
     import jax
 
@@ -703,6 +636,8 @@ def main():
             round(pipeline[2], 2) if pipeline else None,
         "sustained_pipeline_dispatches":
             pipeline[3] if pipeline else None,
+        "sustained_pipeline_4stream_events_per_sec":
+            round(pipeline4[0], 1) if pipeline4 else None,
         "baseline_is_standin": True,
         "baseline_cpu_async_events_per_sec": round(cpu_async_eps, 1),
         "baseline_cpu_dense_numpy_events_per_sec": round(cpu_eps, 1),

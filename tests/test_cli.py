@@ -238,3 +238,45 @@ def test_run_networks_stem_fusion_flag(tmp_path, tiny_detection_root, tiny_ckpt)
     cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", tiny_ckpt)
     stats = main(["-c", str(cfg), "--mode", "full", "--stem_fusion", "true"])
     assert stats["steps"] >= 2 and stats["events_per_sec"] > 0
+
+
+def test_serve_cli(tmp_path, tiny_detection_root, tiny_ckpt):
+    """The serve CLI runs the StreamingPipeline engine over the test
+    split as continuous streams and writes NMS'd detections."""
+    from async_ev_cnn_tpu.scripts.serve import main
+
+    cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", tiny_ckpt)
+    out = tmp_path / "dets.jsonl"
+    stats = main(["-c", str(cfg), "--mode", "full", "--serve_chunks", "2",
+                  "--out", str(out), "--conf_threshold", "-10.0"])
+    assert stats["dispatches"] >= 1
+    assert stats["events"] > 0
+    assert stats["events_per_sec"] > 0
+    # conf_threshold -10 keeps every NMS survivor: file must be non-empty
+    import json as json_mod
+
+    lines = [json_mod.loads(l) for l in out.read_text().splitlines()]
+    assert stats["detections_written"] == len(lines) > 0
+    assert {"dispatch", "stream", "chunk", "bbox_xywh", "score",
+            "class"} <= set(lines[0])
+
+
+def test_serve_cli_multistream_no_out(tmp_path, tiny_detection_root,
+                                      tiny_ckpt):
+    from async_ev_cnn_tpu.scripts.serve import main
+
+    cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", tiny_ckpt)
+    stats = main(["-c", str(cfg), "--mode", "full", "--serve_chunks", "2",
+                  "--num_streams", "2", "--serve_max_dispatches", "1"])
+    assert stats["dispatches"] == 1
+    assert stats["streams"] == 2
+    assert stats["detections_written"] is None
+
+
+def test_serve_cli_rejects_incremental_mode(tmp_path, tiny_detection_root,
+                                            tiny_ckpt):
+    from async_ev_cnn_tpu.scripts.serve import main
+
+    cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", tiny_ckpt)
+    with pytest.raises(SystemExit, match="full"):
+        main(["-c", str(cfg), "--mode", "dense"])
