@@ -223,19 +223,23 @@ def _net(layer_defs, conv_mode):
                         conv_mode=conv_mode)
 
 
-def bench_tpu_parallel(params, layer_defs, events):
+def bench_tpu_parallel(params, layer_defs, events, dispatches=DISPATCHES):
     """Headline: parallel-in-time streaming (full mode + surface-scan
-    kernel + time-batched network).  The stream is split into DISPATCHES
-    equal windows; each chained step consumes a fresh one."""
+    kernel + time-batched network).  The stream is split into
+    ``dispatches`` equal windows; each chained step consumes a fresh
+    one.  ``dispatches`` > the protocol's 8 amortizes the single ~30 ms
+    tunnel RTT further — the K=32 leg is published separately as the
+    co-located deployment projection, NOT as the headline."""
     import jax
     import jax.numpy as jnp
 
     net = _net(layer_defs, "full")
     jparams = {k: jnp.asarray(v) for k, v in params.items()}
     state = net.init_state(jparams)
-    chunks, n_events = _pack_k(events, CAPACITY)
+    chunks, n_events = _pack_k(events, CAPACITY, dispatches=dispatches)
     fn = jax.jit(lambda s, c: net.scan_parallel(jparams, s, c))
-    return _chained_events_per_sec(fn, state, chunks, n_events)
+    return _chained_events_per_sec(fn, state, chunks, n_events,
+                                   dispatches=dispatches)
 
 
 def _at_precision(precision, fn, *args, **kwargs):
@@ -581,6 +585,15 @@ def main():
     events_400 = synth_stream(rng, DISPATCHES * 2 * T_PARALLEL, CAPACITY)
     t400 = _try(bench_tpu_parallel, params, layer_defs, events_400)
     t400_eps = t400[0] if t400 else None
+    # deployment projection: the K=8 protocol timing still contains one
+    # ~30 ms tunnel RTT (~half the measured per-dispatch time at bf16);
+    # chaining K=32 shrinks that measurement artifact to ~12% — the rate
+    # a co-located (non-tunneled) deployment of the SAME program would
+    # see.  Published as a separate field; the headline stays K=8.
+    events_k32 = synth_stream(rng, 32 * T_PARALLEL, CAPACITY)
+    k32 = _try(bench_tpu_parallel, params, layer_defs, events_k32,
+               dispatches=32)
+    k32_eps = k32[0] if k32 else None
     clustered = clustered_stream(rng, DISPATCHES * T_CHUNKS, CAPACITY)
     window = _try(_at_precision, "highest", bench_tpu_async,
                   params, layer_defs, clustered, conv_mode="window")
@@ -626,6 +639,8 @@ def main():
         "serving_sweep": serving["sweep"] if serving else None,
         "parallel_T400_events_per_sec":
             round(t400_eps, 1) if t400_eps else None,
+        "parallel_rtt_amortized_K32_events_per_sec":
+            round(k32_eps, 1) if k32_eps else None,
         "window_mode_clustered_events_per_sec":
             round(window_eps, 1) if window_eps else None,
         "sustained_pipeline_events_per_sec":
