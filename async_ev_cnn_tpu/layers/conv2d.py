@@ -51,6 +51,13 @@ class ConvSpec(NamedTuple):
     mode: str = "dense"
     capacity_frac: float = 0.25  # sparse rulebook capacity as out-site fraction
     window_frac: float = 0.25  # window-mode extent as a fraction of each axis
+    # inter-layer activation storage dtype for 'full' mode ('float32' |
+    # 'bfloat16'): bf16 halves the HBM traffic between layers; convs still
+    # accumulate in f32 (preferred_element_type) and at matmul_precision
+    # 'default' the MXU reads bf16 operands either way.  Incremental modes
+    # always store f32 (their state arithmetic depends on exact rounding
+    # fences — ops/numerics.py).
+    act_dtype: str = "float32"
 
     @property
     def capacity(self) -> int:
@@ -135,10 +142,14 @@ def _full_io(spec: ConvSpec, kernel, bias, prev_io: LayerIO) -> LayerIO:
     from async_ev_cnn_tpu.ops.conv import leaky
 
     fm = leaky(_conv_single(spec, kernel, bias, prev_io.featuremap), spec.alpha)
+    dt = jnp.dtype(spec.act_dtype)
     _, oh, ow = spec.out_shape
     return LayerIO(
-        surface=fm,
-        layer_actfn=jnp.ones((), jnp.float32),
+        # act_dtype='bfloat16' stores the activated map (and the scalar
+        # actfn, so ``featuremap`` does not silently promote back to f32)
+        # in bf16 between layers; the conv above still accumulated in f32
+        surface=fm.astype(dt),
+        layer_actfn=jnp.ones((), dt),
         conv_actfn=jnp.zeros((), jnp.float32),
         mask=jnp.ones((oh, ow), bool),
     )

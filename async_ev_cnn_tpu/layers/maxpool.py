@@ -33,6 +33,7 @@ class PoolSpec(NamedTuple):
     ksize: tuple[int, int]
     stride: int
     mode: str = "event"  # 'event' (incremental) | 'full' (dense recompute)
+    act_dtype: str = "float32"  # 'full'-mode activation storage (see ConvSpec)
 
     @property
     def out_shape(self) -> tuple[int, int, int]:
@@ -49,10 +50,11 @@ def _full_pool_io(spec: PoolSpec, prev_io: LayerIO) -> LayerIO:
     from async_ev_cnn_tpu.ops.pool import maxpool_dense
 
     fm = maxpool_dense(prev_io.featuremap, spec.ksize, spec.stride, "VALID")
+    dt = jnp.dtype(spec.act_dtype)
     _, oh, ow = spec.out_shape
     return LayerIO(
-        surface=fm,
-        layer_actfn=jnp.ones((), jnp.float32),
+        surface=fm.astype(dt),  # max over bf16 inputs is exact in bf16
+        layer_actfn=jnp.ones((), dt),
         conv_actfn=jnp.zeros((), jnp.float32),
         mask=jnp.ones((oh, ow), bool),
     )

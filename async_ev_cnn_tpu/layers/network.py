@@ -50,11 +50,17 @@ def build_layer_defs(
     conv_mode: str = "dense",
     capacity_frac: float = 0.25,
     window_frac: float = 0.25,
+    activation_dtype: str = "float32",
 ) -> tuple[list[LayerDef], list[LayerDef]]:
     """Returns (event_layers, dense_tail) matching event_numpy.py:53-73."""
     modes = ("auto", "dense", "sparse", "sparse_pallas", "sparse_rows", "window", "full")
     if conv_mode not in modes:
         raise ValueError(f"conv_mode must be one of {modes}, got {conv_mode!r}")
+    if activation_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"activation_dtype must be 'float32' or 'bfloat16', got "
+            f"{activation_dtype!r}"
+        )
     # surface channel count follows the first conv's input channels:
     # 1 = polarity dropped (reference behavior), 2 = ON/OFF channels.
     first_conv_cin = next(
@@ -125,6 +131,7 @@ def build_layer_defs(
                 mode=mode,
                 capacity_frac=capacity_frac,
                 window_frac=window_frac,
+                act_dtype=activation_dtype if mode == "full" else "float32",
             )
             event_layers.append(LayerDef("conv", name, spec))
             prev_shape = spec.out_shape
@@ -132,6 +139,7 @@ def build_layer_defs(
             spec = PoolSpec(
                 in_shape=prev_shape, ksize=tuple(size), stride=size[0],
                 mode="full" if force_full else "event",
+                act_dtype=activation_dtype if force_full else "float32",
             )
             event_layers.append(LayerDef("pool", name, spec))
             prev_shape = spec.out_shape
@@ -163,10 +171,17 @@ class EventNetwork:
         capacity_frac: float = 0.25,
         window_frac: float = 0.25,
         stem_fusion: bool = False,
+        activation_dtype: str = "float32",
     ):
+        if activation_dtype != "float32" and stem_fusion:
+            raise ValueError(
+                "activation_dtype='bfloat16' does not compose with "
+                "stem_fusion (the s2d pair runs only at matmul precision "
+                "HIGHEST, where bf16 storage would defeat the tier)"
+            )
         self.event_layers, self.dense_tail = build_layer_defs(
             layer_defs, frame_h, frame_w, leak, alpha, padding,
-            conv_mode, capacity_frac, window_frac,
+            conv_mode, capacity_frac, window_frac, activation_dtype,
         )
         self.alpha = alpha
         self.out_shape = self.event_layers[-1].spec.out_shape
@@ -299,7 +314,9 @@ class EventNetwork:
                 x = x.reshape(-1)
             else:  # fc
                 x = leaky(x @ params[f"w_{ld.name}"] + params[f"b_{ld.name}"], self.alpha)
-        return x
+        # network outputs are f32 regardless of the inter-layer
+        # activation storage dtype (act_dtype='bfloat16')
+        return x.astype(jnp.float32)
 
     def step(self, params, state: tuple, chunk: EventChunk):
         """One micro-batch -> (new_state, output).  Output is the last event
@@ -521,5 +538,10 @@ def dense_forward(
             x = maxpool_dense(x, spec.ksize, spec.stride, "VALID")
             if variant == "numpy":
                 x = leaky(x, alpha)
+        # mirror the event path's inter-layer activation storage dtype
+        # (spec.act_dtype) so the async==dense contract stays same-program
+        # under act_dtype='bfloat16' exactly as it does across matmul
+        # precision tiers
+        x = x.astype(jnp.dtype(getattr(spec, "act_dtype", "float32")))
         outs[ld.name] = x
     return outs

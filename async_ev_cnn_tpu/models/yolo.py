@@ -49,6 +49,7 @@ class _YoloBase:
         ts_window: int | None = None,
         stem_fusion: bool = False,
         window_budget_mb: float | None = None,
+        activation_dtype: str = "float32",
     ):
         self._h_frame = h_frame
         self._w_frame = w_frame
@@ -63,6 +64,7 @@ class _YoloBase:
         self._conv_mode = conv_mode
         self._capacity_frac = capacity_frac
         self._stem_fusion = stem_fusion
+        self._activation_dtype = activation_dtype
         # clustered-stream throughput knob for the parallel-in-time path:
         # per-chunk ts maps inside a square bounding window, exact fallback
         # on overflow (ops/integrate.integrate_parallel)
@@ -127,6 +129,7 @@ class YoloEventJax(_YoloBase):
             conv_mode=self._conv_mode,
             capacity_frac=self._capacity_frac,
             stem_fusion=self._stem_fusion,
+            activation_dtype=self._activation_dtype,
         )
         self._jit_step = jax.jit(self._step_impl)
         self._jit_scan = jax.jit(self._scan_impl)

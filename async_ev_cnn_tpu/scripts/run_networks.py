@@ -69,6 +69,7 @@ def main(argv=None):
         alpha=0.1, leak=args.leak, checkpoint=args.restore_net,
         conv_mode=args.mode, ts_window=args.ts_window,
         stem_fusion=args.stem_fusion, window_budget_mb=args.window_budget_mb,
+        activation_dtype=args.activation_dtype,
     )
     if args.num_streams > 1:
         if not isinstance(network, YoloEventJax):

@@ -136,6 +136,7 @@ def main(argv=None):
         w_cells=args.yolo_num_cells_w, num_bbox=args.yolo_num_bbox,
         alpha=0.1, leak=args.leak, checkpoint=args.restore_net,
         conv_mode=args.mode, stem_fusion=args.stem_fusion,
+        activation_dtype=args.activation_dtype,
     )
     if not model.net.is_all_full:
         raise SystemExit(

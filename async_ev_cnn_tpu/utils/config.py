@@ -141,6 +141,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "conv+pool pairs as one space-to-depth conv "
                         "(ops/stem.py) — measured neutral at eFCN scale, "
                         "an opt-in for larger frames.")
+    p.add_argument("--activation_dtype", type=str, default="float32",
+                   help="inter-layer activation storage for 'full'-mode "
+                        "layers: 'float32' (default) or 'bfloat16' (halves "
+                        "inter-layer HBM traffic; convs still accumulate "
+                        "f32; the async==dense gate stays same-program, "
+                        "like the matmul-precision tiers).")
     p.add_argument("--serve_chunks", type=int, default=64,
                    help="serve CLI: chunks per stream per dispatch (every "
                         "dispatch keeps this static shape; short items are "

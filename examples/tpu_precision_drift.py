@@ -44,7 +44,7 @@ def small_net(conv_mode):
     return net, params
 
 
-def efcn_net():
+def efcn_net(activation_dtype="float32"):
     import jax.numpy as jnp
 
     from async_ev_cnn_tpu.layers.network import EventNetwork
@@ -64,7 +64,7 @@ def efcn_net():
             params[f"b_{name}"] = jnp.asarray(
                 rng.randn(co).astype(np.float32) * 0.05)
     net = EventNetwork(defs, 160, 224, leak=5e-5, alpha=0.1, padding="SAME",
-                       conv_mode="full")
+                       conv_mode="full", activation_dtype=activation_dtype)
     return net, params
 
 
@@ -106,6 +106,25 @@ def main(steps=10_000):
             }), flush=True)
         finally:
             set_matmul_precision("highest")
+
+    # round-4b: bf16 ACTIVATION STORAGE (activation_dtype='bfloat16') at
+    # the headline tier — the async path and the dense oracle cast at the
+    # same spec-driven points, so the contract should hold exactly, like
+    # the matmul tiers in 'full' mode; this run is the on-chip proof
+    set_matmul_precision("default")
+    try:
+        net, params = efcn_net(activation_dtype="bfloat16")
+        rep = run_equivalence(net, params, efcn_stream)
+        worst = max(rep.max_diff.values())
+        print(json.dumps({
+            "scale": "efcn_160x224", "mode": "full",
+            "precision": "default", "activation_dtype": "bfloat16",
+            "steps": steps,
+            "max_diff": worst, "pass_1e-4": bool(worst <= 1e-4),
+            "per_layer": {k: float(v) for k, v in rep.max_diff.items()},
+        }), flush=True)
+    finally:
+        set_matmul_precision("highest")
 
 
 if __name__ == "__main__":
