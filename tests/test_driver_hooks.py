@@ -46,6 +46,11 @@ def test_bench_functions_smoke(bench_mod):
     assert serving["peak_streams"] == 2
     assert serving["peak_events_per_sec"] > 0
     assert serving["sweep"][0]["latency_ms_per_dispatch"] > 0
+    serving16 = bench_mod.bench_tpu_serving_saturation(
+        params, layer_defs, events, streams=(2,),
+        activation_dtype="bfloat16",
+    )
+    assert serving16["peak_events_per_sec"] > 0
     cpu_eps, _ = bench_mod.bench_cpu_dense_proxy(
         params, layer_defs, events, steps=2
     )
