@@ -280,3 +280,17 @@ def test_serve_cli_rejects_incremental_mode(tmp_path, tiny_detection_root,
     cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", tiny_ckpt)
     with pytest.raises(SystemExit, match="full"):
         main(["-c", str(cfg), "--mode", "dense"])
+
+
+def test_serve_cli_bf16_activations(tmp_path, tiny_detection_root,
+                                    tiny_ckpt):
+    """The bf16 activation-storage serving knob composes with the serve
+    CLI's StreamingPipeline path end-to-end."""
+    from async_ev_cnn_tpu.scripts.serve import main
+
+    cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", tiny_ckpt)
+    stats = main(["-c", str(cfg), "--mode", "full", "--serve_chunks", "2",
+                  "--activation_dtype", "bfloat16",
+                  "--serve_max_dispatches", "1"])
+    assert stats["dispatches"] == 1
+    assert stats["events"] > 0
