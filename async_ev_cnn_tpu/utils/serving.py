@@ -276,18 +276,24 @@ def threaded_source(make_items, fn=None, depth=4,
     n_live = threading.Semaphore(0)
     fn = fn if fn is not None else (lambda x: x)
 
+    _ERR = object()  # sentinel: (_ERR, exception) — re-raised in the consumer
+
+    def _put(out):
+        while not stop.is_set():
+            try:
+                q.put(out, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
     def work(offset):
         try:
             for item in itertools.islice(make_items(), offset, None, threads):
-                out = fn(item)
-                while not stop.is_set():
-                    try:
-                        q.put(out, timeout=0.1)
-                        break
-                    except queue_mod.Full:
-                        continue
-                if stop.is_set():
+                if not _put(fn(item)):
                     break
+        except BaseException as e:  # noqa: BLE001 — propagated, not swallowed
+            _put((_ERR, e))
         finally:
             n_live.release()
 
@@ -298,11 +304,15 @@ def threaded_source(make_items, fn=None, depth=4,
     try:
         while True:
             try:
-                yield q.get(timeout=0.1)
+                out = q.get(timeout=0.1)
             except queue_mod.Empty:
                 while n_live.acquire(blocking=False):
                     done += 1
                 if done == threads and q.empty():
                     return
+                continue
+            if isinstance(out, tuple) and len(out) == 2 and out[0] is _ERR:
+                raise out[1]
+            yield out
     finally:
         stop.set()

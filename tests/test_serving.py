@@ -172,3 +172,17 @@ def test_threaded_source_delivers_everything(rng):
     assert len(got) == 20
     seen = sorted(int(a[0, 0]) for a in got)
     assert seen == list(range(20))
+
+
+def test_threaded_source_propagates_worker_errors(rng):
+    """A failing transform (e.g. a corrupt file in the decode stage) must
+    surface in the consumer, not silently truncate the stream."""
+
+    def bad(i):
+        if i == 5:
+            raise RuntimeError("decode failed on item 5")
+        return np.full((4, 3), i, np.int32)
+
+    with pytest.raises(RuntimeError, match="item 5"):
+        list(threaded_source(lambda: iter(range(20)), fn=bad,
+                             depth=3, threads=2))
