@@ -21,6 +21,12 @@ round trip is exact vs ``pack_chunks`` (tests/test_wire.py).
 Reference analog: the reference feeds raw ``[N, 3]`` numpy into each
 ``feed_network`` call (/root/reference/src/libs/runner.py:74-88); its
 in-process numpy has no transfer cost to optimize.
+
+Neither format carries polarity (``p`` is zeroed on unpack): the eFCN
+merges polarities, like the reference's network path.  A pipeline for a
+polarity-surface model needs a wire extension (one sign bit — the
+compact format has no spare bits; the 8 B format could steal y's top
+bit) — not built until such a model needs serving.
 """
 
 from __future__ import annotations
@@ -119,7 +125,6 @@ def chunks_from_wire(yx, ts, counts):
     from async_ev_cnn_tpu.layers.types import EventChunk
 
     yx = jnp.asarray(yx, jnp.int32)
-    e = yx.shape[-1]
     valid = jax.lax.broadcasted_iota(jnp.int32, yx.shape, yx.ndim - 1) < (
         jnp.asarray(counts, jnp.int32)[..., None]
     )
