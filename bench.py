@@ -504,24 +504,33 @@ def bench_cpu_dense_proxy(params, layer_defs, events, steps=5):
     return CHUNK_EVENTS / dt, dt
 
 
-def bench_cpu_async_baseline(params, layer_defs, events, max_chunks=15):
+def bench_cpu_async_baseline(params, layer_defs, events, max_chunks=15,
+                             reps=3):
     """The reference-style CPU *async* path: this framework's own
     coordinate-list engine (models/event_numpy_cpu.py), a vectorized,
     oracle-verified stand-in for the Cython im2col_event path — the quantity
-    the >=10x north star actually refers to."""
+    the >=10x north star actually refers to.
+
+    Best-of-``reps``: the denominator of ``vs_baseline`` must not be
+    deflated by transient host load (a loaded-host draw once halved it,
+    doubling the published ratio) — taking the fastest rep is the
+    conservative direction for the ratio."""
     from async_ev_cnn_tpu.models.event_numpy_cpu import AsyncEventNumpy
 
     model = AsyncEventNumpy(layer_defs, params, H, W, LEAK, alpha=0.1, padding="SAME")
     chunks = [events[i : i + CHUNK_EVENTS]
               for i in range(0, len(events), CHUNK_EVENTS)][:max_chunks]
     model.step(chunks[0])  # warm caches
-    t0 = time.time()
-    n = 0
-    for ch in chunks[1:]:
-        model.step(ch)
-        n += len(ch)
-    dt = time.time() - t0
-    return n / dt
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.time()
+        n = 0
+        for ch in chunks[1:]:
+            model.step(ch)
+            n += len(ch)
+        dt = time.time() - t0
+        best = max(best, n / dt)
+    return best
 
 
 def run_profile_layers():
