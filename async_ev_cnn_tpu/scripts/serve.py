@@ -21,6 +21,13 @@ machinery here has no analog there.
 the link back) and writes host-NMS'd detections as JSON lines; without
 it nothing is fetched per dispatch and the loop runs at full pipe rate.
 Prints one JSON stats line either way.
+
+``--serve_state path.npz`` makes the deployment resumable: the
+mid-stream network state (surfaces, timestamps, featuremaps) is written
+atomically at exit and restored at startup when the file exists, so a
+crash or maintenance restart continues the streams' surfaces
+bit-identically (the data source itself restarts from the split head —
+live feeds have no replayable cursor).
 """
 
 from __future__ import annotations
@@ -169,6 +176,15 @@ def main(argv=None):
 
     pipe = StreamingPipeline(model.net, model.params, capacity=capacity,
                              streams=streams, postprocess=post)
+    state_restored = False
+    if args.serve_state:
+        import os
+
+        from async_ev_cnn_tpu.utils.checkpoint import restore_stream_state
+
+        if os.path.exists(args.serve_state):
+            pipe.state = restore_stream_state(args.serve_state, pipe.state)
+            state_restored = True
     src = threaded_source(
         lambda: _stream_items(reader, args, pipe, streams, capacity,
                               t_chunks),
@@ -191,6 +207,10 @@ def main(argv=None):
     finally:
         if fh is not None:
             fh.close()
+        if args.serve_state:
+            from async_ev_cnn_tpu.utils.checkpoint import save_stream_state
+
+            save_stream_state(args.serve_state, pipe.state)
     dt = time.time() - t0
 
     stats = {
@@ -201,6 +221,7 @@ def main(argv=None):
         "seconds": round(dt, 3),
         "events_per_sec": round(n_events / max(dt, 1e-9), 1),
         "detections_written": n_det if fh is not None else None,
+        "state_restored": state_restored,
     }
     print(json.dumps(stats))
     return stats

@@ -154,6 +154,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve_max_dispatches", type=int, default=None,
                    help="serve CLI: stop after this many dispatches "
                         "(default: one pass over the test split).")
+    p.add_argument("--serve_state", type=str, default=None,
+                   help="serve CLI: mid-stream state checkpoint path "
+                        "(.npz). Restored at startup when the file "
+                        "exists (crash/maintenance resume: surfaces, "
+                        "timestamps and featuremaps continue "
+                        "bit-identically), written atomically at exit.")
     p.add_argument("--out", type=str, default=None,
                    help="serve CLI: write decoded detections (host NMS) "
                         "as JSON lines to this path.")

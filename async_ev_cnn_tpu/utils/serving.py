@@ -137,6 +137,20 @@ class StreamingPipeline:
         checkpointable via utils/checkpoint like any pytree)."""
         return self._state
 
+    @state.setter
+    def state(self, new):
+        """Install a restored mid-stream state (e.g. from
+        ``utils.checkpoint.restore_stream_state(path, pipe.state)``).
+        The pytree structure must match the pipeline's."""
+        import jax
+
+        if jax.tree.structure(new) != jax.tree.structure(self._state):
+            raise ValueError(
+                "restored state pytree structure does not match this "
+                "pipeline's (different network spec or stream count?)"
+            )
+        self._state = new
+
     def pack(self, events: np.ndarray, t_chunks: int | None = None):
         """Pack a host ``[N, >=3]`` event array into this pipeline's wire
         tuple.  Public so producer threads can pre-pack (the host stage

@@ -282,6 +282,25 @@ def test_serve_cli_rejects_incremental_mode(tmp_path, tiny_detection_root,
         main(["-c", str(cfg), "--mode", "dense"])
 
 
+def test_serve_cli_state_resume(tmp_path, tiny_detection_root, tiny_ckpt):
+    """--serve_state round-trips the mid-stream network state: first run
+    writes it, second run restores it (crash/maintenance resume), and a
+    pipeline with a different stream count refuses the checkpoint."""
+    from async_ev_cnn_tpu.scripts.serve import main
+
+    cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", tiny_ckpt)
+    st = tmp_path / "serve_state.npz"
+    base = ["-c", str(cfg), "--mode", "full", "--serve_chunks", "2",
+            "--serve_max_dispatches", "1", "--serve_state", str(st)]
+    stats = main(base)
+    assert stats["state_restored"] is False
+    assert st.exists()
+    stats = main(base)
+    assert stats["state_restored"] is True
+    with pytest.raises(ValueError, match="leaves|shape"):
+        main(base + ["--num_streams", "2"])
+
+
 def test_serve_cli_bf16_activations(tmp_path, tiny_detection_root,
                                     tiny_ckpt):
     """The bf16 activation-storage serving knob composes with the serve
