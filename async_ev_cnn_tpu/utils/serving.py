@@ -75,11 +75,22 @@ class StreamingPipeline:
         Optional traced function applied to the network outputs inside
         the dispatch (e.g. a YOLO head decode or top-k) so only small
         results are ever fetched.  Default: identity.
+    mesh:
+        Optional ``jax.sharding.Mesh`` with axes ``(data, model)`` (see
+        :func:`async_ev_cnn_tpu.parallel.streams.make_mesh`).  The
+        stream axis shards over ``data`` (streams must divide evenly)
+        and conv weights/state shard their channel axis over ``model``
+        — the serving scale-out composition: each dispatch is ONE
+        GSPMD program over the whole mesh, with the same chained
+        in-order retirement semantics (XLA runs a multi-device
+        program's dispatches in enqueue order just like a single
+        device's, so the one-fetch watermark drain still proves
+        retirement).  Requires ``streams > 1``.
     """
 
     def __init__(self, net, params, *, capacity=256, window=None,
                  streams=1, max_in_flight=16, wire="auto",
-                 postprocess=None):
+                 postprocess=None, mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -101,18 +112,45 @@ class StreamingPipeline:
         post = postprocess if postprocess is not None else (lambda outs: outs)
 
         jparams = {k: jnp.asarray(v) for k, v in params.items()}
-        state = net.init_state(jparams)
-        if streams > 1:
-            state = jax.tree.map(
-                lambda a: jnp.broadcast_to(a, (streams, *a.shape)), state
-            )
+        engine = None
+        if mesh is not None:
+            from async_ev_cnn_tpu.parallel.streams import MultiStreamEngine
+
+            n_data = mesh.shape["data"]
+            if streams < 2 or streams % n_data:
+                raise ValueError(
+                    f"mesh serving needs streams (= {streams}) divisible "
+                    f"by the mesh's data axis (= {n_data})"
+                )
+            engine = MultiStreamEngine(net, mesh)
+            jparams = engine.place_params(jparams)
+            state = engine.init_states(jparams, streams)
+        else:
+            state = net.init_state(jparams)
+            if streams > 1:
+                state = jax.tree.map(
+                    lambda a: jnp.broadcast_to(a, (streams, *a.shape)),
+                    state,
+                )
         self._state = state
 
-        @jax.jit
-        def _dispatch(st, *wire_arrays):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from async_ev_cnn_tpu.layers.types import EventChunk
+
+            data0 = NamedSharding(mesh, P("data"))
+            chunk_sh = EventChunk(data0, data0, data0, data0, data0)
+
+        def _dispatch_fn(st, *wire_arrays):
             unpack = (chunks_from_wire_compact if len(wire_arrays) == 4
                       else chunks_from_wire)
             chunks = unpack(*wire_arrays)
+            if mesh is not None:
+                # pipeline layout is stream-leading [S, T, E]; pin the
+                # stream axis to 'data' right after the unpack so GSPMD
+                # never replicates the expanded planes
+                chunks = jax.lax.with_sharding_constraint(chunks, chunk_sh)
             if streams > 1:
                 st2, outs = jax.vmap(
                     lambda s, c: net.scan_parallel(jparams, s, c,
@@ -125,7 +163,15 @@ class StreamingPipeline:
             # scalar round trip regardless of output size
             return st2, post(outs), jnp.mean(outs)
 
-        self._dispatch = _dispatch
+        if engine is None:
+            self._dispatch = jax.jit(_dispatch_fn)
+        else:
+            # pin only the state's shardings (the carried operand); the
+            # postprocessed outputs and checksum follow GSPMD propagation
+            self._dispatch = jax.jit(
+                _dispatch_fn,
+                out_shardings=(engine.state_shardings(), None, None),
+            )
 
         #: cumulative serve() counters: dispatches enqueued, wire bytes
         #: shipped, valid events consumed

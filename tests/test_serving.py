@@ -174,6 +174,46 @@ def test_threaded_source_delivers_everything(rng):
     assert seen == list(range(20))
 
 
+def test_pipeline_mesh_sharded_matches_unsharded(rng):
+    """Mesh serving (stream axis over 'data', channels over 'model') is
+    one GSPMD program per dispatch and must be allclose to the unsharded
+    multi-stream pipeline on the same source."""
+    from async_ev_cnn_tpu.parallel import make_mesh
+
+    assert jax.device_count() == 8
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    items = [_stream(rng, CAP) for _ in range(8)]  # 2 dispatches x 4 streams
+
+    ref_pipe = StreamingPipeline(net, params, capacity=CAP, streams=4)
+    want = list(ref_pipe.serve(list(items)))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    pipe = StreamingPipeline(net, params, capacity=CAP, streams=4, mesh=mesh)
+    got = list(pipe.serve(list(items)))
+
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        assert g.n_events == w.n_events
+        np.testing.assert_allclose(np.asarray(g.outputs),
+                                   np.asarray(w.outputs), rtol=0, atol=1e-5)
+    # mid-stream state agrees too (it is the carried operand)
+    for a, b in zip(jax.tree.leaves(pipe.state),
+                    jax.tree.leaves(ref_pipe.state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+
+
+def test_pipeline_mesh_requires_divisible_streams(rng):
+    from async_ev_cnn_tpu.parallel import make_mesh
+
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    with pytest.raises(ValueError, match="divisible"):
+        StreamingPipeline(net, params, capacity=CAP, streams=3,
+                          mesh=make_mesh(n_data=4, n_model=2))
+
+
 def test_threaded_source_propagates_worker_errors(rng):
     """A failing transform (e.g. a corrupt file in the decode stage) must
     surface in the consumer, not silently truncate the stream."""
