@@ -630,6 +630,13 @@ def main():
     k32 = _try(bench_tpu_parallel, params, layer_defs, events_k32,
                dispatches=32)
     k32_eps = k32[0] if k32 else None
+    # ... and the same projection with the bf16-activation serving knob:
+    # the best single-stream number the chip reaches (measured ~17.8M
+    # ev/s; ex-RTT ~2.0 ms/dispatch — at the analytic bf16 MXU floor,
+    # docs/performance.md "bf16-tier floor")
+    k32_act16 = _try(bench_tpu_parallel, params, layer_defs, events_k32,
+                     dispatches=32, activation_dtype="bfloat16")
+    k32_act16_eps = k32_act16[0] if k32_act16 else None
     clustered = clustered_stream(rng, DISPATCHES * T_CHUNKS, CAPACITY)
     window = _try(_at_precision, "highest", bench_tpu_async,
                   params, layer_defs, clustered, conv_mode="window")
@@ -682,6 +689,8 @@ def main():
             round(k32_eps, 1) if k32_eps else None,
         "parallel_bf16_act_events_per_sec":
             round(act16_eps, 1) if act16_eps else None,
+        "parallel_bf16_act_K32_events_per_sec":
+            round(k32_act16_eps, 1) if k32_act16_eps else None,
         "window_mode_clustered_events_per_sec":
             round(window_eps, 1) if window_eps else None,
         "sustained_pipeline_events_per_sec":
