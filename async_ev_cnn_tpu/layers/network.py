@@ -450,18 +450,21 @@ class EventNetwork:
 
             from async_ev_cnn_tpu.ops.conv import matmul_precision
 
+            from async_ev_cnn_tpu.ops import stem as _stem
+
             if (
                 i in self._s2d_pairs
-                and matmul_precision() is Precision.HIGHEST
+                and (matmul_precision() is Precision.HIGHEST
+                     or _stem.allow_demoted_precision)
                 and (upto is None or upto >= i + 2)
             ):
                 # conv+pool executed as one space-to-depth op (ops/stem.py);
-                # skipped when the profiler's `upto` cuts inside the pair,
-                # and at demoted matmul precision: under bf16 operand
-                # rounding the re-blocked contraction is no longer within
-                # float-noise of the direct conv, which would break the
-                # scan-vs-scan_parallel parity contract (the sequential
-                # path always runs the direct conv).
+                # skipped when the profiler's `upto` cuts inside the pair.
+                # Demoted-precision fusion is governed by
+                # stem.allow_demoted_precision (bf16 rounding is
+                # elementwise, so s2d multiplies the identical
+                # bf16-rounded product set as the direct conv and only
+                # f32 accumulation order differs — see ops/stem.py).
                 pool_spec = layers[i + 1].spec
                 fm = fused_conv_pool(
                     io.featuremap, _kernel_oihw(params, ld.name),

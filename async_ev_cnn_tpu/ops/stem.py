@@ -41,6 +41,16 @@ from jax import lax
 from async_ev_cnn_tpu.ops.conv import leaky, matmul_precision
 
 
+# Allow the fused pair at demoted matmul precision (bf16 / bf16x3).
+# Hypothesis for relaxing the HIGHEST-only gate: bf16 operand rounding
+# is ELEMENTWISE, and s2d only permutes the operands (plus exact zero
+# taps), so the fused contraction multiplies the identical bf16-rounded
+# product set as the direct conv — the only difference is f32
+# accumulation order, the same ~1e-7 noise as at HIGHEST.  Flag default
+# follows the measurement (examples/stem_bf16_retest.py).
+allow_demoted_precision = False
+
+
 def s2d_pair_applicable(conv_spec, pool_spec) -> bool:
     """Structural conditions for the fusion: stride-1 3x3 SAME conv over
     even spatial dims, followed by a 2x2 stride-2 pool, both 'full'."""

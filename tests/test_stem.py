@@ -114,6 +114,57 @@ def test_network_selects_pairs():
     assert net_d._s2d_pairs == frozenset()
 
 
+def test_demoted_precision_flag_controls_fusion(rng):
+    """stem.allow_demoted_precision gates the fused pair at non-HIGHEST
+    matmul tiers: flag off -> direct convs (the historical behavior),
+    flag on -> fused, with outputs equal to the direct path (the s2d
+    contraction multiplies the identical rounded product set — only f32
+    accumulation order differs)."""
+    import jax
+
+    from async_ev_cnn_tpu.layers.network import EventNetwork
+    from async_ev_cnn_tpu.ops import stem
+    from async_ev_cnn_tpu.ops.conv import set_matmul_precision
+    from async_ev_cnn_tpu.utils.config import layers_dict
+
+    dsl = "conv1=3,3,1,4 pool1=2,2 conv2=1,1,4,6"
+    layer_defs = layers_dict(dsl)
+    params = {}
+    for name, size in layer_defs.items():
+        if "conv" in name:
+            kh, kw, ci, co = size
+            params[f"w_{name}"] = jnp.asarray(
+                rng.randn(kh, kw, ci, co).astype(np.float32) * 0.3)
+            params[f"b_{name}"] = jnp.asarray(
+                rng.randn(co).astype(np.float32) * 0.1)
+    net = EventNetwork(layer_defs, 16, 16, leak=0.01, alpha=0.1,
+                       padding="SAME", conv_mode="full", stem_fusion=True)
+    assert net._s2d_pairs
+    state = net.init_state(params)
+    frame = jnp.asarray(rng.rand(1, 16, 16).astype(np.float32))
+
+    def fused_in_program():
+        jx = jax.make_jaxpr(
+            lambda f: net.full_frame_forward(params, state, f))(frame)
+        return "(16, 4, 3, 3)" in str(jx)  # the rearranged [4*O, 4*Cin] kernel
+
+    old_flag = stem.allow_demoted_precision
+    try:
+        set_matmul_precision("highest")
+        assert fused_in_program()  # HIGHEST always fuses
+        set_matmul_precision("default")
+        stem.allow_demoted_precision = False
+        assert not fused_in_program()
+        ref = np.asarray(net.full_frame_forward(params, state, frame))
+        stem.allow_demoted_precision = True
+        assert fused_in_program()
+        got = np.asarray(net.full_frame_forward(params, state, frame))
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+    finally:
+        stem.allow_demoted_precision = old_flag
+        set_matmul_precision("highest")
+
+
 def test_full_frame_forward_fused_matches_layerwise(rng):
     """The fused time-batched forward equals running the layers one by one,
     including when the profiler's `upto` cuts inside a fused pair."""
