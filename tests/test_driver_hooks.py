@@ -38,6 +38,9 @@ def test_bench_functions_smoke(bench_mod):
     assert eps > 0 and dt > 0 and spread >= 0
     par_eps, _, _ = bench_mod.bench_tpu_parallel(params, layer_defs, events)
     assert par_eps > 0
+    par16_eps, _, _ = bench_mod.bench_tpu_parallel(
+        params, layer_defs, events, activation_dtype="bfloat16")
+    assert par16_eps > 0
     dense_eps, _, _ = bench_mod.bench_tpu_dense_frame(params, layer_defs, events)
     assert dense_eps > 0
     serving = bench_mod.bench_tpu_serving_saturation(
