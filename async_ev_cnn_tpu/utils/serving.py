@@ -134,6 +134,7 @@ class StreamingPipeline:
                 )
         self._state = state
 
+        self._wire_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -141,6 +142,10 @@ class StreamingPipeline:
 
             data0 = NamedSharding(mesh, P("data"))
             chunk_sh = EventChunk(data0, data0, data0, data0, data0)
+            # wire arrays are [S, ...] — place each shard on its own
+            # 'data' device row at enqueue so the host never ships a
+            # replicated copy of the whole dispatch to every device
+            self._wire_sharding = data0
 
         def _dispatch_fn(st, *wire_arrays):
             unpack = (chunks_from_wire_compact if len(wire_arrays) == 4
@@ -309,6 +314,12 @@ class StreamingPipeline:
             self.stats["dispatches"] += 1
             self.stats["wire_bytes"] += sum(a.nbytes for a in wire)
             self.stats["events"] += n
+            if self._wire_sharding is not None:
+                import jax
+
+                wire = tuple(
+                    jax.device_put(a, self._wire_sharding) for a in wire
+                )
             self._state, outs, chk = self._dispatch(self._state, *wire)
             in_flight.append((outs, n, chk))
             if len(in_flight) > self._max_in_flight:
