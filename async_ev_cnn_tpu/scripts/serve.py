@@ -88,14 +88,14 @@ def _stream_items(reader, args, pipe, streams, capacity, t_chunks):
             yield pipe.pack(take, t_chunks=t_chunks)
 
 
-def _write_detections(fh, res, args, num_classes, dispatch_idx, streams):
+def _write_detections(fh, res, args, dispatch_idx, streams):
     """Host NMS + JSONL for one retired dispatch's decoded boxes."""
     from async_ev_cnn_tpu.utils.nms import nms
 
-    boxes, scores, probs = (np.asarray(a) for a in res.outputs)
+    boxes, probs = (np.asarray(a) for a in res.outputs)
     # leading axes: [T, ...] or [S, T, ...]
     if streams == 1:
-        boxes, scores, probs = boxes[None], scores[None], probs[None]
+        boxes, probs = boxes[None], probs[None]
     n_written = 0
     for s in range(boxes.shape[0]):
         for t in range(boxes.shape[1]):
@@ -164,18 +164,21 @@ def main(argv=None):
         from async_ev_cnn_tpu.models import head
 
         def post(outs):
+            # fetch only boxes + class-probs: head.decode's probs already
+            # carry the box confidence, so the raw scores would be dead
+            # bytes on the scarce device->host link
             lead = outs.shape[:-3]
             flat = outs.reshape((-1,) + outs.shape[-3:])
-            b, sc, pr = jax.vmap(
+            b, _, pr = jax.vmap(
                 lambda g: head.decode(g, num_classes, args.yolo_num_bbox,
                                       args.frame_h, args.frame_w)
             )(flat)
             return (b.reshape(lead + b.shape[1:]),
-                    sc.reshape(lead + sc.shape[1:]),
                     pr.reshape(lead + pr.shape[1:]))
 
     pipe = StreamingPipeline(model.net, model.params, capacity=capacity,
-                             streams=streams, postprocess=post)
+                             streams=streams, postprocess=post,
+                             wire=args.serve_wire)
     state_restored = False
     if args.serve_state:
         import os
@@ -191,14 +194,17 @@ def main(argv=None):
         depth=max(4, streams + 2), threads=1,
     )
 
-    fh = open(args.out, "w") if args.out else None
+    # a resumed run APPENDS: truncating would destroy the pre-crash
+    # detections the state checkpoint exists to continue from
+    fh = (open(args.out, "a" if state_restored else "w")
+          if args.out else None)
     n_events = n_dispatches = n_det = 0
     t0 = time.time()
     try:
         for res in pipe.serve(src):
             n_events += res.n_events
             if fh is not None:
-                n_det += _write_detections(fh, res, args, num_classes,
+                n_det += _write_detections(fh, res, args,
                                            n_dispatches, streams)
             n_dispatches += 1
             if (args.serve_max_dispatches is not None

@@ -138,14 +138,13 @@ class StreamingPipeline:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from async_ev_cnn_tpu.layers.types import EventChunk
-
-            data0 = NamedSharding(mesh, P("data"))
-            chunk_sh = EventChunk(data0, data0, data0, data0, data0)
+            # [S, T, E] pipeline layout: P('data') on the leading stream
+            # axis for every chunk plane — the engine's stream sharding
+            chunk_sh = engine.chunk_sharding()
             # wire arrays are [S, ...] — place each shard on its own
             # 'data' device row at enqueue so the host never ships a
             # replicated copy of the whole dispatch to every device
-            self._wire_sharding = data0
+            self._wire_sharding = NamedSharding(mesh, P("data"))
 
         def _dispatch_fn(st, *wire_arrays):
             unpack = (chunks_from_wire_compact if len(wire_arrays) == 4
@@ -181,6 +180,8 @@ class StreamingPipeline:
         #: cumulative serve() counters: dispatches enqueued, wire bytes
         #: shipped, valid events consumed
         self.stats = {"dispatches": 0, "wire_bytes": 0, "events": 0}
+        self._engine = engine
+        self._seen_plain = wire == "plain"
 
     @property
     def state(self):
@@ -200,6 +201,11 @@ class StreamingPipeline:
                 "restored state pytree structure does not match this "
                 "pipeline's (different network spec or stream count?)"
             )
+        if self._engine is not None:
+            # restored leaves are host arrays: place them with the mesh
+            # shardings the dispatch was compiled for, or the next call
+            # recompiles and ships the state replicated to every device
+            new = jax.device_put(new, self._engine.state_shardings())
         self._state = new
 
     def pack(self, events: np.ndarray, t_chunks: int | None = None):
@@ -285,19 +291,24 @@ class StreamingPipeline:
             prepacked = [isinstance(ev, tuple) for ev in group]
             wires = [ev if pre else self.pack(np.asarray(ev))
                      for ev, pre in zip(group, prepacked)]
-            if len({len(w) for w in wires}) > 1:
-                # mixed compact/plain within one dispatch cannot stack;
-                # re-pack the whole group on the 8 B wire
-                if any(prepacked):
-                    raise ValueError(
-                        "mixed wire arity in a pre-packed multi-stream "
-                        "group; pre-packed sources must pack consistently "
-                        "(e.g. wire='plain')"
-                    )
-                from async_ev_cnn_tpu.utils.wire import pack_wire
+            # Format unification, exact and raw-events-free: a compact
+            # quadruple always re-encodes to the plain triple on the host
+            # (wire_compact_to_plain).  Two rules: (1) a mixed group
+            # unifies to plain; (2) once any dispatch has gone plain, all
+            # later compact dispatches convert too, so a long-running
+            # serve compiles at most two programs (compact era, then
+            # plain era) instead of flip-flopping per item — e.g. one
+            # sparse segment whose chunk spans overflow the 16-bit ts
+            # field must not recompile the pipe on every format change.
+            from async_ev_cnn_tpu.utils.wire import wire_compact_to_plain
 
-                wires = [pack_wire(np.asarray(ev), self._capacity)
-                         for ev in group]
+            if len({len(w) for w in wires}) > 1 or (
+                self._seen_plain and any(len(w) == 4 for w in wires)
+            ):
+                wires = [wire_compact_to_plain(w) if len(w) == 4 else w
+                         for w in wires]
+            if any(len(w) == 3 for w in wires):
+                self._seen_plain = True
             ts = {w[0].shape[0] for w in wires}
             if len(ts) > 1:
                 raise ValueError(
@@ -317,12 +328,10 @@ class StreamingPipeline:
             if self._wire_sharding is not None:
                 import jax
 
-                wire = tuple(
-                    jax.device_put(a, self._wire_sharding) for a in wire
-                )
+                wire = jax.device_put(wire, self._wire_sharding)
             self._state, outs, chk = self._dispatch(self._state, *wire)
             in_flight.append((outs, n, chk))
-            if len(in_flight) > self._max_in_flight:
+            if len(in_flight) >= self._max_in_flight:
                 yield from release(self._max_in_flight // 2)
         yield from release(0)
 

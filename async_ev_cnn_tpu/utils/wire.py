@@ -48,7 +48,12 @@ def pack_wire(events: np.ndarray, capacity: int):
     ts = np.asarray(events[:, 2], np.int32)
     if n and (y.min() < 0 or x.min() < 0 or y.max() >= 2**16 or x.max() >= 2**16):
         raise ValueError("pack_wire needs 0 <= y, x < 2**16")
-    yx = np.concatenate([(y << 16) | x, np.zeros(pad, np.int32)])
+    # pack via int64 then truncate: for y >= 2**15 the packed word has
+    # the int32 sign bit set (the unpack masks it back out), and a bare
+    # int32 shift would trip numpy overflow warnings
+    packed = ((y.astype(np.int64) << 16) | x.astype(np.int64)).astype(
+        np.uint32).view(np.int32)
+    yx = np.concatenate([packed, np.zeros(pad, np.int32)])
     tsp = np.concatenate([ts, np.zeros(pad, np.int32)])
     counts = np.full(t, capacity, np.int32)
     counts[-1] = capacity - pad if n else 0
@@ -96,6 +101,19 @@ def pack_wire_compact(events: np.ndarray, capacity: int):
             base.astype(np.int32), counts)
 
 
+def wire_compact_to_plain(w):
+    """Re-encode a compact wire quadruple as the plain 8 B triple on the
+    host — exact (``ts = base + dts`` in int32, coordinates < 256 fit the
+    16-bit fields trivially).  Lets a consumer unify a pre-packed group
+    whose members chose different formats without the raw events."""
+    yx16, dts, base, counts = w
+    y = (yx16.astype(np.int32) >> 8) & 0xFF
+    x = yx16.astype(np.int32) & 0xFF
+    return ((y << 16) | x,
+            base.astype(np.int32)[:, None] + dts.astype(np.int32),
+            counts)
+
+
 def chunks_from_wire_compact(yx, dts, base, counts):
     """Expand the compact wire quadruple into an EventChunk — inside jit."""
     import jax
@@ -129,7 +147,9 @@ def chunks_from_wire(yx, ts, counts):
         jnp.asarray(counts, jnp.int32)[..., None]
     )
     return EventChunk(
-        y=yx >> 16,
+        # logical, not arithmetic, high-half extract: for y >= 2**15 the
+        # int32 pack sets the sign bit and a bare >> would sign-extend
+        y=(yx >> 16) & 0xFFFF,
         x=yx & 0xFFFF,
         ts=jnp.asarray(ts, jnp.int32),
         p=jnp.zeros_like(yx),

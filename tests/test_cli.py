@@ -290,13 +290,20 @@ def test_serve_cli_state_resume(tmp_path, tiny_detection_root, tiny_ckpt):
 
     cfg = _write_cfg(tmp_path, tiny_detection_root, "YoloEventJax", tiny_ckpt)
     st = tmp_path / "serve_state.npz"
+    out = tmp_path / "dets.jsonl"
     base = ["-c", str(cfg), "--mode", "full", "--serve_chunks", "2",
-            "--serve_max_dispatches", "1", "--serve_state", str(st)]
+            "--serve_max_dispatches", "1", "--serve_state", str(st),
+            "--out", str(out), "--conf_threshold", "-10.0"]
     stats = main(base)
     assert stats["state_restored"] is False
     assert st.exists()
+    lines_first = len(out.read_text().splitlines())
+    assert lines_first > 0
     stats = main(base)
     assert stats["state_restored"] is True
+    # a resumed run APPENDS to --out; truncating would destroy the
+    # pre-crash detections the checkpoint exists to continue from
+    assert len(out.read_text().splitlines()) > lines_first
     with pytest.raises(ValueError, match="leaves|shape"):
         main(base + ["--num_streams", "2"])
 

@@ -158,6 +158,43 @@ def test_pipeline_mixed_wire_group_falls_back(rng):
     np.testing.assert_allclose(outs[1], want_b, rtol=0, atol=1e-6)
 
 
+def test_pipeline_prepacked_mixed_group_unifies(rng):
+    """A PRE-packed multi-stream group with mixed compact/plain arity
+    (one producer's slab overflowed the compact ts field) must unify to
+    the plain wire exactly — a long-running deployment must not crash on
+    one sparse segment (this used to raise)."""
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    a = _stream(rng, CAP)
+    b = _stream(rng, CAP)
+    b[:, 2] = np.arange(CAP, dtype=np.int32) * 70000
+    want_a, = _oracle(net, params, [a])
+    want_b, = _oracle(net, params, [b])
+    pipe = StreamingPipeline(net, params, capacity=CAP, streams=2)
+    got = list(pipe.serve([pipe.pack(a), pipe.pack(b)]))  # pre-packed
+    outs = np.asarray(got[0].outputs)
+    np.testing.assert_allclose(outs[0], want_a, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(outs[1], want_b, rtol=0, atol=1e-6)
+
+
+def test_pipeline_wire_format_switch_is_monotone(rng):
+    """Single stream: once one dispatch has gone plain, later
+    compact-able dispatches convert too (at most two compiled programs
+    per run instead of per-item format flip-flop), all exact."""
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    items = [_stream(rng, CAP) for _ in range(3)]
+    items[1][:, 2] = np.arange(CAP, dtype=np.int32) * 70000  # overflows
+    want = _oracle(net, params, items)
+    pipe = StreamingPipeline(net, params, capacity=CAP)
+    assert not pipe._seen_plain
+    got = list(pipe.serve(list(items)))
+    assert pipe._seen_plain
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g.outputs), w,
+                                   rtol=0, atol=1e-6)
+
+
 def test_pipeline_unequal_chunk_counts_raise(rng):
     net = _net()
     params = _params(layers_dict(DSL), rng)

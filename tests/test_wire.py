@@ -31,6 +31,40 @@ def test_wire_roundtrip_matches_pack_chunks(rng):
         )
 
 
+def test_wire_high_coordinates_roundtrip(rng):
+    """y, x in [2**15, 2**16) set the int32 sign bit in the packed word;
+    the unpack must extract them logically (a bare arithmetic >> 16
+    sign-extends and returns negative y — a silent surface corruption
+    for any sensor/crop with y >= 32768)."""
+    events = _stream(rng, 300, h=2**16, w=2**16)
+    events[:3, 0] = [32768, 40000, 65535]
+    events[:3, 1] = [65535, 1, 40000]
+    ref = pack_chunks(events, 64)
+    got = jax.jit(chunks_from_wire)(*pack_wire(events, 64))
+    np.testing.assert_array_equal(np.asarray(got.y), np.asarray(ref.y))
+    np.testing.assert_array_equal(np.asarray(got.x), np.asarray(ref.x))
+    assert int(np.asarray(got.y).min()) >= 0
+
+
+def test_wire_compact_to_plain_exact(rng):
+    """The host-side compact->plain re-encode is exact: unpacking the
+    converted triple equals unpacking the original quadruple."""
+    from async_ev_cnn_tpu.utils.wire import (
+        chunks_from_wire_compact,
+        pack_wire_compact,
+        wire_compact_to_plain,
+    )
+
+    events = _stream(rng, 500)
+    w4 = pack_wire_compact(events, 64)
+    assert w4 is not None
+    a = jax.jit(chunks_from_wire_compact)(*w4)
+    b = jax.jit(chunks_from_wire)(*wire_compact_to_plain(w4))
+    for f in ("y", "x", "ts", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)))
+
+
 def test_wire_rejects_out_of_range(rng):
     import pytest
 
