@@ -54,14 +54,24 @@ class EventChunk(NamedTuple):
         y = np.asarray(y, np.int32)
         x = np.asarray(x, np.int32)
         ts_in = np.asarray(ts)
-        if ts_in.size and ts_in.dtype != np.int32:
-            lo, hi = int(ts_in.min()), int(ts_in.max())
+        if ts_in.size:
+            lo = int(ts_in.min())
+            hi = int(ts_in.max()) if ts_in.dtype != np.int32 else 0
             info = np.iinfo(np.int32)
             if lo < info.min or hi > info.max:
                 raise ValueError(
                     f"timestamps [{lo}, {hi}] exceed the int32 µs contract "
                     "(~35.8 min); rebase the recording (subtract the first "
                     "timestamp) before chunking"
+                )
+            if lo < 0:
+                # the contract is NON-NEGATIVE int32 µs: a negative ts
+                # makes dt = last_ts - ts exceed 2^31 and wrap, which the
+                # event-scatter kernel's 31-bit limb payload cannot carry
+                # — it would silently diverge from the other engines
+                raise ValueError(
+                    f"negative timestamp {lo}: rebase the recording "
+                    "(subtract the first timestamp) before chunking"
                 )
         ts = ts_in.astype(np.int32)
         p = np.zeros_like(y) if p is None else np.asarray(p, np.int32)

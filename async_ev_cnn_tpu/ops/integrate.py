@@ -138,6 +138,13 @@ def integrate_step(surface, prev_ts, y, x, ts, valid, leak: float, p=None):
       integration.py:76-83) and ``delta_leak`` the f32 scalar leak applied.
     """
     channeled = surface.ndim == 3
+    if channeled and p is None:
+        # without this, `valid & (p == ch)` silently evaluates to
+        # all-False (None == ch) and every event is dropped — plausible
+        # wrong output instead of an error
+        raise TypeError(
+            "a [C, H, W] channeled surface requires the polarity array p"
+        )
     h, w = surface.shape[-2:]
     leak = jnp.float32(leak)
     # An all-padding chunk (e.g. an empty µs time bin) is a no-op step:
@@ -256,6 +263,9 @@ def integrate_parallel(surface, prev_ts, chunks, leak: float,
       chunk and the int32 ``[T]`` per-chunk last-event timestamps.
     """
     channels, h, w = surface.shape
+    # same scalar contract as integrate_step, which accepts a Python int
+    # — without the coercion _ts_chain's prev_ts[None] raises TypeError
+    prev_ts = jnp.asarray(prev_ts, jnp.int32)
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
     # interpret everywhere the Mosaic kernels can't compile.  Note the
@@ -323,7 +333,7 @@ def _ts_chain(prev_ts, chunks, leak):
     return last_ts, d
 
 
-def chunk_event_updates(channels, h, w, prev_ts, chunks, leak, lanes=128):
+def chunk_event_updates(channels, h, w, prev_ts, chunks, leak):
     """O(E) per-event update lists for the event-scatter Pallas engine.
 
     The ts-map engines materialize int32 ``[T, C, H, W]`` maps in HBM
@@ -335,12 +345,15 @@ def chunk_event_updates(channels, h, w, prev_ts, chunks, leak, lanes=128):
       integration.py:71 — = lexicographic (ts, index) max among same-pixel
       valid events, identical to the ts-map's per-pixel max-ts value);
     * each winner's flattened [C*H*W] pixel split into the kernel's
-      (row = pix // lanes, lane = pix % lanes) coordinates, losers/padding
-      marked with row -1 (their one-hot placement row never matches);
-    * ``dt = last_ts[t] - ts`` (int32, in [0, 2^31) given the non-negative
-      timestamp contract the wrap guards enforce), from which the kernel
-      reconstructs the event contribution with the exact
-      :func:`integrate_step` arithmetic.
+      (row = pix // LANES, lane = pix % LANES) coordinates — LANES is the
+      kernel's fixed 128-lane geometry — losers/padding marked with
+      row -1 (their one-hot placement row never matches);
+    * ``dt = last_ts[t] - ts`` (int32, in [0, 2^31) given non-negative
+      int32 timestamps — enforced at ingestion by
+      ``EventChunk.from_arrays``; a negative ts would wrap dt past the
+      kernel's 31-bit limb payload), from which the kernel reconstructs
+      the event contribution with the exact :func:`integrate_step`
+      arithmetic.
 
     Returns ``(pix_r, pix_c, dt, d, last_ts)`` with ``[T, E]`` int32 event
     arrays and the ``[T]`` scalar chains.
@@ -369,8 +382,10 @@ def chunk_event_updates(channels, h, w, prev_ts, chunks, leak, lanes=128):
     )
     keep = valid & ~jnp.any(same & later, axis=2)  # [T, E]
 
-    pix_r = jnp.where(keep, pix // lanes, -1)
-    pix_c = jnp.where(keep, pix % lanes, 0)
+    from async_ev_cnn_tpu.ops.pallas_scan import LANES
+
+    pix_r = jnp.where(keep, pix // LANES, -1)
+    pix_c = jnp.where(keep, pix % LANES, 0)
     dt = jnp.where(keep, last_ts[:, None] - ts_b, 0)
     return pix_r, pix_c, dt, d, last_ts
 
@@ -479,7 +494,6 @@ def integrate_frame(events, leak, frame_h, frame_w, prev_output=None):
     and this function emits no events.
     """
     events = jnp.asarray(events)
-    y, x, ts = events[:, 0], events[:, 1], events[:, 2]
     if prev_output is None:
         frame = jnp.zeros((frame_h, frame_w), jnp.float32)
         prev_ts = jnp.int32(0)
@@ -487,6 +501,13 @@ def integrate_frame(events, leak, frame_h, frame_w, prev_output=None):
         frame, prev_ts = prev_output
         frame = jnp.asarray(frame, jnp.float32)
         prev_ts = jnp.asarray(prev_ts, jnp.int32)
+    if events.shape[0] == 0:
+        # a quiet interval: nothing lands and no time advances (the
+        # zero-size jnp.max inside the jit has no identity and would
+        # raise); parity with the reference loop, which also leaves the
+        # frame untouched for an empty slice
+        return frame, prev_ts
+    y, x, ts = events[:, 0], events[:, 1], events[:, 2]
     valid = jnp.ones(y.shape, bool)
     return _integrate_frame_jit(
         frame, prev_ts, y.astype(jnp.int32), x.astype(jnp.int32),

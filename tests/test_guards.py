@@ -57,6 +57,19 @@ class TestTimestampWrapGuards:
                 [1], [2], np.array([2**31 + 3], np.int64), capacity=4
             )
 
+    def test_event_chunk_from_arrays_raises_on_negative_ts(self):
+        """Negative timestamps — INCLUDING already-int32 inputs, which
+        used to skip validation entirely — violate the non-negative
+        contract the event-scatter kernel's 31-bit dt payload needs; an
+        un-rebased recording must fail loudly, not diverge silently."""
+        from async_ev_cnn_tpu.layers.types import EventChunk
+
+        for dtype in (np.int32, np.int64):
+            with pytest.raises(ValueError, match="negative timestamp"):
+                EventChunk.from_arrays(
+                    [1], [2], np.array([-5], dtype), capacity=4
+                )
+
     def test_event_chunk_from_arrays_accepts_int64_in_range(self):
         from async_ev_cnn_tpu.layers.types import EventChunk
 

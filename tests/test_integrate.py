@@ -9,7 +9,12 @@ then clamp, event-add (last duplicate wins) then clamp, event mask =
 import numpy as np
 import jax.numpy as jnp
 
-from async_ev_cnn_tpu.ops.integrate import integrate_frame, integrate_step
+from async_ev_cnn_tpu.ops.integrate import (
+    integrate_frame,
+    integrate_parallel,
+    integrate_step,
+)
+from async_ev_cnn_tpu.utils.equivalence import make_stream
 
 
 def np_snap(x):
@@ -179,6 +184,42 @@ def test_integrate_frame_standalone(rng):
         exp, np_prev, _, _ = np_integrate(np_frame, np_prev, y, x, ts.astype(np.int32), leak)
         np_frame = exp
         np.testing.assert_allclose(np.asarray(frame), exp, atol=1e-6)
+
+
+def test_integrate_frame_empty_events():
+    """A quiet interval must be a no-op, not a zero-size-reduction crash."""
+    frame, last = integrate_frame(np.zeros((0, 3), np.int32), 0.05, 4, 5)
+    np.testing.assert_array_equal(np.asarray(frame), np.zeros((4, 5)))
+    assert int(last) == 0
+    # and from a non-trivial carried state: frame unchanged, no leak
+    state = [np.full((4, 5), 0.7, np.float32), np.int32(100)]
+    frame, last = integrate_frame(np.zeros((0, 3), np.int32), 0.05, 4, 5,
+                                  state)
+    np.testing.assert_allclose(np.asarray(frame), state[0], atol=0)
+    assert int(last) == 100
+
+
+def test_channeled_integrate_step_requires_polarity(rng):
+    """A [C, H, W] surface without p used to silently drop every event
+    (None == ch is False) — it must raise instead."""
+    import pytest
+
+    surface = jnp.zeros((2, 4, 4), jnp.float32)
+    with pytest.raises(TypeError, match="polarity"):
+        integrate_step(surface, jnp.int32(0), jnp.array([1]),
+                       jnp.array([1]), jnp.array([5]),
+                       jnp.array([True]), 0.01)
+
+
+def test_integrate_parallel_accepts_python_int_prev_ts(rng):
+    """integrate_step takes prev_ts=0; integrate_parallel must too."""
+    chunks = make_stream(rng, 3, 4, 6, 6)
+    surfs, last = integrate_parallel(
+        jnp.zeros((1, 6, 6), jnp.float32), 0, chunks, 0.01)
+    surfs2, last2 = integrate_parallel(
+        jnp.zeros((1, 6, 6), jnp.float32), jnp.int32(0), chunks, 0.01)
+    np.testing.assert_array_equal(np.asarray(surfs), np.asarray(surfs2))
+    np.testing.assert_array_equal(np.asarray(last), np.asarray(last2))
 
 
 def test_ts_map_mxu_bitexact_vs_reference(rng):
