@@ -248,7 +248,19 @@ class EventDataset:
         stacked = []
         for fi in range(n_feats):
             feats = [ex[fi] for ex in features_per_example]
-            if all(np.ndim(f) >= 1 and len(f) == l for f, l in zip(feats, lengths)):
+            length_like = all(
+                np.ndim(f) >= 1 and len(f) == l for f, l in zip(feats, lengths)
+            )
+            # also ragged-pad non-length features with differing first
+            # axes (e.g. per-example bbox lists with different box
+            # counts) — a bare np.stack over those raises; consumers
+            # must treat all-zero pad rows as absent
+            ragged = (
+                not length_like
+                and all(np.ndim(f) >= 1 for f in feats)
+                and len({len(f) for f in feats}) > 1
+            )
+            if length_like or ragged:
                 max_len = max(len(f) for f in feats)
                 feats = [
                     np.pad(f, [(0, max_len - len(f))] + [(0, 0)] * (np.ndim(f) - 1))

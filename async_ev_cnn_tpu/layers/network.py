@@ -279,7 +279,11 @@ class EventNetwork:
 
         ``upto`` (static) truncates the chain after that many layers —
         the layer-level profiling harness times successive prefixes and
-        differences them (utils/profiling.profile_layers)."""
+        differences them (utils/profiling.profile_layers).  NOTE: this
+        index is INCLUSIVE over ``event_layers`` (``upto=0`` runs the
+        integration layer); :meth:`full_frame_forward`'s ``upto`` is
+        EXCLUSIVE over the post-integration layers — do not port one
+        profiler's indices to the other."""
         states = []
         ios: "OrderedDict[str, LayerIO]" = OrderedDict()
         delta_leak = None
@@ -427,7 +431,10 @@ class EventNetwork:
         f32 ``[C, H, W]`` surface; returns the YOLO-grid output.  ``upto``
         (static) truncates after that many conv/pool layers and returns the
         truncated featuremap — the parallel-path profiler's hook
-        (utils/profiling.profile_layers_parallel)."""
+        (utils/profiling.profile_layers_parallel).  NOTE: EXCLUSIVE over
+        the post-integration layers (``upto=1`` runs only the first
+        conv), unlike :meth:`forward`'s inclusive ``event_layers`` index
+        — do not port one profiler's indices to the other."""
         from async_ev_cnn_tpu.ops.stem import fused_conv_pool
 
         ispec = self.event_layers[0].spec

@@ -24,6 +24,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from async_ev_cnn_tpu.ops.numerics import snap
 
@@ -481,6 +482,43 @@ def _integrate_frame_jit(frame, prev_ts, y, x, ts, valid, leak, h, w):
     f2 = f1 + jnp.where(ev_mask, contrib, jnp.float32(0))
     f2 = jnp.where(f2 < 0, jnp.float32(0), f2)
     return f2, last_ts
+
+
+def integrate_frame_chunked(events, leak, frame_h, frame_w,
+                            prev_output=None, slice_len=2048):
+    """:func:`integrate_frame` over fixed-size event slices.
+
+    The plain accumulator jits with the event count baked into the
+    shape: feeding whole variable-length recordings recompiles per
+    distinct N (0.5-15 min each over the tunnel) and materializes an
+    O(H*W*N) compare intermediate.  This carries ``(frame, last_ts)``
+    across ``slice_len``-event slices instead — ONE compiled program per
+    (slice_len, H, W) regardless of stream lengths, O(H*W*slice_len)
+    memory.  Ragged slices pad by repeating their final event, which is
+    exact within a slice (a duplicate (y, x, ts) never changes the
+    slice's per-pixel max-ts winner).
+
+    Semantics: identical to CHAINING :func:`integrate_frame` once per
+    slice — the reference's per-micro-batch accumulation protocol
+    (viz.py is called per batch and adds into the running frame), which
+    the frame runners already use.  That is the same value as ONE
+    whole-stream call only when no pixel receives events in two
+    different slices; otherwise each slice's per-pixel winner adds
+    (the accumulator is additive across calls by design).
+    """
+    events = np.asarray(events)
+    n = events.shape[0]
+    if n == 0:
+        return integrate_frame(events, leak, frame_h, frame_w, prev_output)
+    out = prev_output
+    for i in range(0, n, slice_len):
+        sl = events[i : i + slice_len]
+        if sl.shape[0] < slice_len:
+            pad = np.broadcast_to(
+                sl[-1], (slice_len - sl.shape[0], *sl.shape[1:]))
+            sl = np.concatenate([sl, pad])
+        out = integrate_frame(sl, leak, frame_h, frame_w, out)
+    return out
 
 
 def integrate_frame(events, leak, frame_h, frame_w, prev_output=None):

@@ -18,7 +18,7 @@ from functools import partial
 import numpy as np
 
 from async_ev_cnn_tpu.data import detection_reader
-from async_ev_cnn_tpu.ops.integrate import integrate_frame
+from async_ev_cnn_tpu.ops.integrate import integrate_frame_chunked
 from async_ev_cnn_tpu.utils.config import config
 from async_ev_cnn_tpu.utils.evaluation import decode_predictions, evaluate_detections
 from async_ev_cnn_tpu.utils.runner import split_micro_batches
@@ -77,8 +77,11 @@ def main(argv=None):
                 out = graph(batch, reset)
                 reset = False
             else:
-                frame, prev_ts = integrate_frame(
-                    batch, args.leak, args.frame_h, args.frame_w, frame_state
+                # chunked: µs-binned micro-batches vary in length and
+                # would recompile the jitted accumulator per size
+                frame, prev_ts = integrate_frame_chunked(
+                    batch, args.leak, args.frame_h, args.frame_w,
+                    frame_state, slice_len=max(256, args.batch_event_size),
                 )
                 frame_state = [frame, prev_ts]
         if not is_event:

@@ -20,7 +20,7 @@ from functools import partial
 import numpy as np
 
 from async_ev_cnn_tpu.data import detection_reader
-from async_ev_cnn_tpu.ops.integrate import integrate_frame
+from async_ev_cnn_tpu.ops.integrate import integrate_frame_chunked
 from async_ev_cnn_tpu.utils.config import build_parser
 from async_ev_cnn_tpu.utils.checkpoint import (
     restore_stream_state,
@@ -37,12 +37,19 @@ def opt_state_path(ckpt_path: str) -> str:
 
 
 def build_targets(bboxes: np.ndarray, sh: int, sw: int):
-    """Annotations ``[N, 6]`` (normalized xywh + class) -> grid targets."""
+    """Annotations ``[N, 6]`` (normalized xywh + class) -> grid targets.
+
+    Degenerate rows (w or h <= 0) are skipped: ``center_crop`` zero-fills
+    when a crop removes everything, and the reader's ragged batch padding
+    is all-zero rows — neither is an object, and a spurious obj=1 at grid
+    cell (0, 0) would bias every run on cropped/batched data."""
     boxes = np.zeros((sh, sw, 4), np.float32)
     obj = np.zeros((sh, sw), np.float32)
     cls = np.zeros((sh, sw), np.int32)
     for row in np.asarray(bboxes, np.float32):
         x, y, w, h, c = row[:5]
+        if w <= 0 or h <= 0:
+            continue
         cell_x = min(int(x * sw), sw - 1)
         cell_y = min(int(y * sh), sh - 1)
         boxes[cell_y, cell_x] = [x * sw - cell_x, y * sh - cell_y, w, h]
@@ -83,9 +90,22 @@ def main(argv=None):
 
         if isinstance(file_cfg.get("yolo_cnn_layers"), str):
             file_cfg["yolo_cnn_layers"] = layers_dict(file_cfg["yolo_cnn_layers"])
-        parser.set_defaults(**{k: v for k, v in file_cfg.items()
-                               if k in {a.dest for a in parser._actions}})
+        dests = {a.dest for a in parser._actions}
+        unknown = sorted(set(file_cfg) - dests)
+        if unknown:
+            # same contract as utils.config.config(): a typo'd YAML key
+            # must not silently fall back to the default
+            raise ValueError(f"unknown config keys: {unknown}")
+        parser.set_defaults(**file_cfg)
         args, _ = parser.parse_known_args(argv)
+    if args.train_steps < 1:
+        raise SystemExit("--train_steps must be >= 1")
+    args.log_every = max(1, args.log_every)
+    if getattr(args, "keep_polarity", False):
+        raise SystemExit(
+            "train integrates 1-channel frames (polarity dropped, like "
+            "the reference runner); 2-channel training is not supported"
+        )
 
     import jax.numpy as jnp
     import optax
@@ -110,6 +130,14 @@ def main(argv=None):
             params[f"w_{name}"] = jnp.asarray(
                 rng.randn(kh, kw, ci, co).astype(np.float32) * scale)
             params[f"b_{name}"] = jnp.zeros(co, jnp.float32)
+        elif "fc" in name:
+            # dense-tail layers (apply_tail): w [in, out], b [out] —
+            # without these an fc-tailed DSL crashed with KeyError on
+            # the first trainer step
+            fi, fo = size
+            params[f"w_{name}"] = jnp.asarray(
+                rng.randn(fi, fo).astype(np.float32) * np.sqrt(2.0 / fi))
+            params[f"b_{name}"] = jnp.zeros(fo, jnp.float32)
     if args.resume_from:
         from async_ev_cnn_tpu.utils.checkpoint import load_params, normalize_names
 
@@ -142,14 +170,26 @@ def main(argv=None):
 
     loss = None
     for step in range(args.train_steps):
+        # one batched fetch: next_batch only engages its thread pool for
+        # batch_size > 1, so per-example next_batch(1) loops serialized
+        # all file I/O + preprocessing on the training hot path
+        batch = reader.next_batch(
+            args.batch_size, dataset="train",
+            preprocessing_fn=partial(_eval_transform, args=args),
+            threads=args.reader_threads,
+        )
+        if args.batch_size == 1:
+            lengths, examples = batch[0], [(batch[1], batch[2])]
+        else:
+            lengths, ev_pad, bb_pad = batch[0], batch[1], batch[2]
+            # slice off the ragged zero-padding per example: a padding
+            # row (y=0, x=0, ts=0) would integrate as a real event
+            examples = [(ev_pad[i, : int(lengths[i])], bb_pad[i])
+                        for i in range(args.batch_size)]
         frames, boxes, objs, clss = [], [], [], []
-        for _ in range(args.batch_size):
-            _, events, bb = reader.next_batch(
-                1, dataset="train",
-                preprocessing_fn=partial(_eval_transform, args=args),
-                threads=args.reader_threads,
-            )
-            frame, _ = integrate_frame(events, args.leak, args.frame_h, args.frame_w)
+        for events, bb in examples:
+            frame, _ = integrate_frame_chunked(
+                events, args.leak, args.frame_h, args.frame_w)
             frames.append(np.asarray(frame))
             b, o, c = build_targets(bb, sh, sw)
             boxes.append(b)

@@ -26,7 +26,7 @@ import jax
 import numpy as np
 
 from async_ev_cnn_tpu.layers.types import EventChunk
-from async_ev_cnn_tpu.ops.integrate import integrate_frame
+from async_ev_cnn_tpu.ops.integrate import integrate_frame_chunked
 from async_ev_cnn_tpu.utils import viz
 from async_ev_cnn_tpu.utils.transforms import data_transform
 
@@ -100,8 +100,11 @@ class Runner:
             ):
                 if self.profile_integration:
                     t0 = time.time()
-                frame, prev_ts = integrate_frame(
-                    events_batch, args.leak, args.frame_h, args.frame_w, frame_state
+                # chunked: µs-binned micro-batches vary in length and
+                # would recompile the jitted accumulator per size
+                frame, prev_ts = integrate_frame_chunked(
+                    events_batch, args.leak, args.frame_h, args.frame_w,
+                    frame_state, slice_len=max(256, args.batch_event_size),
                 )
                 frame_state = [frame, prev_ts]
                 if not self.profile_integration:

@@ -48,8 +48,13 @@ def center_crop(l, x, y, ts, p, bboxes, old_shape, new_shape):
     if bboxes is not None and len(bboxes):
         old_h, old_w = old_shape
         bb = np.array(bboxes, np.float32, copy=True)
-        bb[:, [0, 2]] = np.clip(bb[:, [0, 2]] * old_w - shift_x, 0, new_w) / new_w
-        bb[:, [1, 3]] = np.clip(bb[:, [1, 3]] * old_h - shift_y, 0, new_h) / new_h
+        # xywh: only the CENTER columns shift with the crop window; the
+        # width/height columns just rescale (shifting them shrank every
+        # box by the crop offset and zeroed narrow ones)
+        bb[:, 0] = np.clip(bb[:, 0] * old_w - shift_x, 0, new_w) / new_w
+        bb[:, 1] = np.clip(bb[:, 1] * old_h - shift_y, 0, new_h) / new_h
+        bb[:, 2] = np.clip(bb[:, 2] * old_w, 0, new_w) / new_w
+        bb[:, 3] = np.clip(bb[:, 3] * old_h, 0, new_h) / new_h
     else:
         bb = bboxes
 

@@ -199,6 +199,37 @@ def test_integrate_frame_empty_events():
     assert int(last) == 100
 
 
+def test_integrate_frame_chunked_matches_plain(rng):
+    """The fixed-slice accumulator: (a) the repeated-last-event padding
+    is BIT-exact within one slice (a duplicate (y, x, ts) never changes
+    a per-pixel max-ts winner); (b) across slices it chains (frame,
+    last_ts) exactly like the runner's micro-batch protocol — equal to
+    the whole-stream call up to per-slice rounding/clamp boundaries."""
+    from async_ev_cnn_tpu.ops.integrate import integrate_frame_chunked
+
+    h, w, leak = 9, 11, 0.01
+    for n in (1, 17, 63):  # single padded slice: bit-exact
+        ts = np.cumsum(rng.randint(1, 9, size=n))
+        ev = np.stack([rng.randint(0, h, n), rng.randint(0, w, n),
+                       ts], axis=-1).astype(np.int32)
+        fa, la = integrate_frame(ev, leak, h, w)
+        fb, lb = integrate_frame_chunked(ev, leak, h, w, slice_len=64)
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+        assert int(la) == int(lb)
+    state = None
+    for n in (0, 65, 200, 64):  # multi-slice: equals PER-SLICE chaining
+        ts = np.cumsum(rng.randint(1, 9, size=max(n, 1)))[:n]
+        ev = np.stack([rng.randint(0, h, n), rng.randint(0, w, n),
+                       ts], axis=-1).astype(np.int32)
+        ref = state
+        for i in range(0, max(n, 1), 64):  # unpadded per-slice chain
+            ref = integrate_frame(ev[i : i + 64], leak, h, w, ref)
+        fb, lb = integrate_frame_chunked(ev, leak, h, w, state, slice_len=64)
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(fb))
+        assert int(ref[1]) == int(lb)
+        state = [fb, lb]
+
+
 def test_channeled_integrate_step_requires_polarity(rng):
     """A [C, H, W] surface without p used to silently drop every event
     (None == ch is False) — it must raise instead."""

@@ -23,6 +23,22 @@ def test_center_crop_events(rng):
     assert 0.0 <= bb[0, 0] <= 1.0 and 0.0 <= bb[0, 1] <= 1.0
 
 
+def test_center_crop_preserves_box_size(rng):
+    """Width/height columns only RESCALE under a crop; subtracting the
+    crop offset from them (the old behavior) shrank every box and zeroed
+    narrow ones."""
+    n = 500
+    x = rng.randint(0, 40, n).astype(np.int32)
+    y = rng.randint(0, 30, n).astype(np.int32)
+    ts = np.sort(rng.randint(0, 1000, n)).astype(np.int32)
+    p = rng.randint(0, 2, n).astype(np.int32)
+    # box of 8x6 pixels centered mid-frame
+    bboxes = np.array([[0.5, 0.5, 8 / 40, 6 / 30, 1, 0]], np.float32)
+    _, _, _, _, _, bb = center_crop(n, x, y, ts, p, bboxes, (30, 40), (10, 12))
+    np.testing.assert_allclose(bb[0, 2], 8 / 12, atol=1e-6)  # width rescaled
+    np.testing.assert_allclose(bb[0, 3], 6 / 10, atol=1e-6)  # height rescaled
+
+
 def test_center_crop_noop_when_same_shape(rng):
     class A:
         frame_h = frame_w = 8
