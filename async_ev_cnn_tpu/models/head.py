@@ -12,11 +12,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def to_grid(flat_out, h_cells: int, w_cells: int, num_classes: int, num_bbox: int):
-    """Reshape the network tail output to ``[h_cells, w_cells, C + B*5]``."""
-    return jnp.reshape(flat_out, (h_cells, w_cells, num_classes + num_bbox * 5))
-
-
 def convert_bboxes(bboxes, grid_h: int, grid_w: int, h_image: int, w_image: int, sqrt: bool = True):
     """Grid-relative box params -> image-space (x_center, y_center, w, h).
 
@@ -56,15 +51,10 @@ def decode(
     cls = grid_out[..., :num_classes]                              # [S,S,C]
     box = grid_out[..., num_classes:].reshape(h_cells, w_cells, num_bbox, 5)
 
-    col = jnp.arange(w_cells, dtype=jnp.float32).reshape(1, w_cells, 1)
-    row = jnp.arange(h_cells, dtype=jnp.float32).reshape(h_cells, 1, 1)
-    x = (box[..., 0] + col) / w_cells * w_image
-    y = (box[..., 1] + row) / h_cells * h_image
-    w = (jnp.square(box[..., 2]) if sqrt else box[..., 2]) * w_image
-    h = (jnp.square(box[..., 3]) if sqrt else box[..., 3]) * h_image
+    boxes = convert_bboxes(
+        box[..., :4], h_cells, w_cells, h_image, w_image, sqrt
+    ).reshape(-1, 4)
     conf = box[..., 4]
-
-    boxes = jnp.stack([x, y, w, h], axis=-1).reshape(-1, 4)
     scores = conf.reshape(-1)
     # class prob per box = cell class distribution * box confidence
     probs = (cls[:, :, None, :] * conf[..., None]).reshape(-1, num_classes)

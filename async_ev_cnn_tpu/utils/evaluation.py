@@ -68,6 +68,13 @@ def evaluate_detections(
          "num_gt_per_class": [...]}`` (classes with no ground truth get
       NaN AP and are excluded from the mean).
     """
+    if len(predictions) != len(ground_truths):
+        # zip would silently truncate and score a different example set
+        # than the caller thinks
+        raise ValueError(
+            f"{len(predictions)} prediction lists vs "
+            f"{len(ground_truths)} ground-truth lists"
+        )
     ap_per_class: List[float] = []
     gt_counts: List[int] = []
     for cls in range(num_classes):
@@ -127,16 +134,33 @@ def decode_predictions(
     use_nms: bool = True,
     nms_threshold: float = 0.5,
 ):
-    """Grid output -> ``(boxes, scores, classes)`` ready for evaluation."""
+    """Grid output -> ``(boxes, scores, classes)`` ready for evaluation.
+
+    Standard YOLO/VOC protocol: the detection score for class ``c`` is
+    the class probability scaled by box confidence (``decode``'s
+    ``probs`` column — NOT the raw objectness, which is class-agnostic
+    and mis-ranks every per-class PR curve), thresholding and NMS run
+    PER CLASS (class-agnostic NMS suppresses genuinely overlapping
+    objects of different classes), and one box may emit detections for
+    several classes."""
     from async_ev_cnn_tpu.models.head import decode
     from async_ev_cnn_tpu.utils.nms import nms
 
-    boxes, scores, probs = decode(grid_out, num_classes, num_bbox, h_image, w_image)
-    boxes, scores, probs = np.asarray(boxes), np.asarray(scores), np.asarray(probs)
-    keep = scores > conf_threshold
-    boxes, scores, probs = boxes[keep], scores[keep], probs[keep]
-    if use_nms and len(boxes):
-        picked = nms(boxes, scores, iou_threshold=nms_threshold)
-        boxes, scores, probs = boxes[picked], scores[picked], probs[picked]
-    classes = np.argmax(probs, axis=-1) if len(probs) else np.zeros(0, np.int64)
-    return boxes, scores, classes
+    boxes, _, probs = decode(grid_out, num_classes, num_bbox, h_image, w_image)
+    boxes, probs = np.asarray(boxes), np.asarray(probs)
+    out_boxes, out_scores, out_classes = [], [], []
+    for cls in range(num_classes):
+        s = probs[:, cls]
+        keep = s > conf_threshold
+        b, sc = boxes[keep], s[keep]
+        if use_nms and len(b):
+            picked = nms(b, sc, iou_threshold=nms_threshold)
+            b, sc = b[picked], sc[picked]
+        out_boxes.append(b)
+        out_scores.append(sc)
+        out_classes.append(np.full(len(b), cls, np.int64))
+    if not out_boxes:
+        return (np.zeros((0, 4), np.float32), np.zeros(0, np.float32),
+                np.zeros(0, np.int64))
+    return (np.concatenate(out_boxes), np.concatenate(out_scores),
+            np.concatenate(out_classes))

@@ -15,14 +15,12 @@ import numpy as np
 
 
 def _iou_center(box, boxes):
-    """IoU of one (x, y, w, h) center-format box against [N, 4]."""
-    x1 = np.maximum(box[0] - box[2] / 2, boxes[:, 0] - boxes[:, 2] / 2)
-    y1 = np.maximum(box[1] - box[3] / 2, boxes[:, 1] - boxes[:, 3] / 2)
-    x2 = np.minimum(box[0] + box[2] / 2, boxes[:, 0] + boxes[:, 2] / 2)
-    y2 = np.minimum(box[1] + box[3] / 2, boxes[:, 1] + boxes[:, 3] / 2)
-    inter = np.maximum(0, x2 - x1) * np.maximum(0, y2 - y1)
-    union = box[2] * box[3] + boxes[:, 2] * boxes[:, 3] - inter
-    return inter / np.where(union > 0, union, 1)
+    """IoU of one (x, y, w, h) center-format box against [N, 4] — the 1xM
+    case of :func:`async_ev_cnn_tpu.utils.evaluation.iou_matrix` (one
+    shared IoU implementation per box convention)."""
+    from async_ev_cnn_tpu.utils.evaluation import iou_matrix
+
+    return iou_matrix(np.asarray(box, np.float32)[None], boxes)[0]
 
 
 def nms(boxes, scores, valid=None, iou_threshold=0.5):
@@ -33,9 +31,13 @@ def nms(boxes, scores, valid=None, iou_threshold=0.5):
     """
     boxes = np.asarray(boxes, np.float32)
     scores = np.asarray(scores, np.float32)
-    idx = np.argsort(scores)[::-1]
+    # stable descending sort: same tie order as nms_jax's argsort(-s),
+    # so host- and device-path NMS pick identical representatives
+    idx = np.argsort(-scores, kind="stable")
     if valid is not None:
-        idx = idx[np.asarray(valid)[idx]]
+        # a 0/1 int mask would fancy-index (selecting wrong boxes) —
+        # force the boolean-mask interpretation
+        idx = idx[np.asarray(valid, bool)[idx]]
     picked = []
     alive = list(idx)
     while alive:

@@ -74,3 +74,42 @@ def test_decode_predictions_pipeline():
     assert len(boxes) == 1
     assert classes[0] == 1
     assert np.isclose(boxes[0][0], (0.5 + 1) / 4 * 80)
+    # the detection score is the CLASS score (prob * conf), not the raw
+    # class-agnostic objectness — the quantity per-class AP must rank by
+    assert np.isclose(scores[0], 0.9 * 0.95)
+
+
+def test_decode_predictions_per_class_nms():
+    """NMS runs per class: overlapping confident detections of DIFFERENT
+    classes both survive (class-agnostic NMS used to suppress one)."""
+    num_classes, num_bbox = 2, 2
+    grid = np.zeros((2, 2, num_classes + num_bbox * 5), np.float32)
+    grid[0, 0, :2] = [0.6, 0.4]  # both classes over threshold
+    grid[0, 0, 2:7] = [0.5, 0.5, 0.5, 0.5, 0.95]
+    boxes, scores, classes = decode_predictions(
+        grid, num_classes, num_bbox, 80, 80, conf_threshold=0.3)
+    assert sorted(classes.tolist()) == [0, 1]
+
+
+def test_nms_accepts_int_mask_and_matches_jax_ties(rng):
+    """(a) a 0/1 int validity mask must behave as a boolean mask, not
+    fancy-index; (b) host nms and device nms_jax break score ties the
+    same way."""
+    import jax.numpy as jnp
+
+    from async_ev_cnn_tpu.utils.nms import nms, nms_jax
+
+    boxes = np.array([[10, 10, 4, 4], [30, 30, 4, 4], [50, 50, 4, 4]],
+                     np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    np.testing.assert_array_equal(
+        nms(boxes, scores, valid=np.array([1, 1, 0])),
+        nms(boxes, scores, valid=np.array([True, True, False])))
+    # tied identical boxes: both paths must pick the same representative
+    tb = np.array([[10, 10, 4, 4], [10, 10, 4, 4], [40, 40, 4, 4]],
+                  np.float32)
+    tsc = np.array([0.9, 0.9, 0.5], np.float32)
+    picked = nms(tb, tsc)
+    keep = np.asarray(nms_jax(jnp.asarray(tb), jnp.asarray(tsc),
+                              jnp.ones(3, bool)))
+    np.testing.assert_array_equal(np.sort(picked), np.where(keep)[0])
