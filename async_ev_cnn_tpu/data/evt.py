@@ -88,6 +88,14 @@ def _ffill_value(
     re-materializing it (this helper dominates the fallback decoder's
     profile; int32 indices halve its memory traffic).
     """
+    if marker.size >= 2**31:
+        # the int32 iota below would wrap silently and forward-fill
+        # garbage indices; a >= 2^31-word single file is beyond the
+        # int32-µs recording contract anyway — refuse loudly
+        raise ValueError(
+            f"{marker.size} words exceed the 2**31-word decoder limit; "
+            "split the recording"
+        )
     if iota is None:
         iota = np.arange(marker.size, dtype=np.int32)
     idx = np.maximum.accumulate(np.where(marker, iota, np.int32(-1)))
@@ -140,8 +148,11 @@ class Evt2Reader(FileReader):
             new_th[1:] = th[1:] != th[:-1]
         th_words = (0x8 << 28) | (th & 0x0FFFFFFF)
         cd_words = (
-            ((0x0 + p) << 28) | ((ts & 0x3F) << 22) | ((x & 0x7FF) << 11)
-            | (y & 0x7FF)
+            # p masked like every other field: an unmasked p=-1 (the ±1
+            # polarity convention) wrapped to type nibble 0xF and the
+            # decoder silently dropped the event
+            ((0x0 + (p & 1)) << 28) | ((ts & 0x3F) << 22)
+            | ((x & 0x7FF) << 11) | (y & 0x7FF)
         )
         # interleave: TIME_HIGH (where needed) before its CD word
         n_words = len(ts) + int(new_th.sum())
@@ -181,6 +192,11 @@ class Evt3Reader(FileReader):
     @staticmethod
     def _decode(words: np.ndarray):
         n = words.size
+        if n >= 2**31:
+            raise ValueError(
+                f"{n} words exceed the 2**31-word decoder limit; split "
+                "the recording"
+            )
         iota = np.arange(n, dtype=np.int32)
         typ = (words >> 12).astype(np.int32)
         val = (words & 0xFFF).astype(np.int32)

@@ -75,14 +75,35 @@ class NReader(FileReader):
 
     @staticmethod
     def encode(x, y, ts, p) -> np.ndarray:
-        out = np.empty((len(x), 5), np.uint8)
-        ts = np.asarray(ts, np.uint32)
-        out[:, 0] = np.asarray(x, np.uint32) & 0xFF
-        out[:, 1] = np.asarray(y, np.uint32) & 0xFF
-        out[:, 2] = ((np.asarray(p, np.uint32) & 1) << 7) | ((ts >> 16) & 0x7F)
-        out[:, 3] = (ts >> 8) & 0xFF
-        out[:, 4] = ts & 0xFF
-        return out.reshape(-1)
+        """Encode events, emitting y==240 overflow markers so timestamps
+        past the 23-bit raw field round-trip (the old writer masked ts to
+        23 bits silently — a >8.39 s recording re-read with timestamps
+        jumping backwards).  Marker k-counts are the minimal monotone
+        sequence with ``ts - k * 2**13`` inside the field, the inverse of
+        :meth:`decode`'s cumulative-increment splice."""
+        ts = np.asarray(ts, np.int64)
+        over = ts - (2**23 - 1)
+        k = np.zeros(len(ts), np.int64)
+        if len(ts):
+            k = np.maximum.accumulate(
+                np.where(over > 0, -(-over // N_DATA_OVERFLOW_INCREMENT), 0)
+            )
+        raw_ts = (ts - k * N_DATA_OVERFLOW_INCREMENT).astype(np.uint32)
+        n_markers = int(k[-1]) if len(k) else 0
+        rows = np.zeros((len(ts) + n_markers, 5), np.uint8)
+        if n_markers:
+            pos = np.arange(len(ts)) + k  # event row after its markers
+            rows[:, 1] = N_DATA_OVERFLOW_Y  # marker rows by default
+        else:
+            pos = slice(None)
+        rows[pos, 0] = (np.asarray(x, np.int64) & 0xFF).astype(np.uint8)
+        rows[pos, 1] = (np.asarray(y, np.int64) & 0xFF).astype(np.uint8)
+        rows[pos, 2] = (
+            ((np.asarray(p, np.int64) & 1) << 7) | ((raw_ts >> 16) & 0x7F)
+        ).astype(np.uint8)
+        rows[pos, 3] = ((raw_ts >> 8) & 0xFF).astype(np.uint8)
+        rows[pos, 4] = (raw_ts & 0xFF).astype(np.uint8)
+        return rows.reshape(-1)
 
     def save_example(self, filename, x, y, ts, p, version=None):
         self.encode(x, y, ts, p).tofile(filename)
@@ -145,7 +166,12 @@ class AerReader(FileReader):
                 out = native.decode_aedat20(payload.view(np.uint8))
                 if out is not None:
                     return out
-        data = payload.byteswap()  # 2.0 payload is big-endian
+        # 2.0 payload is big-endian: reinterpret the bytes as '>i4' (a
+        # bare byteswap() assumes a little-endian host and corrupts on a
+        # big-endian one); drop a truncated file's odd trailing word so
+        # addr and ts stay aligned (every other decoder here trims)
+        data = payload.view(">i4").astype(np.int32)
+        data = data[: data.size & ~1]
         addr = data[0::2]
         ts = data[1::2]
         if self._camera.startswith("DAVIS"):
@@ -214,7 +240,7 @@ class AerReader(FileReader):
                 if 0 < ts_offset < event_size and ts_offset % 4 == 0
                 else 1
             )
-            data_col = 0 if ts_col != 0 else 1
+            data_col = 0  # the polarity word is word 0 (ts_col >= 1 above)
             mat = body.reshape(-1, wpe)
             data = mat[:, data_col]
             ts = mat[:, ts_col]

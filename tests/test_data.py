@@ -42,6 +42,45 @@ def test_ndata_timestamp_overflow_markers():
     np.testing.assert_array_equal(ts, [100, 200 + 2**13])  # post-marker bump
 
 
+def test_ndata_roundtrip_past_23bit_ts(tmp_path, rng):
+    """Recordings longer than the 23-bit raw ts field (~8.39 s) must
+    round-trip via emitted y==240 overflow markers — the old writer
+    masked ts to 23 bits silently and re-reads jumped backwards."""
+    x = np.array([1, 2, 3, 4], np.int32)
+    y = np.array([5, 6, 7, 8], np.int32)
+    ts = np.array([100, 2**23 - 1, 2**23 + 5, 2**24 + 3], np.int64)
+    p = np.array([0, 1, 0, 1], np.int32)
+    path = str(tmp_path / "long.bin")
+    r = NReader()
+    r.save_example(path, x, y, ts, p)
+    l2, x2, y2, ts2, p2 = r.read_example(path)
+    assert l2 == 4
+    np.testing.assert_array_equal(x2, x)
+    np.testing.assert_array_equal(y2, y)
+    np.testing.assert_array_equal(ts2, ts)
+    np.testing.assert_array_equal(p2, p)
+    # the numpy decode path agrees with whatever read_example used
+    l3, x3, y3, ts3, p3 = NReader.decode(
+        np.fromfile(path, dtype=np.uint8))
+    np.testing.assert_array_equal(ts3, ts)
+
+
+def test_aedat20_truncated_file_stays_aligned(tmp_path, rng):
+    """A 2.0 file truncated mid-event (odd int32 word count) must decode
+    the complete events with ts aligned to x/y/p — not return mismatched
+    array lengths."""
+    x, y, ts, p = random_events(rng, n=50, max_xy=127)
+    path = str(tmp_path / "trunc.aedat")
+    r = AerReader("DVS128")
+    r.save_example(path, x, y, ts, p, version="2.0")
+    raw = open(path, "rb").read()
+    open(path, "wb").write(raw[:-4])  # drop the last word (half an event)
+    l2, x2, y2, ts2, p2 = r.read_example(path)
+    assert l2 == len(x2) == len(y2) == len(ts2) == len(p2) == 49
+    np.testing.assert_array_equal(x2, x[:49])
+    np.testing.assert_array_equal(ts2, ts[:49])
+
+
 def test_aedat20_roundtrip(tmp_path, rng):
     # DVS128: 7-bit coords, polarity bit
     x, y, ts, p = random_events(rng, n=300, max_xy=127)
@@ -504,6 +543,20 @@ class TestEvtCodecs:
         np.testing.assert_array_equal(y2, y)
         np.testing.assert_array_equal(ts2, ts)
         np.testing.assert_array_equal(p2, p)
+
+    def test_evt2_writer_masks_polarity(self, rng, tmp_path):
+        """An unmasked p outside {0, 1} used to corrupt the 4-bit type
+        nibble (p=-1 wrapped to 0xF and the decoder silently dropped the
+        event); the writer now masks p like every other field."""
+        from async_ev_cnn_tpu.data.evt import Evt2Reader
+
+        codec = Evt2Reader()
+        f = str(tmp_path / "pm.raw")
+        codec.save_example(f, [3, 4], [5, 6], [10, 20], [-1, 2])
+        n2, x2, y2, ts2, p2 = codec.read_example(f)
+        assert n2 == 2  # nothing silently dropped
+        np.testing.assert_array_equal(x2, [3, 4])
+        np.testing.assert_array_equal(p2, [(-1) & 1, 2 & 1])
 
     def test_evt3_round_trip(self, rng, tmp_path):
         from async_ev_cnn_tpu.data.evt import Evt3Reader
