@@ -222,3 +222,20 @@ def decode_evt3(payload: bytes):
             "wrapped negative); rebase or split the recording"
         )
     return n, x, y, ts, p
+
+
+def crc32c(data: bytes):
+    """CRC-32C via the native library (SSE4.2 crc32 instruction), or
+    ``None`` when the library isn't built or predates the symbol —
+    callers fall back to the Python table loop (utils/tf_bundle.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        fn = lib.evio_crc32c
+    except AttributeError:  # stale libevio.so from before the symbol
+        return None
+    if fn.restype != ctypes.c_uint32:
+        fn.restype = ctypes.c_uint32
+        fn.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    return int(fn(data, len(data)))

@@ -30,12 +30,14 @@ def _atomic_savez(path: str, arrays: Dict[str, np.ndarray]) -> None:
     ``os.replace``.  A crash mid-write (the exact scenario periodic
     checkpointing exists for) can otherwise leave a truncated archive as
     the only copy of the run's state."""
-    # np.savez appends ".npz" when the target lacks it — mirror that so the
-    # final rename lands on the name np.savez would have written.
-    if not path.endswith(".npz"):
-        path = path + ".npz"
+    # Write the EXACT path given (np.savez only appends ".npz" for str
+    # targets; we hand it a file object).  Appending created a save/load
+    # asymmetry: save_stream_state('state.ckpt') wrote state.ckpt.npz and
+    # the restore's os.path.exists('state.ckpt') never fired.  The temp
+    # suffix must NOT end in '.npz' or latest_checkpoint resurrects a
+    # crashed write's truncated archive as the newest checkpoint.
     fd, tmp = tempfile.mkstemp(
-        dir=os.path.dirname(os.path.abspath(path)), suffix=".tmp.npz"
+        dir=os.path.dirname(os.path.abspath(path)), suffix=".tmp"
     )
     try:
         with os.fdopen(fd, "wb") as f:
@@ -67,6 +69,8 @@ def latest_checkpoint(path: str) -> str:
     candidates = []
     for fn in os.listdir(path):
         full = os.path.join(path, fn)
+        if fn.endswith(".tmp.npz"):
+            continue  # leftover from a crashed pre-fix atomic write
         if fn.endswith(".npz"):
             candidates.append((os.path.getmtime(full), full))
         elif fn.endswith(".index"):
@@ -106,13 +110,29 @@ def load_params(path: str, restrict_vars=None) -> Dict[str, np.ndarray]:
             params = {k: v for k, v in params.items() if k in restrict_vars}
         return params
     path = latest_checkpoint(path)
-    if path.endswith(".npz"):
+    def _is_npz(p):
+        if p.endswith(".npz"):
+            return True
+        try:  # extension-free .npz (save_params writes the exact path)
+            with open(p, "rb") as f:
+                return f.read(4) == b"PK\x03\x04"
+        except OSError:
+            return False
+
+    if _is_npz(path):
         with np.load(path) as z:
             params = {k: z[k] for k in z.files}
     else:
         params = _load_tf_checkpoint(path)
     if restrict_vars is not None:
-        params = {k: v for k, v in params.items() if k in restrict_vars}
+        # match flat names for object-graph checkpoints too, where raw
+        # keys are 'name/.ATTRIBUTES/VARIABLE_VALUE' (else restriction
+        # silently returns an empty dict)
+        params = {
+            k: v for k, v in params.items()
+            if k in restrict_vars
+            or k.split("/.ATTRIBUTES/")[0] in restrict_vars
+        }
     return params
 
 
@@ -211,5 +231,15 @@ def restore_stream_state(path: str, like):
                 f"leaf {i}: checkpoint dtype {a.dtype} != structure "
                 f"dtype {want}"
             )
-        out.append(jnp.asarray(a))
+        j = jnp.asarray(a)
+        if j.dtype != a.dtype:
+            # default x64-disabled JAX demotes int64/float64 leaves on
+            # asarray — values >= 2**31 would wrap silently, the exact
+            # corruption the strict dtype check above exists to prevent
+            raise ValueError(
+                f"leaf {i}: JAX demoted {a.dtype} to {j.dtype} on "
+                "restore (x64 disabled); store the leaf as a 32-bit "
+                "dtype or enable jax_enable_x64"
+            )
+        out.append(j)
     return jax.tree.unflatten(treedef, out)

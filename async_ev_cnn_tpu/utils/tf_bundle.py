@@ -106,7 +106,8 @@ def _parse_shape(buf: bytes) -> Tuple[int, ...]:
 
 
 class BundleEntry:
-    __slots__ = ("dtype_enum", "shape", "shard_id", "offset", "size")
+    __slots__ = ("dtype_enum", "shape", "shard_id", "offset", "size",
+                 "crc32c")
 
     def __init__(self):
         self.dtype_enum = 0
@@ -114,6 +115,7 @@ class BundleEntry:
         self.shard_id = 0
         self.offset = 0
         self.size = 0
+        self.crc32c = None  # masked crc32c of the tensor bytes (field 6)
 
 
 def _parse_entry(buf: bytes) -> BundleEntry:
@@ -129,6 +131,8 @@ def _parse_entry(buf: bytes) -> BundleEntry:
             e.offset = val
         elif field == 5:
             e.size = val
+        elif field == 6:
+            e.crc32c = val
     return e
 
 
@@ -182,9 +186,16 @@ def _snappy_decompress(data: bytes) -> bytes:
 
 
 def _read_block(data: bytes, offset: int, size: int) -> bytes:
-    """Read a table block given its handle; verify/strip the 5-byte trailer."""
+    """Read a table block given its handle; verify the 5-byte trailer
+    (compression type byte + masked crc32c of block+type) and strip it."""
     raw = data[offset : offset + size]
     ctype = data[offset + size]  # 1-byte compression type in the trailer
+    want = struct.unpack_from("<I", data, offset + size + 1)[0]
+    if _masked_crc(raw + bytes([ctype])) != want:
+        raise ValueError(
+            "index block checksum mismatch (corrupt or truncated "
+            "checkpoint index)"
+        )
     if ctype == 0:
         return raw
     if ctype == 1:
@@ -257,20 +268,33 @@ def _encode_handle(offset: int, size: int) -> bytes:
     return bytes(out)
 
 
-def _crc32c(data: bytes) -> int:
-    """CRC-32C (Castagnoli), table-driven."""
+def _crc_tables():
     global _CRC_TABLE
     if _CRC_TABLE is None:
-        table = []
+        t0 = []
         for i in range(256):
             crc = i
             for _ in range(8):
                 crc = (crc >> 1) ^ 0x82F63B78 if crc & 1 else crc >> 1
-            table.append(crc)
-        _CRC_TABLE = table
+            t0.append(crc)
+        _CRC_TABLE = [t0]
+    return _CRC_TABLE
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli).  The native SSE4.2 path (~20 GB/s,
+    native/evio.cc) when built — the Python table loop runs at ~6 MB/s,
+    which made checksums dominate multi-MB checkpoint exports — with the
+    table loop as the always-available fallback."""
+    from async_ev_cnn_tpu.data.native import crc32c as _native_crc
+
+    native = _native_crc(data)
+    if native is not None:
+        return native
+    t0 = _crc_tables()[0]
     crc = 0xFFFFFFFF
     for b in data:
-        crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+        crc = t0[(crc ^ b) & 0xFF] ^ (crc >> 8)
     return crc ^ 0xFFFFFFFF
 
 
@@ -341,11 +365,16 @@ def save_tensor_bundle(prefix: str, tensors: Dict[str, np.ndarray]) -> None:
     """Write a TF v2 checkpoint (single shard) readable by TensorFlow and by
     :func:`load_tensor_bundle` — the write direction of the reference's
     checkpoint interop."""
+    import os
+
     names = sorted(tensors)
     data_path = _shard_path(prefix, 0, 1)
     offset = 0
     entries = []
-    with open(data_path, "wb") as f:
+    # write-to-temp + os.replace per file, marker last: overwriting the
+    # live .data before the .index left a crash window where OLD index
+    # offsets pointed into NEW data and garbage bytes loaded as weights
+    with open(data_path + ".tmp", "wb") as f:
         for name in names:
             arr = np.ascontiguousarray(tensors[name])
             if arr.dtype not in _NP_TO_DTYPE:
@@ -388,8 +417,20 @@ def save_tensor_bundle(prefix: str, tensors: Dict[str, np.ndarray]) -> None:
     footer += b"\x00" * (40 - len(footer))
     footer += struct.pack("<Q", _TABLE_MAGIC)
     out += footer
-    with open(prefix + ".index", "wb") as f:
+    with open(prefix + ".index.tmp", "wb") as f:
         f.write(bytes(out))
+    os.replace(data_path + ".tmp", data_path)
+    os.replace(prefix + ".index.tmp", prefix + ".index")
+    # the 'checkpoint' CheckpointState text proto: tf.train.latest_checkpoint
+    # resolves DIRECTORIES through it — without the marker, reference users
+    # pointing at the export dir get None and crash (event_numpy.py:37-40)
+    base = os.path.basename(prefix)
+    marker = os.path.join(os.path.dirname(os.path.abspath(prefix)),
+                          "checkpoint")
+    with open(marker + ".tmp", "w") as f:
+        f.write(f'model_checkpoint_path: "{base}"\n'
+                f'all_model_checkpoint_paths: "{base}"\n')
+    os.replace(marker + ".tmp", marker)
 
 
 # ---------------------------------------------------------------------------
@@ -435,8 +476,16 @@ def load_tensor_bundle(prefix: str) -> Dict[str, np.ndarray]:
         raw = shard_data[e.shard_id][e.offset : e.offset + e.size]
         if e.dtype_enum == 7:
             # DT_STRING — TF bookkeeping (e.g. _CHECKPOINTABLE_OBJECT_GRAPH),
-            # never model weights; skip.
+            # never model weights; skip (note: its entry crc covers TF's
+            # length-prefixed string encoding, not these raw bytes).
             continue
+        if e.crc32c is not None and _masked_crc(raw) != e.crc32c:
+            # TF's BundleReader raises DataLoss here; silently handing a
+            # bit-flipped shard back as model weights is worse
+            raise ValueError(
+                f"tensor {key.decode()!r}: data shard checksum mismatch "
+                "(corrupt or truncated checkpoint)"
+            )
         if e.dtype_enum == 14:  # bfloat16: upcast via uint16 -> float32 bits
             u = np.frombuffer(raw, np.uint16).astype(np.uint32) << 16
             arr = u.view(np.float32)

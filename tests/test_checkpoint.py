@@ -164,3 +164,59 @@ def test_stream_state_save_restore(tmp_path, rng):
     wrong = net.init_state(params)[:-1]
     with pytest.raises(ValueError):
         restore_stream_state(path, wrong)
+
+
+def test_corrupt_bundle_data_refused(tmp_path, ckpt_vars):
+    """A bit-flipped .data shard must fail the per-tensor crc32c check
+    (TF's BundleReader raises DataLoss there too), not load as weights."""
+    from async_ev_cnn_tpu.utils.checkpoint import save_params_tf
+    from async_ev_cnn_tpu.utils.tf_bundle import load_tensor_bundle
+
+    prefix = str(tmp_path / "ckpt")
+    save_params_tf(prefix, ckpt_vars)
+    data_path = prefix + ".data-00000-of-00001"
+    raw = bytearray(open(data_path, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF
+    open(data_path, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="checksum"):
+        load_tensor_bundle(prefix)
+
+
+def test_save_params_exact_path_no_suffix(tmp_path, ckpt_vars):
+    """save/load are symmetric for extension-free paths: the old writer
+    appended '.npz', so serve --serve_state state.ckpt wrote
+    state.ckpt.npz and the restore's existence check never fired."""
+    path = str(tmp_path / "weights.ckpt")
+    save_params(path, ckpt_vars)
+    assert os.path.exists(path)
+    out = load_params(path)
+    np.testing.assert_array_equal(out["w_conv1"], ckpt_vars["w_conv1"])
+
+
+def test_tf_export_writes_checkpoint_marker(tmp_path, ckpt_vars):
+    """save_params_tf writes the 'checkpoint' CheckpointState marker so
+    directory-based resolution (tf.train.latest_checkpoint and ours)
+    finds the export."""
+    from async_ev_cnn_tpu.utils.checkpoint import save_params_tf
+
+    prefix = str(tmp_path / "export")
+    save_params_tf(prefix, ckpt_vars)
+    assert latest_checkpoint(str(tmp_path)) == prefix
+    assert tf.train.latest_checkpoint(str(tmp_path)) == prefix
+
+
+def test_restore_stream_state_refuses_x64_demotion(tmp_path):
+    """An int64 leaf would be silently demoted to int32 by jnp.asarray
+    under default x64-disabled JAX — values >= 2**31 wrap; refuse."""
+    import jax.numpy as jnp
+
+    from async_ev_cnn_tpu.utils.checkpoint import (
+        restore_stream_state,
+        save_stream_state,
+    )
+
+    state = [np.int64(2**40), np.float32(1.5)]
+    path = str(tmp_path / "st.npz")
+    save_stream_state(path, state)
+    with pytest.raises(ValueError, match="demoted"):
+        restore_stream_state(path, like=state)
