@@ -30,6 +30,7 @@ of queue plumbing) redesigned around a simple core:
 from __future__ import annotations
 
 import os
+import threading
 import traceback
 from concurrent.futures import ThreadPoolExecutor
 
@@ -66,6 +67,12 @@ class EventDataset:
         self._rng = np.random.RandomState(seed)
         self._seed = seed
 
+        # serializes cursor advancement + epoch reshuffles: the reference
+        # guards its cursors with a Lock (event_reader.py:20-21,154), and
+        # the GIL does NOT make the read/advance/write sequence atomic —
+        # concurrent Prefetcher workers produced duplicate batches and
+        # silently skipped examples without it
+        self._lock = threading.Lock()
         if _restore is not None:
             self._files = {s: list(_restore[f"files_{s}"]) for s in _SPLITS}
             self._labels = {s: list(_restore[f"labels_{s}"]) for s in _SPLITS}
@@ -77,6 +84,26 @@ class EventDataset:
         self._epoch_order = {
             s: np.arange(len(self._files[s])) for s in _SPLITS
         }
+        if _restore is not None and "epoch_order_train" in _restore:
+            for s in _SPLITS:
+                self._epoch_order[s] = np.asarray(
+                    _restore[f"epoch_order_{s}"], np.int64)
+            if "rng_state" in _restore:
+                st = list(_restore["rng_state"])
+                self._rng.set_state(
+                    (str(st[0]), np.asarray(st[1], np.uint32), int(st[2]),
+                     int(st[3]), float(st[4])))
+
+    def __getstate__(self):
+        # the cursor lock is process-local (process-mode prefetch ships
+        # the dataset via dill); each process gets a fresh one
+        d = self.__dict__.copy()
+        d.pop("_lock", None)
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self._lock = threading.Lock()
 
     # ---- layout ------------------------------------------------------------
 
@@ -164,16 +191,17 @@ class EventDataset:
         if not files:
             raise ValueError(f"split {dataset!r} is empty")
         out = []
-        cur = self._cursors[dataset]
-        order = self._epoch_order[dataset]
-        for _ in range(n):
-            if cur >= len(files):
-                order = self._rng.permutation(len(files))
-                self._epoch_order[dataset] = order
-                cur = 0
-            out.append((files[order[cur]], labels[order[cur]]))
-            cur += 1
-        self._cursors[dataset] = cur
+        with self._lock:
+            cur = self._cursors[dataset]
+            order = self._epoch_order[dataset]
+            for _ in range(n):
+                if cur >= len(files):
+                    order = self._rng.permutation(len(files))
+                    self._epoch_order[dataset] = order
+                    cur = 0
+                out.append((files[order[cur]], labels[order[cur]]))
+                cur += 1
+            self._cursors[dataset] = cur
         return out
 
     # ---- example pipeline ------------------------------------------------------
@@ -181,27 +209,46 @@ class EventDataset:
     def _cache_path(self, filename: str, preprocessing_fn=None):
         if self._tmp_dir is None:
             return None
-        rel = os.path.relpath(filename, self._data_dir).replace(os.sep, "__")
+        import hashlib
+
+        rel = os.path.relpath(filename, self._data_dir)
+        # hash the relative path: a separator-substitution scheme
+        # ('a/b__c' vs 'a__b/c') can collide two different files onto one
+        # cache entry; keep the basename for debuggability only
+        rel_key = hashlib.sha1(rel.encode()).hexdigest()[:12]
         # Key by a fingerprint of the preprocessing closure so changing the
         # transform invalidates the cache (the reference keys by path only,
         # event_reader.py:498-506, and silently serves stale entries).
         fp = self._preprocessing_fingerprint(preprocessing_fn)
-        return os.path.join(self._tmp_dir, f"{rel}.{fp}.npz")
+        base = os.path.basename(rel)
+        return os.path.join(self._tmp_dir, f"{base}.{rel_key}.{fp}.npz")
 
     @staticmethod
     def _preprocessing_fingerprint(preprocessing_fn) -> str:
         if preprocessing_fn is None:
             return "raw"
-        try:
-            import hashlib
+        import functools
+        import hashlib
 
+        # dill pickles importable module-level functions BY REFERENCE, so
+        # editing such a function's body would not change the blob; mix in
+        # the unwrapped function's code bytes + consts so body edits
+        # invalidate the cache too
+        payload = b""
+        try:
             import dill
 
-            return hashlib.sha1(
-                dill.dumps(preprocessing_fn, recurse=False)
-            ).hexdigest()[:10]
+            payload = dill.dumps(preprocessing_fn, recurse=False)
         except Exception:
-            return "fn"
+            payload = repr(preprocessing_fn).encode()  # id() varies per
+            # process -> never a stale hit, just no cross-process reuse
+        f = preprocessing_fn
+        while isinstance(f, functools.partial):
+            f = f.func
+        code = getattr(f, "__code__", None)
+        if code is not None:
+            payload += code.co_code + repr(code.co_consts).encode()
+        return hashlib.sha1(payload).hexdigest()[:10]
 
     def read_example(self, filename: str):
         return self._codec.read_example(filename)
@@ -209,9 +256,18 @@ class EventDataset:
     def _load_one(self, filename: str, label: str, preprocessing_fn):
         cache = self._cache_path(filename, preprocessing_fn)
         if cache and os.path.exists(cache):
-            with np.load(cache, allow_pickle=False) as z:
-                feats = [z[k] for k in sorted(z.files)]
-            return int(feats[0]), feats[1:]
+            try:
+                with np.load(cache, allow_pickle=False) as z:
+                    feats = [z[k] for k in sorted(z.files)]
+                return int(feats[0]), feats[1:]
+            except Exception:
+                # a corrupt/truncated cache entry must not poison the
+                # example forever (it used to be classified 'unreadable'
+                # and skipped on every epoch): drop it and recompute
+                try:
+                    os.remove(cache)
+                except OSError:
+                    pass
         length, x, y, ts, p = self.read_example(filename)
         label_vec = _one_hot(self._label_to_idx[label], self.num_classes())
         if preprocessing_fn is not None:
@@ -221,8 +277,20 @@ class EventDataset:
             feats = [label_vec, x, y, ts, p]
         if cache:
             os.makedirs(self._tmp_dir, exist_ok=True)
-            np.savez(cache, **{f"{i:03d}": np.asarray(f) for i, f in
-                               enumerate([np.int64(length), *feats])})
+            # atomic + per-pid temp: a crash mid-write (or two workers
+            # racing on one entry) must never leave a truncated archive
+            # under the final name
+            tmp = f"{cache}.{os.getpid()}.{threading.get_ident()}.tmp"
+            try:
+                with open(tmp, "wb") as fh:
+                    np.savez(fh, **{f"{i:03d}": np.asarray(f) for i, f in
+                                    enumerate([np.int64(length), *feats])})
+                os.replace(tmp, cache)
+            except Exception:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
         return int(length), feats
 
     def _load_with_retry(self, dataset: str, filename: str, label: str, preprocessing_fn):
@@ -284,6 +352,8 @@ class EventDataset:
         ``multiple_examples > 1`` merges that many consecutive examples into
         each batch item by concatenating their (post-preprocessing) features
         along the event axis (event_reader.py:305-309 in the reference).
+        A merged item keeps the FIRST example's label — merge within one
+        class when labels matter.
 
         ``features_to_pad_mask`` appends a bool ``[B, max_len]`` validity
         mask (True for real entries, False for ragged padding) as the last
@@ -308,8 +378,16 @@ class EventDataset:
                 merged.append((length, feats))
             lengths = [m[0] for m in merged]
             if batch_size == 1:
-                return [np.asarray(lengths), *merged[0][1]]
+                out = [np.asarray(lengths), *merged[0][1]]
+                if features_to_pad_mask:
+                    out.append(np.ones(lengths[0], bool))
+                return out
             stacked = self._pad_stack([m[1] for m in merged], lengths)
+            if features_to_pad_mask:
+                max_len = max(lengths)
+                mask = (np.arange(max_len)[None, :]
+                        < np.asarray(lengths)[:, None])
+                stacked.append(mask)
             return [np.asarray(lengths), *stacked]
         items = self._next_files(batch_size, dataset)
         if threads > 1 and batch_size > 1:
@@ -331,10 +409,21 @@ class EventDataset:
             if features_to_pad_mask:
                 out.append(np.ones(lengths[0], bool))
             return out
-        stacked = self._pad_stack(feats, lengths)
         if concat_features:
-            same_len = [f for f in stacked if f.ndim >= 2]
-            stacked = [np.concatenate(same_len, axis=-1)]
+            # reference semantics (event_reader.py:605): concatenate the
+            # batch's EXAMPLES along the event axis per feature, no
+            # padding — not a cross-feature concat (the old behavior
+            # glued one-hot labels onto event coordinates)
+            out = [np.asarray(lengths)]
+            for fi in range(len(feats[0])):
+                vals = [ex[fi] for ex in feats]
+                if all(np.ndim(v) >= 1 and len(v) == l
+                       for v, l in zip(vals, lengths)):
+                    out.append(np.concatenate(vals, axis=0))
+                else:  # non-length features (labels): stack per example
+                    out.append(np.stack(vals))
+            return out
+        stacked = self._pad_stack(feats, lengths)
         if features_to_pad_mask:
             max_len = max(lengths)
             mask = np.arange(max_len)[None, :] < np.asarray(lengths)[:, None]
@@ -345,15 +434,17 @@ class EventDataset:
 
     def start_prefetch(
         self, batch_size: int, dataset: str = "train", preprocessing_fn=None,
-        num_workers: int = 2, queue_size: int = 4,
+        num_workers: int = 2, queue_size: int = 4, mode: str = "thread",
     ):
         """Persistent background prefetcher (the reference's daemon-process
         queue, event_reader.py:230-276).  Returns a :class:`Prefetcher`
-        whose ``get()`` yields ready batches."""
+        whose ``get()`` yields ready batches.  ``mode='process'`` runs
+        dill-shipped workers in subprocesses for CPU-bound preprocessing
+        (previously unreachable from this public entry point)."""
         from async_ev_cnn_tpu.data.prefetch import Prefetcher
 
         return Prefetcher(self, batch_size, dataset, preprocessing_fn,
-                          num_workers, queue_size)
+                          num_workers, queue_size, mode=mode)
 
     # ---- save / restore ---------------------------------------------------------
 
@@ -363,6 +454,14 @@ class EventDataset:
             blob[f"files_{s}"] = np.array(self._files[s], dtype=object)
             blob[f"labels_{s}"] = np.array(self._labels[s], dtype=object)
             blob[f"cursor_{s}"] = np.int64(self._cursors[s])
+            # the epoch permutation the cursor indexes INTO — restoring a
+            # mid-epoch cursor against a fresh identity order re-served
+            # seen examples and skipped unseen ones
+            blob[f"epoch_order_{s}"] = np.asarray(self._epoch_order[s],
+                                                  np.int64)
+        st = self._rng.get_state()
+        blob["rng_state"] = np.array(
+            [st[0], np.asarray(st[1]), st[2], st[3], st[4]], dtype=object)
         blob["data_dir"] = np.array(self._data_dir)
         blob["file_format"] = np.array(self._file_format)
         np.savez(path, **blob)

@@ -697,3 +697,114 @@ class TestEvtCodecs:
         assert n2 == n
         np.testing.assert_array_equal(ts2.astype(np.int64), ts)
         np.testing.assert_array_equal(x2, x)
+
+
+def test_cursor_thread_safety(tmp_path, rng):
+    """Concurrent next_batch callers must partition the epoch — the
+    unlocked read/advance/write used to hand both threads the same files
+    (duplicate batches) and lose cursor advances."""
+    import threading
+
+    root = make_class_dataset(tmp_path, rng, n_classes=4, per_class=16)
+    ds = event_reader.EventDataset(root, validation_frac=0, test_frac=0,
+                                   seed=2)
+    n = ds.train_size()
+    seen, errs = [], []
+
+    def work():
+        try:
+            for _ in range(n // 8):  # 8 threads x n/8 = exactly one epoch
+                pairs = ds._next_files(1, "train")
+                seen.extend(f for f, _ in pairs)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=work) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert len(seen) == n
+    assert len(set(seen)) == n  # every file exactly once, no duplicates
+
+
+def test_corrupt_cache_self_heals(tmp_path, rng):
+    """A truncated cache entry must be dropped and recomputed, not
+    classify the example 'unreadable' forever."""
+    root = make_class_dataset(tmp_path, rng, n_classes=1, per_class=1)
+    cache_dir = str(tmp_path / "cache")
+    ds = event_reader.EventDataset(root, validation_frac=0, test_frac=0,
+                                   tmp_dir=cache_dir, seed=5)
+
+    def prep(length, label, x, y, ts, p):
+        return length, np.stack([y, x, ts], -1).astype(np.int32)
+
+    out1 = ds.next_batch(1, dataset="train", preprocessing_fn=prep)
+    (entry,) = os.listdir(cache_dir)
+    with open(os.path.join(cache_dir, entry), "wb") as f:
+        f.write(b"not an npz")
+    out2 = ds.next_batch(1, dataset="train", preprocessing_fn=prep)
+    np.testing.assert_array_equal(out1[1], out2[1])  # recomputed, not skipped
+
+
+def test_prefetcher_propagates_worker_errors(tmp_path, rng):
+    """A dead worker must surface in get(), not hang the consumer."""
+    import pytest
+
+    root = make_class_dataset(tmp_path, rng, n_classes=2, per_class=2)
+    ds = event_reader.EventDataset(root, validation_frac=0.5, test_frac=0.5,
+                                   seed=2)
+    # validation got everything rounded away? ensure train empty instead
+    ds._files["train"] = []
+    pf = ds.start_prefetch(1, dataset="train", num_workers=1)
+    try:
+        with pytest.raises(RuntimeError, match="empty"):
+            pf.get(timeout=10)
+    finally:
+        pf.stop()
+
+
+def test_concat_features_reference_semantics(tmp_path, rng):
+    """concat_features concatenates the batch's EXAMPLES along the event
+    axis per feature (event_reader.py:605) — not features onto each
+    other."""
+    root = make_class_dataset(tmp_path, rng, n_classes=2, per_class=2)
+    ds = event_reader.EventDataset(root, validation_frac=0, test_frac=0,
+                                   seed=3)
+    lengths, label, x, y, ts, p = ds.next_batch(
+        2, dataset="train", concat_features=True)
+    assert x.shape == (int(lengths.sum()),)  # unpadded concat over examples
+    assert label.shape == (2, 2)  # labels stacked per example
+
+
+def test_save_restores_epoch_order(tmp_path, rng):
+    """A mid-epoch save/restore must resume against the SAME epoch
+    permutation — a fresh identity order re-served seen examples."""
+    root = make_class_dataset(tmp_path, rng, n_classes=2, per_class=8)
+    ds = event_reader.EventDataset(root, validation_frac=0, test_frac=0,
+                                   seed=9)
+    n = ds.train_size()
+    ds.next_batch(n, dataset="train")  # finish epoch 0 -> epoch 1 shuffled
+    first_half = [f for f, _ in ds._next_files(n // 2, "train")]
+    save = str(tmp_path / "rs.npz")
+    ds.save(save)
+    ds2 = event_reader.factory(save)
+    second_half = [f for f, _ in ds2._next_files(n - n // 2, "train")]
+    assert sorted(first_half + second_half) == sorted(
+        ds._files["train"])  # exactly one full epoch, no repeats
+
+
+def test_prefetcher_process_mode(tmp_path, rng):
+    """The dill-shipped process mode works from the public entry point
+    (it was unreachable: start_prefetch never forwarded a mode)."""
+    root = make_class_dataset(tmp_path, rng, n_classes=2, per_class=4)
+    ds = event_reader.EventDataset(root, validation_frac=0, test_frac=0,
+                                   seed=2)
+    pf = ds.start_prefetch(2, dataset="train", num_workers=1,
+                           mode="process")
+    try:
+        batch = pf.get(timeout=60)
+        assert batch[0].shape == (2,)
+    finally:
+        pf.stop()
