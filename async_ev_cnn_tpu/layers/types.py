@@ -14,6 +14,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def validate_int32_ts(ts) -> np.ndarray:
+    """Enforce the NON-NEGATIVE int32 µs timestamp contract and return the
+    int32 array.  A negative or wrapped ts makes ``dt = last_ts - ts``
+    exceed 2^31, which the event-scatter kernel's 31-bit limb payload
+    cannot carry — it would silently diverge from the other engines.
+    Shared by :meth:`EventChunk.from_arrays` and the runner pack helpers
+    (which used to bypass these checks with a bare int32 cast)."""
+    ts_in = np.asarray(ts)
+    if ts_in.size:
+        lo = int(ts_in.min())
+        hi = int(ts_in.max()) if ts_in.dtype != np.int32 else 0
+        info = np.iinfo(np.int32)
+        if lo < info.min or hi > info.max:
+            raise ValueError(
+                f"timestamps [{lo}, {hi}] exceed the int32 µs contract "
+                "(~35.8 min); rebase the recording (subtract the first "
+                "timestamp) before chunking"
+            )
+        if lo < 0:
+            raise ValueError(
+                f"negative timestamp {lo}: rebase the recording "
+                "(subtract the first timestamp) before chunking"
+            )
+    return ts_in.astype(np.int32)
+
+
 class EventChunk(NamedTuple):
     """A fixed-capacity micro-batch of DVS events.
 
@@ -53,27 +79,7 @@ class EventChunk(NamedTuple):
         ``data_transform`` subtracts the first timestamp)."""
         y = np.asarray(y, np.int32)
         x = np.asarray(x, np.int32)
-        ts_in = np.asarray(ts)
-        if ts_in.size:
-            lo = int(ts_in.min())
-            hi = int(ts_in.max()) if ts_in.dtype != np.int32 else 0
-            info = np.iinfo(np.int32)
-            if lo < info.min or hi > info.max:
-                raise ValueError(
-                    f"timestamps [{lo}, {hi}] exceed the int32 µs contract "
-                    "(~35.8 min); rebase the recording (subtract the first "
-                    "timestamp) before chunking"
-                )
-            if lo < 0:
-                # the contract is NON-NEGATIVE int32 µs: a negative ts
-                # makes dt = last_ts - ts exceed 2^31 and wrap, which the
-                # event-scatter kernel's 31-bit limb payload cannot carry
-                # — it would silently diverge from the other engines
-                raise ValueError(
-                    f"negative timestamp {lo}: rebase the recording "
-                    "(subtract the first timestamp) before chunking"
-                )
-        ts = ts_in.astype(np.int32)
+        ts = validate_int32_ts(ts)
         p = np.zeros_like(y) if p is None else np.asarray(p, np.int32)
         n = y.shape[0]
         cap = n if capacity is None else capacity

@@ -95,9 +95,21 @@ class _YoloBase:
         if restrict_vars is not None:
             params = {k: v for k, v in params.items() if k in restrict_vars}
         self._weights.update(params)
+        self._device_cache = None
 
     def set_weights(self, params) -> None:
         self._weights.update(params)
+        self._device_cache = None
+
+    def _device_params(self):
+        # cached: rebuilding per step()/forward() re-uploaded every
+        # weight to the device inside the timed span (~30 MB/s over the
+        # tunnel); restore()/set_weights() invalidate
+        cache = getattr(self, "_device_cache", None)
+        if cache is None:
+            cache = {k: jnp.asarray(v) for k, v in self._weights.items()}
+            self._device_cache = cache
+        return cache
 
     @property
     def params(self):
@@ -136,9 +148,6 @@ class YoloEventJax(_YoloBase):
         self._jit_scan_parallel = jax.jit(self._scan_parallel_impl)
 
     # ---- functional API ---------------------------------------------------
-
-    def _device_params(self):
-        return {k: jnp.asarray(v) for k, v in self._weights.items()}
 
     def init_state(self):
         return self.net.init_state(self._device_params())
@@ -235,14 +244,17 @@ class YoloFrameJax(_YoloBase):
         self._jit_forward = jax.jit(self._forward_impl)
 
     def _forward_impl(self, params, frame):
-        outs = dense_forward(self.net.event_layers, params, frame[None], "tf")
+        # dense_forward adds the channel axis for [H, W] itself; an
+        # unconditional frame[None] double-batched channeled [C, H, W]
+        # frames into an un-runnable rank-4 input
+        outs = dense_forward(self.net.event_layers, params, frame, "tf")
         last = next(reversed(outs.values()))
         out = self.net.apply_tail(params, jnp.transpose(last, (1, 2, 0)))
         return jnp.reshape(out, self.grid_shape)
 
     def forward(self, frame):
-        params = {k: jnp.asarray(v) for k, v in self._weights.items()}
-        return self._jit_forward(params, jnp.asarray(frame, jnp.float32))
+        return self._jit_forward(self._device_params(),
+                                 jnp.asarray(frame, jnp.float32))
 
     def build_graph(self, _=None):
         def graph(frame):

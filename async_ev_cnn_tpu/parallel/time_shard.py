@@ -120,8 +120,7 @@ class TimeShardEngine:
         chunk_max = jnp.max(
             jnp.where(chunks.valid, chunks.ts, TS_SENTINEL), axis=1
         ).astype(jnp.int32)
-        local_running = jax.lax.associative_scan(jnp.maximum, chunk_max)
-        dev_max = jax.lax.all_gather(local_running[-1], axis)  # [D]
+        dev_max = jax.lax.all_gather(jnp.max(chunk_max), axis)  # [D]
         mask_before = jnp.arange(d_axis) < idx
         incoming = jnp.maximum(
             prev_ts, jnp.max(jnp.where(mask_before, dev_max, TS_SENTINEL))

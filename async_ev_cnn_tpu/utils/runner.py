@@ -37,8 +37,13 @@ def split_micro_batches(events: np.ndarray, batch_event_size=None, batch_event_u
     By time window when ``batch_event_usec`` is given (runner.py:66-69),
     else by count (runner.py:71-72).
     """
+    if events.shape[0] == 0:
+        return []  # a fully-cropped-out example is zero micro-batches
     if batch_event_usec is not None:
-        ts = events[:, -1]
+        # column 2 is ts by the [y, x, ts(, p)] layout — `[:, -1]` read
+        # the POLARITY column under keep_polarity, collapsing the whole
+        # stream into one bin
+        ts = events[:, 2]
         bins = np.arange(0, ts[-1], batch_event_usec)
         bin_ids = np.digitize(ts, bins)
         split_at = np.where(bin_ids[:-1] != bin_ids[1:])[0] + 1
@@ -51,6 +56,7 @@ class Runner:
     """Base runner: reads batches, micro-batches events, times the network."""
 
     profile_integration = True  # include frame integration in the timed span
+    needs_frame = True  # the event runner ignores the frame; skip its cost
 
     def __init__(self, args, reader):
         self.args = args
@@ -84,47 +90,68 @@ class Runner:
         if max_examples is not None:
             num_batches = min(num_batches, max_examples)
 
+        # the event net does its own integration and ignores `frame`;
+        # integrating anyway cost one or more device dispatches per
+        # micro-batch of pure waste on the flagship path
+        want_frame = self.needs_frame or getattr(args, "show_frames", False)
+
         for i in range(num_batches):
             t_read = time.time()
-            _, events = self.reader.next_batch(
+            batch = self.reader.next_batch(
                 args.batch_size, dataset="test",
                 preprocessing_fn=partial(data_transform, args=args),
                 concat_features=False, threads=args.reader_threads,
             )
             read_time = time.time() - t_read
+            if args.batch_size == 1:
+                examples = [batch[1]]
+            else:
+                # [B, max_len, 3] ragged-padded stack: slice each example
+                # by its length (a padding row would integrate as a real
+                # event at pixel (0, 0) with ts 0)
+                lengths, ev_pad = batch[0], batch[1]
+                examples = [ev_pad[b, : int(lengths[b])]
+                            for b in range(ev_pad.shape[0])]
 
-            frame_state = None
-            reset_state = True
-            for events_batch in split_micro_batches(
-                events, args.batch_event_size, args.batch_event_usec
-            ):
-                if self.profile_integration:
-                    t0 = time.time()
-                # chunked: µs-binned micro-batches vary in length and
-                # would recompile the jitted accumulator per size
-                frame, prev_ts = integrate_frame_chunked(
-                    events_batch, args.leak, args.frame_h, args.frame_w,
-                    frame_state, slice_len=max(256, args.batch_event_size),
-                )
-                frame_state = [frame, prev_ts]
-                if not self.profile_integration:
-                    t0 = time.time()
+            for events in examples:  # each example streams independently
+                frame_state = None
+                reset_state = True
+                for events_batch in split_micro_batches(
+                    events, args.batch_event_size, args.batch_event_usec
+                ):
+                    if self.profile_integration:
+                        t0 = time.time()
+                    frame = None
+                    if want_frame:
+                        # chunked: µs-binned micro-batches vary in length
+                        # and would recompile the accumulator per size
+                        frame, prev_ts = integrate_frame_chunked(
+                            events_batch, args.leak, args.frame_h,
+                            args.frame_w, frame_state,
+                            slice_len=max(256, args.batch_event_size),
+                        )
+                        frame_state = [frame, prev_ts]
+                    if not self.profile_integration:
+                        t0 = time.time()
 
-                net_out = self.feed_network(network, events_batch, frame, reset_state)
-                net_out = np.asarray(net_out)  # host fetch = true sync point
-                dt = time.time() - t0
-                step_times.append(dt)
-                total_events += len(events_batch)
-                n += 1
-                if verbose:
-                    print(f"Test batch {i + 1:<2} - sec/step: {dt:.4f}  "
-                          f"ev/s: {len(events_batch) / max(dt, 1e-9):,.0f}  "
-                          f"reading: {read_time:.3f} sec")
-                if n % 1000 == 0 and verbose:
-                    print(f"Mean fw time ({n} runs): {np.mean(step_times):.5f}")
-                if getattr(args, "show_frames", False):  # pragma: no cover
-                    self.show_frames(np.asarray(net_out), np.asarray(frame))
-                reset_state = False
+                    net_out = self.feed_network(
+                        network, events_batch, frame, reset_state)
+                    net_out = np.asarray(net_out)  # host fetch = sync point
+                    dt = time.time() - t0
+                    step_times.append(dt)
+                    total_events += len(events_batch)
+                    n += 1
+                    if verbose:
+                        print(
+                            f"Test batch {i + 1:<2} - sec/step: {dt:.4f}  "
+                            f"ev/s: {len(events_batch) / max(dt, 1e-9):,.0f}"
+                            f"  reading: {read_time:.3f} sec")
+                    if n % 1000 == 0 and verbose:
+                        print(f"Mean fw time ({n} runs): "
+                              f"{np.mean(step_times):.5f}")
+                    if getattr(args, "show_frames", False):  # pragma: no cover
+                        self.show_frames(np.asarray(net_out), np.asarray(frame))
+                    reset_state = False
 
         times = np.array(step_times[1:] or step_times)  # drop compile step
         return {
@@ -142,6 +169,7 @@ class EventRunner(Runner):
     (``NumpyEventRunner`` analog, runner.py:122-127)."""
 
     profile_integration = False  # the event net does its own integration
+    needs_frame = False  # feed_network ignores it — don't pay for it
 
     def feed_network(self, network, events_batch, frame, reset_state):
         return network(events_batch, reset_state)
@@ -308,37 +336,57 @@ def pack_chunks_usec(
         else:
             num = int(np.ceil(piece.shape[0] / capacity))
             pieces.extend(np.array_split(piece, num, axis=0))
+    from async_ev_cnn_tpu.layers.types import validate_int32_ts
+
+    validate_int32_ts(events[:, 2])
     t = len(pieces)
+    has_p = events.shape[1] > 3
     y = np.zeros((t, capacity), events.dtype)
     x = np.zeros((t, capacity), events.dtype)
     tss = np.zeros((t, capacity), events.dtype)
+    p = np.zeros((t, capacity), events.dtype)
     valid = np.zeros((t, capacity), bool)
     for i, piece in enumerate(pieces):
         k = piece.shape[0]
         y[i, :k] = piece[:, 0]
         x[i, :k] = piece[:, 1]
         tss[i, :k] = piece[:, 2]
+        if has_p:
+            p[i, :k] = piece[:, 3]
         valid[i, :k] = True
     return EventChunk(
         y=jnp.asarray(y, jnp.int32), x=jnp.asarray(x, jnp.int32),
-        ts=jnp.asarray(tss, jnp.int32), p=jnp.zeros((t, capacity), jnp.int32),
+        ts=jnp.asarray(tss, jnp.int32), p=jnp.asarray(p, jnp.int32),
         valid=jnp.asarray(valid),
     )
 
 
 def pack_chunks(events: np.ndarray, capacity: int) -> EventChunk:
-    """Pack an ``[N, 3]`` stream into stacked padded chunks ``[T, capacity]``."""
+    """Pack an ``[N, >=3]`` (y, x, ts[, p]) stream into stacked padded
+    chunks ``[T, capacity]``.  Polarity is carried when the 4th column is
+    present (hardcoding p=0 routed every ON event of a 2-channel network
+    into channel 0); timestamps go through the shared int32 contract
+    checks (a bare cast used to wrap silently where the
+    ``EventChunk.from_arrays`` path errors)."""
+    from async_ev_cnn_tpu.layers.types import validate_int32_ts
+
     n = events.shape[0]
+    validate_int32_ts(events[:, 2] if n else np.zeros(0, np.int32))
     t = max(1, int(np.ceil(n / capacity)))
     pad = t * capacity - n
     y = np.concatenate([events[:, 0], np.zeros(pad, events.dtype)]).reshape(t, capacity)
     x = np.concatenate([events[:, 1], np.zeros(pad, events.dtype)]).reshape(t, capacity)
     ts = np.concatenate([events[:, 2], np.zeros(pad, events.dtype)]).reshape(t, capacity)
+    if events.shape[1] > 3:
+        p = np.concatenate([events[:, 3], np.zeros(pad, events.dtype)]
+                           ).reshape(t, capacity)
+    else:
+        p = np.zeros((t, capacity), np.int32)
     valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)]).reshape(t, capacity)
     import jax.numpy as jnp
 
     return EventChunk(
         y=jnp.asarray(y, jnp.int32), x=jnp.asarray(x, jnp.int32),
-        ts=jnp.asarray(ts, jnp.int32), p=jnp.zeros((t, capacity), jnp.int32),
+        ts=jnp.asarray(ts, jnp.int32), p=jnp.asarray(p, jnp.int32),
         valid=jnp.asarray(valid),
     )

@@ -320,3 +320,41 @@ def test_serve_cli_bf16_activations(tmp_path, tiny_detection_root,
                   "--serve_max_dispatches", "1"])
     assert stats["dispatches"] == 1
     assert stats["events"] > 0
+
+
+def test_split_micro_batches_usec_uses_ts_column():
+    """With keep_polarity the events are [N, 4]; the µs binner must read
+    column 2 (ts), not the last column (polarity — which collapsed the
+    whole stream into one bin)."""
+    from async_ev_cnn_tpu.utils.runner import split_micro_batches
+
+    n = 10
+    ev4 = np.stack([np.zeros(n), np.zeros(n),
+                    np.arange(n) * 100, np.arange(n) % 2], -1).astype(np.int32)
+    pieces4 = split_micro_batches(ev4, batch_event_usec=200)
+    pieces3 = split_micro_batches(ev4[:, :3], batch_event_usec=200)
+    assert [len(p) for p in pieces4] == [len(p) for p in pieces3]
+    assert len(pieces4) > 1
+    # and empty streams yield zero micro-batches, not a crash
+    assert split_micro_batches(np.zeros((0, 3), np.int32), 8) == []
+
+
+def test_pack_chunks_carry_polarity():
+    """[N, 4] streams keep their polarity column (hardcoded p=0 routed
+    every ON event of a 2-channel network into channel 0)."""
+    from async_ev_cnn_tpu.utils.runner import pack_chunks, pack_chunks_usec
+
+    n = 10
+    ev = np.stack([np.zeros(n), np.arange(n),
+                   np.arange(n) * 10 + 1, np.arange(n) % 2], -1).astype(np.int32)
+    for chunks in (pack_chunks(ev, 4), pack_chunks_usec(ev, 4, 1000)):
+        p = np.asarray(chunks.p)[np.asarray(chunks.valid)]
+        np.testing.assert_array_equal(np.sort(p), np.sort(ev[:, 3]))
+
+
+def test_pack_chunks_validates_timestamps():
+    from async_ev_cnn_tpu.utils.runner import pack_chunks
+
+    ev = np.array([[1, 2, -5]], np.int32)
+    with pytest.raises(ValueError, match="negative"):
+        pack_chunks(ev, 4)

@@ -255,3 +255,26 @@ def test_explicit_mode_after_full_rejected():
     defs.modes = {"conv1": "full", "conv2": "sparse_rows"}
     with pytest.raises(ValueError, match="cannot follow a 'full' layer"):
         build_layer_defs(defs, 16, 16, 0.01, 0.1, "SAME", "dense")
+
+
+def test_frame_jax_channeled_input(rng):
+    """A 2-channel [2, H, W] frame must run through YoloFrameJax.forward —
+    an unconditional frame[None] used to double-batch it into an
+    un-runnable rank-4 input."""
+    from collections import OrderedDict
+
+    from async_ev_cnn_tpu.models import YoloFrameJax
+
+    layers = OrderedDict(conv1=[3, 3, 2, 4], pool1=[2, 2], conv2=[1, 1, 4, 12])
+    m = YoloFrameJax(h_frame=16, w_frame=16, num_classes=7,
+                     cnn_layers=layers, cnn_padding="SAME", h_cells=8,
+                     w_cells=8, num_bbox=1, alpha=0.1, leak=1e-4)
+    m.set_weights({
+        "w_conv1": rng.randn(3, 3, 2, 4).astype(np.float32) * 0.2,
+        "b_conv1": np.zeros(4, np.float32),
+        "w_conv2": rng.randn(1, 1, 4, 12).astype(np.float32) * 0.2,
+        "b_conv2": np.zeros(12, np.float32),
+    })
+    frame2 = rng.rand(2, 16, 16).astype(np.float32)
+    out = np.asarray(m.forward(frame2))
+    assert out.shape == (8, 8, 12)
