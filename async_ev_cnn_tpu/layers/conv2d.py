@@ -120,16 +120,12 @@ def _make_io(spec: ConvSpec, state: ConvState, mask) -> LayerIO:
 
 
 def _conv_single(spec: ConvSpec, kernel, bias, x):
-    out = lax.conv_general_dilated(
-        x[None].astype(jnp.float32),
-        kernel.astype(jnp.float32),
-        window_strides=(spec.stride, spec.stride),
-        padding=spec.pads,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-        precision=matmul_precision(),
-    )
-    return out[0] + bias.reshape(-1, 1, 1).astype(jnp.float32)
+    # same pads/casts/precision as the shared dense helper — keep ONE
+    # copy of the TF-padding conv call (spec.pads == conv_pads on x's
+    # shape by construction)
+    from async_ev_cnn_tpu.ops.conv import conv2d_dense
+
+    return conv2d_dense(x, kernel, bias, spec.stride, spec.padding)
 
 
 def _full_io(spec: ConvSpec, kernel, bias, prev_io: LayerIO) -> LayerIO:
@@ -169,9 +165,9 @@ def conv_init(
             conv_actfn=jnp.zeros((), jnp.float32),
         )
         return state, _full_io(spec, kernel, bias, prev_init_io)
-    fm, _ = _conv_pair(
-        spec, kernel, bias, prev_init_io.featuremap, jnp.zeros_like(prev_init_io.surface)
-    )
+    # single conv: the batched pair with an all-zeros second plane
+    # computed (and discarded) a whole extra conv at init
+    fm = _conv_single(spec, kernel, bias, prev_init_io.featuremap)
     state = ConvState(featuremap=fm, conv_actfn=jnp.zeros(spec.out_shape, jnp.float32))
     _, oh, ow = spec.out_shape
     return state, _make_io(spec, state, jnp.zeros((oh, ow), bool))

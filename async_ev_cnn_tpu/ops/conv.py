@@ -27,6 +27,14 @@ _MATMUL_PRECISION = lax.Precision.HIGHEST
 
 
 def set_matmul_precision(name: str) -> None:
+    """Set the process-wide conv/GEMM operand precision.
+
+    TRACE-TIME setting: the value is baked into each jitted program when
+    it is first traced and is not part of any jit cache key — call this
+    BEFORE building/running networks.  Changing it afterwards silently
+    leaves already-compiled programs at their old precision (re-create
+    the jitted callables, e.g. fresh model/network objects, to apply a
+    new tier mid-process)."""
     global _MATMUL_PRECISION
     table = {
         "highest": lax.Precision.HIGHEST,

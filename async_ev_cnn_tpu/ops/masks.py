@@ -85,8 +85,12 @@ def chunk_to_mask(y, x, valid, h: int, w: int) -> jnp.ndarray:
     mode), so padding slots can simply carry coordinate 0 with valid=False.
     """
     mask = jnp.zeros((h, w), bool)
-    yy = jnp.where(valid, y, h)  # out of range -> dropped
-    return mask.at[yy, x].set(True, mode="drop")
+    # scatter mode='drop' only drops indices >= size; NEGATIVE coords
+    # would wrap numpy-style and set spurious sites — mask them too
+    ok = valid & (y >= 0) & (y < h) & (x >= 0) & (x < w)
+    yy = jnp.where(ok, y, h)  # out of range -> dropped
+    xx = jnp.where(ok, x, 0)
+    return mask.at[yy, xx].set(True, mode="drop")
 
 
 def mask_bounding_box(mask: jnp.ndarray):

@@ -45,9 +45,15 @@ def maxpool_dense(
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]
+    if x.dtype == jnp.bool_:
+        init = False  # max over bool == window-wise OR
+    elif jnp.issubdtype(x.dtype, jnp.floating):
+        init = -jnp.inf
+    else:
+        init = jnp.iinfo(x.dtype).min
     out = lax.reduce_window(
         x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        init,
         lax.max,
         window_dimensions=(1, 1, *ksize),
         window_strides=(1, 1, stride, stride),

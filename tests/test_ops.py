@@ -203,3 +203,31 @@ def test_mask_to_topk_coords(rng):
     assert got == {(1, 2), (3, 0), (5, 6)}
     # row-major deterministic order
     np.testing.assert_array_equal(ys[:3], [1, 3, 5])
+
+
+def test_chunk_to_mask_drops_negative_coords():
+    """Negative coordinates must be dropped, not wrap numpy-style onto
+    real pixels (the documented 'out-of-range entries are dropped'
+    contract only held for indices >= size)."""
+    import jax.numpy as jnp
+
+    from async_ev_cnn_tpu.ops.masks import chunk_to_mask
+
+    y = jnp.array([-1, 0, 2])
+    x = jnp.array([0, -2, 1])
+    valid = jnp.array([True, True, True])
+    mask = np.asarray(chunk_to_mask(y, x, valid, 4, 4))
+    assert mask.sum() == 1 and mask[2, 1]
+
+
+def test_maxpool_dense_bool_input():
+    """Pooling a boolean mask computes the window-wise OR instead of
+    crashing on jnp.iinfo(bool)."""
+    import jax.numpy as jnp
+
+    from async_ev_cnn_tpu.ops.pool import maxpool_dense
+
+    m = jnp.zeros((1, 4, 4), bool).at[0, 1, 1].set(True)
+    out = np.asarray(maxpool_dense(m, (2, 2), 2))
+    assert out.dtype == bool
+    np.testing.assert_array_equal(out[0], [[True, False], [False, False]])
