@@ -115,17 +115,34 @@ class AsyncEventNumpy:
 
     def step(self, events):
         events = np.asarray(events)
-        y, x, ts = events[:, 0], events[:, 1], events[:, 2]
-        last_ts = int(ts.max())
+        if events.shape[0] == 0:
+            # empty chunk: time does not advance and nothing lands — the
+            # zero-delta step below is an exact no-op through every layer
+            # (a bare ts.max() raised here where integrate_step's
+            # TS_SENTINEL fallback is a no-op)
+            y = x = ts = np.zeros(0, np.int64)
+            last_ts = int(self.prev_ts)
+        else:
+            y, x, ts = events[:, 0], events[:, 1], events[:, 2]
+            # clamp like integrate_step (ops/integrate.py): a chunk whose
+            # events are older than prev_ts must not produce a NEGATIVE
+            # leak delta (which grew every pixel and moved time backwards)
+            last_ts = max(int(ts.max()), int(self.prev_ts))
         delta = _snap(np.float32(last_ts - self.prev_ts) * self.leak)
 
-        # integration (coordinate semantics: last duplicate wins)
+        # integration (coordinate semantics: last duplicate wins = the
+        # (ts, index)-lexicographic max; a stable ts sort makes the
+        # fancy-index assignment's last-occurrence-wins match it even
+        # for unsorted input)
+        order = np.argsort(ts, kind="stable")
         before_pos = self.surface > 0
         s = self.surface - delta
         leak_neg = s <= 0
         s[leak_neg] = 0
         add = np.zeros_like(s)
-        add[y, x] = np.float32(1) - _snap((last_ts - ts).astype(np.float32) * self.leak)
+        contrib = np.float32(1) - _snap(
+            (last_ts - ts).astype(np.float32) * self.leak)
+        add[y[order], x[order]] = contrib[order]
         s = s + add
         ev_neg = s <= 0
         s[ev_neg] = 0

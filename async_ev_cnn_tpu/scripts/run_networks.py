@@ -38,9 +38,15 @@ def main(argv=None):
     from async_ev_cnn_tpu.ops.conv import set_matmul_precision
 
     set_matmul_precision(args.matmul_precision)
+    if args.yolo_cnn_layers is None:
+        raise SystemExit(
+            "no network layers configured: pass -c <config.yml> or "
+            "--yolo_cnn_layers"
+        )
     layer_modes = set(getattr(args.yolo_cnn_layers, "modes", {}).values())
     incremental = {args.mode, *layer_modes} - {"full", "auto"}
-    if args.matmul_precision == "default" and incremental:
+    is_event_net = "Event" in args.network
+    if args.matmul_precision == "default" and incremental and is_event_net:
         import sys
 
         print(
@@ -94,10 +100,21 @@ def main(argv=None):
     if args.runner == "scan":
         if not isinstance(network, YoloEventJax):
             raise SystemExit("--runner scan requires an event network")
+        if args.batch_size > 1:
+            raise SystemExit(
+                "--runner scan streams one example per fused scan; use "
+                "--num_streams for multi-stream serving instead of "
+                "--batch_size"
+            )
         from async_ev_cnn_tpu.utils.runner import ScanEventRunner
 
         runner = ScanEventRunner(args, reader)
-        stats = runner.run(network)
+        from async_ev_cnn_tpu.utils.profiling import trace
+
+        with trace("./jax_trace" if args.profile else None):
+            stats = runner.run(network)
+        if args.profile:
+            print("profiler trace written to ./jax_trace")
         print(json.dumps(stats))
         return stats
     if args.runner != "step":

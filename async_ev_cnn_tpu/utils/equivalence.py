@@ -65,14 +65,8 @@ def make_stream(
     else:
         y = rng.randint(0, h, size=(steps, events_per_step)).astype(np.int32)
         x = rng.randint(0, w, size=(steps, events_per_step)).astype(np.int32)
-    if random_polarity:
-        p = rng.randint(0, 2, size=(steps, events_per_step)).astype(np.int32)
-        valid = np.ones((steps, events_per_step), bool)
-        return EventChunk(
-            y=jnp.asarray(y), x=jnp.asarray(x), ts=jnp.asarray(ts),
-            p=jnp.asarray(p), valid=jnp.asarray(valid),
-        )
-    p = np.zeros_like(y)
+    p = (rng.randint(0, 2, size=(steps, events_per_step)).astype(np.int32)
+         if random_polarity else np.zeros_like(y))
     valid = np.ones((steps, events_per_step), bool)
     return EventChunk(
         y=jnp.asarray(y), x=jnp.asarray(x), ts=jnp.asarray(ts),
@@ -108,18 +102,24 @@ def run_equivalence(
                 frame, prev_ts, chunk.y, chunk.x, chunk.ts, chunk.valid,
                 ispec.leak, p=chunk.p,
             )
-        dense = dense_forward(net.event_layers, params, frame, dense_variant)
+        dense = dense_forward(net.event_layers, params, frame, dense_variant,
+                              alpha=net.alpha)
         diffs = jnp.stack(
             [jnp.max(jnp.abs(ios[n].featuremap - dense[n])) for n in layer_names]
         )
         return (state, frame, prev_ts), diffs
 
-    init = (
-        net.init_state(params),
-        jnp.zeros(ispec.out_shape, jnp.float32),
-        jnp.int32(0),
-    )
-    _, diffs = jax.jit(lambda c: jax.lax.scan(body, init, c))(chunks)
+    def run(c):
+        # init INSIDE the jit: its conv/pool chain would otherwise
+        # dispatch eagerly — ~50 s/op on the tunneled TPU backend
+        init = (
+            net.init_state(params),
+            jnp.zeros(ispec.out_shape, jnp.float32),
+            jnp.int32(0),
+        )
+        return jax.lax.scan(body, init, c)
+
+    _, diffs = jax.jit(run)(chunks)
     diffs = np.asarray(diffs)  # [steps, n_layers]
     report = EquivalenceReport(OrderedDict(), OrderedDict())
     for i, n in enumerate(layer_names):

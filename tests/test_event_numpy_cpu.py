@@ -53,3 +53,52 @@ def test_cpu_async_reset(rng):
     cpu.reset()
     b = cpu.step(ev)
     np.testing.assert_array_equal(a, b)
+
+
+def test_snap_grid_in_sync_with_numerics():
+    """The CPU oracle hardcodes the 2**-20 snap grid (importing
+    ops.numerics would pull jax into the pure-CPU module); this gate
+    keeps the two constants from drifting apart."""
+    from async_ev_cnn_tpu.models.event_numpy_cpu import _snap
+    from async_ev_cnn_tpu.ops.numerics import SNAP_BITS
+
+    v = np.float32(0.1234567)
+    expected = np.float32(
+        np.round(v * np.float32(2.0**SNAP_BITS)) * np.float32(2.0**-SNAP_BITS))
+    assert _snap(v) == expected
+
+
+def test_cpu_oracle_edge_chunks(rng):
+    """Edge semantics must match integrate_step: an empty chunk is an
+    exact no-op, a chunk older than prev_ts must not leak NEGATIVELY
+    (it used to grow every pixel), and unsorted duplicate pixels take
+    the (ts, index)-lexicographic winner."""
+    from collections import OrderedDict
+
+    from async_ev_cnn_tpu.models.event_numpy_cpu import AsyncEventNumpy
+
+    layer_defs = OrderedDict(conv1=[3, 3, 1, 4])
+    params = {
+        "w_conv1": rng.randn(3, 3, 1, 4).astype(np.float32) * 0.3,
+        "b_conv1": rng.randn(4).astype(np.float32) * 0.1,
+    }
+    m = AsyncEventNumpy(layer_defs, params, 6, 6, leak=0.01, alpha=0.1,
+                        padding="SAME")
+    m.step(np.array([[2, 2, 100]]))
+    surf_after = m.surface.copy()
+    out1 = m.step(np.zeros((0, 3), np.int32))  # empty: exact no-op
+    np.testing.assert_array_equal(m.surface, surf_after)
+    assert m.prev_ts == 100
+    m.step(np.array([[3, 3, 50]]))  # older chunk: no negative leak
+    assert m.prev_ts == 100
+    assert (m.surface <= 1.0 + 1e-6).all()
+
+    # unsorted duplicates: winner is the max-ts event
+    m2 = AsyncEventNumpy(layer_defs, params, 6, 6, leak=0.01, alpha=0.1,
+                         padding="SAME")
+    m2.step(np.array([[3, 3, 90], [3, 3, 40]]))  # unsorted
+    m3 = AsyncEventNumpy(layer_defs, params, 6, 6, leak=0.01, alpha=0.1,
+                         padding="SAME")
+    m3.step(np.array([[3, 3, 40], [3, 3, 90]]))  # sorted
+    np.testing.assert_array_equal(m2.surface, m3.surface)
+    assert m2.surface[3, 3] == np.float32(1.0)  # dt=0 winner
