@@ -40,8 +40,17 @@ from async_ev_cnn_tpu.layers.types import (
 def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
     """Build a ``(data, model)`` mesh from the available devices."""
     devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_model < 1 or n_model > devices.size:
+        raise ValueError(
+            f"n_model={n_model} does not fit {devices.size} device(s)"
+        )
     if n_data is None:
         n_data = devices.size // n_model
+    if n_data < 1:
+        raise ValueError(
+            f"mesh would have a zero-size data axis ({devices.size} "
+            f"device(s) / n_model={n_model})"
+        )
     if n_data * n_model != devices.size:
         devices = devices[: n_data * n_model]
     return Mesh(devices.reshape(n_data, n_model), axis_names=("data", "model"))
@@ -114,6 +123,14 @@ class MultiStreamEngine:
     def init_states(self, params, n_streams: int):
         """Replicated-init state broadcast over the stream axis, placed with
         the stream shardings."""
+        n_data = self.mesh.shape["data"]
+        if n_streams % n_data:
+            # fail with the real constraint, not a deep NamedSharding
+            # 'dimension not divisible' error
+            raise ValueError(
+                f"n_streams={n_streams} must be divisible by the mesh's "
+                f"data axis ({n_data})"
+            )
         base = self.net.init_state(params)
         batched = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (n_streams, *x.shape)), base

@@ -27,7 +27,7 @@ from async_ev_cnn_tpu.utils.transforms import center_crop
 
 def _eval_transform(l, x, y, ts, p, bboxes, args):
     """Like the runner's data_transform but keeps the (cropped) bboxes."""
-    ts = ts - ts[0]
+    ts = ts - ts[0] if len(ts) else ts
     if args.frame_h != args.example_h or args.frame_w != args.example_w:
         l, x, y, ts, p, bboxes = center_crop(
             l, x, y, ts, p, bboxes,
@@ -48,6 +48,18 @@ def main(argv=None):
     from async_ev_cnn_tpu.scripts.run_networks import _NETWORKS
 
     set_matmul_precision(args.matmul_precision)
+    if args.yolo_cnn_layers is None:
+        raise SystemExit(
+            "no network layers configured: pass -c <config.yml> or "
+            "--yolo_cnn_layers"
+        )
+    if getattr(args, "keep_polarity", False):
+        # _eval_transform stacks [y, x, ts] only; silently dropping p
+        # would integrate every event into channel 0 of a 2-channel net
+        raise SystemExit(
+            "evaluate does not support keep_polarity (polarity-surface "
+            "evaluation needs run_networks)"
+        )
     reader = detection_reader.factory(args.input_data_dir, file_format=args.file_format)
     network_class = _NETWORKS[args.network]
     network = network_class(
@@ -84,6 +96,18 @@ def main(argv=None):
                     frame_state, slice_len=max(256, args.batch_event_size),
                 )
                 frame_state = [frame, prev_ts]
+        if out is None and frame_state is None:
+            # a fully-cropped-out example has zero micro-batches: score
+            # an empty prediction set (its ground truth counts as
+            # missed) instead of crashing on None
+            predictions.append((np.zeros((0, 4), np.float32),
+                                np.zeros(0, np.float32),
+                                np.zeros(0, np.int64)))
+            gt_boxes = bboxes[:, :4] * np.array(
+                [args.frame_w, args.frame_h, args.frame_w, args.frame_h],
+                np.float32)
+            ground_truths.append((gt_boxes, bboxes[:, 4].astype(np.int64)))
+            continue
         if not is_event:
             out = graph(np.asarray(frame_state[0]))
 

@@ -39,7 +39,14 @@ def layers_dict(text: str) -> "LayerDSL":
         for item in text.split(" "):
             if not item:
                 continue
-            name, _, dims = item.partition("=")
+            name, eq, dims = item.partition("=")
+            if not eq:
+                # a typo'd separator would otherwise become a bogus
+                # empty-dims layer that fails much later in layer build
+                raise argparse.ArgumentTypeError(
+                    f"layer item {item!r} has no '=' (expected "
+                    "'name=h,w,i,o')"
+                )
             dims, _, mode = dims.partition("@")
             out[name] = [int(d) for d in dims.split(",")] if dims else []
             if mode:
@@ -195,5 +202,7 @@ def config(argv=None) -> argparse.Namespace:
         if "yolo_cnn_layers" in file_cfg and isinstance(file_cfg["yolo_cnn_layers"], str):
             file_cfg["yolo_cnn_layers"] = layers_dict(file_cfg["yolo_cnn_layers"])
         parser.set_defaults(**file_cfg)
-        args, _ = parser.parse_known_args(argv)
+    # strict final parse: a misspelled flag (--batch_event_used) must not
+    # be silently dropped while YAML keys get strict validation
+    args = parser.parse_args(argv)
     return args

@@ -195,11 +195,16 @@ def profile_layers_parallel(net, params, chunks, reps: int = 3,
     # variant production never runs and corrupt both marginals
     from jax.lax import Precision
 
+    from async_ev_cnn_tpu.ops import stem as _stem
     from async_ev_cnn_tpu.ops.conv import matmul_precision
 
+    # mirror full_frame_forward's gate EXACTLY (incl. the demoted-
+    # precision flag) or a probe cut inside a fused pair times an
+    # unfused variant production never runs
     fused = (
         net._s2d_pairs
-        if matmul_precision() is Precision.HIGHEST
+        if (matmul_precision() is Precision.HIGHEST
+            or _stem.allow_demoted_precision)
         else frozenset()
     )
     probes = []

@@ -275,8 +275,20 @@ class MultiStreamRunner(Runner):
             streams = [pad_chunks_t(c, t_max) for c in streams]
             chunks = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *streams)
             states = eng.init_states(params, s)
+            kw = {}
+            if model.net.is_all_full:
+                # honor --window_budget_mb here too (it used to be
+                # silently ignored under --num_streams > 1): each device
+                # holds ceil(S / n_data) streams' activations at once
+                budget = getattr(args, "window_budget_mb", None)
+                if budget:
+                    per_dev_streams = -(-s // mesh.shape["data"])
+                    kw["window"] = model.net.auto_window(
+                        t_max, budget / per_dev_streams)
             t0 = time.time()
-            states, outs = scan_fn(params, states, eng.place_chunks(chunks, leading_time=True))
+            states, outs = scan_fn(
+                params, states,
+                eng.place_chunks(chunks, leading_time=True), **kw)
             np.asarray(outs[-1])  # host fetch = true sync point
             dt = time.time() - t0
             times.append(dt)

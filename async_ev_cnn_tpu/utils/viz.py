@@ -60,6 +60,14 @@ def draw_bboxes(
     """
     frame = np.asarray(frame, np.float32)
     h_image, w_image = frame.shape
+    # decode() infers the grid from the prediction shape; the explicit
+    # grid args exist for reference-signature parity — validate them so
+    # a transposed/misconfigured grid fails here, not as garbage boxes
+    if tuple(net_predictions.shape[:2]) != (h_grid, w_grid):
+        raise ValueError(
+            f"prediction grid {net_predictions.shape[:2]} != configured "
+            f"({h_grid}, {w_grid})"
+        )
     num_bbox = (net_predictions.shape[-1] - num_classes) // 5
 
     boxes, scores, probs = decode(
