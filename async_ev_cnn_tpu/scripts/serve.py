@@ -228,6 +228,9 @@ def main(argv=None):
         "events_per_sec": round(n_events / max(dt, 1e-9), 1),
         "detections_written": n_det if fh is not None else None,
         "state_restored": state_restored,
+        "wire_bytes": pipe.stats["wire_bytes"],
+        "wire_MBps": round(pipe.stats["wire_bytes"] / max(dt, 1e-9) / 2**20,
+                           2),
     }
     print(json.dumps(stats))
     return stats
