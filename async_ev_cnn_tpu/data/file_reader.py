@@ -248,7 +248,10 @@ class AerReader(FileReader):
             y = ((data >> 2) & 0x1FFF).astype(np.int32)
             p = ((data >> 1) & 0x1).astype(np.int32)
             valid = (data & 0x1).astype(bool)
-            ts64 = (np.int64(ts_overflow) << 31) | (
+            # mask the overflow counter to its 31 spec bits (parity with
+            # the native walker; a corrupt sign bit must not produce
+            # negative int64 timestamps)
+            ts64 = (np.int64(ts_overflow & 0x7FFFFFFF) << 31) | (
                 ts.astype(np.int64) & 0x7FFFFFFF
             )
             xs.append(x[valid])

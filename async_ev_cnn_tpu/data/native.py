@@ -31,36 +31,32 @@ def get_lib():
         lib = ctypes.CDLL(os.path.abspath(_lib_path()))
     except OSError:
         return None
-    lib.evio_decode_ndata_file.restype = ctypes.c_int64
-    lib.evio_decode_ndata_file.argtypes = [ctypes.c_char_p] + [
-        ctypes.POINTER(ctypes.c_int32)
-    ] * 4
-    lib.evio_decode_ndata.restype = ctypes.c_int64
-    lib.evio_decode_ndata.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-    ] + [ctypes.POINTER(ctypes.c_int32)] * 4
-    lib.evio_decode_ndata_batch.restype = None
-    lib.evio_decode_ndata_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64),
-    ] + [ctypes.POINTER(ctypes.c_int32)] * 4 + [ctypes.POINTER(ctypes.c_int64)]
-    try:
-        lib.evio_decode_aedat31.restype = ctypes.c_int64
-        lib.evio_decode_aedat31.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.evio_decode_aedat20.restype = ctypes.c_int64
-        lib.evio_decode_aedat20.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-        ] + [ctypes.POINTER(ctypes.c_int32)] * 4
-        lib.evio_decode_evt3.restype = ctypes.c_int64
-        lib.evio_decode_evt3.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
-        ] + [ctypes.POINTER(ctypes.c_int32)] * 4
-    except AttributeError:  # older library build
-        pass
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def cfg(name, restype, argtypes):
+        # per-symbol: one missing OPTIONAL symbol in a stale library must
+        # not leave the PRESENT ones unconfigured (an unconfigured int64
+        # arg/return marshals as 32-bit — silent garbage decodes)
+        try:
+            fn = getattr(lib, name)
+        except AttributeError:  # older library build
+            return
+        fn.restype = restype
+        fn.argtypes = argtypes
+
+    cfg("evio_decode_ndata", ctypes.c_int64, [u8p, ctypes.c_int64] + [i32p] * 4)
+    cfg("evio_decode_ndata_batch_cap", None,
+        [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        + [i32p] * 4 + [ctypes.POINTER(ctypes.c_int64)])
+    cfg("evio_decode_aedat31", ctypes.c_int64,
+        [u8p, ctypes.c_int64, i32p, i32p,
+         ctypes.POINTER(ctypes.c_int64), i32p])
+    cfg("evio_decode_aedat20", ctypes.c_int64,
+        [u8p, ctypes.c_int64] + [i32p] * 4)
+    cfg("evio_decode_evt3", ctypes.c_int64,
+        [u8p, ctypes.c_int64, ctypes.c_int64] + [i32p] * 4)
     _LIB = lib
     return _LIB
 
@@ -75,16 +71,23 @@ def _i32p(a: np.ndarray):
 
 def decode_ndata_file(path: str):
     """Native n-data decode; returns ``(length, x, y, ts, p)`` or None if the
-    library is unavailable."""
+    library is unavailable.
+
+    Reads the bytes in Python and decodes the BUFFER: sizing the output
+    arrays from os.path.getsize while the C side re-read the (possibly
+    grown) file was a TOCTOU buffer overrun."""
     lib = get_lib()
     if lib is None:
         return None
-    cap = os.path.getsize(path) // 5
+    buf = np.fromfile(path, np.uint8)
+    cap = buf.size // 5
     x = np.empty(cap, np.int32)
     y = np.empty(cap, np.int32)
     ts = np.empty(cap, np.int32)
     p = np.empty(cap, np.int32)
-    n = lib.evio_decode_ndata_file(path.encode(), _i32p(x), _i32p(y), _i32p(ts), _i32p(p))
+    n = lib.evio_decode_ndata(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+        _i32p(x), _i32p(y), _i32p(ts), _i32p(p))
     if n < 0:
         raise IOError(f"native decode failed for {path}")
     return int(n), x[:n], y[:n], ts[:n], p[:n]
@@ -139,6 +142,8 @@ def decode_ndata_batch(paths: list[str]):
     lib = get_lib()
     if lib is None:
         return None
+    if not hasattr(lib, "evio_decode_ndata_batch_cap"):
+        return None  # stale library without the capacity-clamped entry
     caps = np.array([os.path.getsize(p) // 5 for p in paths], np.int64)
     offsets = np.zeros(len(paths), np.int64)
     np.cumsum(caps[:-1], out=offsets[1:])
@@ -149,8 +154,12 @@ def decode_ndata_batch(paths: list[str]):
     p = np.empty(total, np.int32)
     lengths = np.empty(len(paths), np.int64)
     c_paths = (ctypes.c_char_p * len(paths))(*[s.encode() for s in paths])
-    lib.evio_decode_ndata_batch(
+    # the C side clamps each file to caps[i] records: without the clamp a
+    # file that GREW between getsize and the decoder's own read overran
+    # the output buffers (heap corruption)
+    lib.evio_decode_ndata_batch_cap(
         c_paths, len(paths), offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        caps.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         _i32p(x), _i32p(y), _i32p(ts), _i32p(p),
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )

@@ -70,8 +70,13 @@ def rulebook_conv_pair(
     overflow = jnp.sum(active) > capacity
 
     sp_idx = patch_indices(ys, xs, stride, (kh, kw), featuremap.shape[-1])
-    planes = jnp.stack([featuremap, conv_actfn])                 # [2, C, Hp, Wp]
-    patches = gather_patches(planes, sp_idx)                     # [2, K, C*kh*kw]
+    # gather per plane, then stack the SMALL [K, C*kh*kw] results: a
+    # jnp.stack of the full planes materialises a second copy of both
+    # (the same full-plane-traffic cost rows_conv_pair documents)
+    patches = jnp.stack([
+        gather_patches(featuremap[None], sp_idx)[0],
+        gather_patches(conv_actfn[None], sp_idx)[0],
+    ])                                                           # [2, K, C*kh*kw]
     kmat = kernel.reshape(o, c * kh * kw).T                      # [C*kh*kw, O]
     out = jnp.einsum(
         "nkd,do->nko", patches, kmat.astype(jnp.float32),

@@ -36,14 +36,24 @@ struct Events {
 // Reads a whole file into a malloc'd buffer. Returns nullptr on failure.
 uint8_t* read_file(const char* path, int64_t* size) {
   FILE* f = std::fopen(path, "rb");
-  if (!f) return nullptr;
+  if (!f) {
+    *size = -1;  // distinguish I/O failure from an empty file
+    return nullptr;
+  }
   std::fseek(f, 0, SEEK_END);
   *size = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
+  if (*size == 0) {
+    // malloc(0) may legally return nullptr, which the callers would
+    // misread as an I/O error; an empty file is simply zero events
+    std::fclose(f);
+    return nullptr;
+  }
   uint8_t* buf = static_cast<uint8_t*>(std::malloc(*size));
   if (buf && std::fread(buf, 1, *size, f) != static_cast<size_t>(*size)) {
     std::free(buf);
     buf = nullptr;
+    *size = -1;
   }
   std::fclose(f);
   return buf;
@@ -87,7 +97,7 @@ int64_t evio_decode_ndata_file(const char* path, int32_t* x, int32_t* y,
                                int32_t* ts, int32_t* p) {
   int64_t size = 0;
   uint8_t* buf = read_file(path, &size);
-  if (!buf) return -1;
+  if (!buf) return size == 0 ? 0 : -1;  // empty file = zero events
   const int64_t n = decode_ndata_buffer(buf, size, Events{x, y, ts, p, 0});
   std::free(buf);
   return n;
@@ -112,6 +122,33 @@ void evio_decode_ndata_batch(const char** paths, int64_t num,
     const int64_t off = offsets[i];
     lengths[i] =
         evio_decode_ndata_file(paths[i], x + off, y + off, ts + off, p + off);
+  }
+}
+
+// Capacity-clamped batched decode: caps[i] bounds how many records of file
+// i are decoded — the caller sized its output region from a stat() that a
+// concurrently-growing file can invalidate, so the uncapped variant could
+// write past the region (heap corruption).  Extra bytes are ignored.
+void evio_decode_ndata_batch_cap(const char** paths, int64_t num,
+                                 const int64_t* offsets, const int64_t* caps,
+                                 int32_t* x, int32_t* y, int32_t* ts,
+                                 int32_t* p, int64_t* lengths) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int64_t i = 0; i < num; ++i) {
+    const int64_t off = offsets[i];
+    int64_t size = 0;
+    uint8_t* buf = read_file(paths[i], &size);
+    if (!buf) {
+      lengths[i] = size == 0 ? 0 : -1;  // empty file = zero events
+      continue;
+    }
+    if (size > caps[i] * 5) size = caps[i] * 5;
+    lengths[i] = decode_ndata_buffer(buf, size,
+                                     Events{x + off, y + off, ts + off,
+                                            p + off, 0});
+    std::free(buf);
   }
 }
 
@@ -170,7 +207,13 @@ int64_t evio_decode_aedat31(const uint8_t* payload, int64_t size, int32_t* x,
           (ts_offset > 0 && ts_offset < event_size && ts_offset % 4 == 0)
               ? ts_offset / 4
               : 1;
-      const int64_t data_col = ts_col != 0 ? 0 : 1;
+      // the polarity word is word 0 (ts_col >= 1 above) — mirrors the
+      // numpy walker's invariant comment (file_reader.py)
+      const int64_t data_col = 0;
+      // mask BEFORE the shift: `ts_overflow << 31` on a corrupt header
+      // with bit 31 set is a negative-value left shift (UB pre-C++20)
+      // and would also diverge from numpy's defined wrap
+      const int64_t ts_hi = (ts_overflow & 0x7FFFFFFFll) << 31;
       for (int64_t e = 0; e < complete; ++e) {
         const uint32_t data =
             static_cast<uint32_t>(words[pos + wpe * e + data_col]);
@@ -178,7 +221,7 @@ int64_t evio_decode_aedat31(const uint8_t* payload, int64_t size, int32_t* x,
         x[n] = static_cast<int32_t>((data >> 17) & 0x1FFFu);
         y[n] = static_cast<int32_t>((data >> 2) & 0x1FFFu);
         p[n] = static_cast<int32_t>((data >> 1) & 0x1u);
-        ts[n] = (ts_overflow << 31) |
+        ts[n] = ts_hi |
                 (static_cast<int64_t>(words[pos + wpe * e + ts_col]) &
                  0x7FFFFFFFll);
         ++n;
