@@ -6,7 +6,10 @@ Prints ONE JSON line:
 
 Setup mirrors the reference's flagship config
 (/root/reference/configs/efcn_event.yml): eFCN at 160x224, leak 5e-5,
-micro-batches of 200 events, synthetic N-Caltech101-rate stream.
+capacity-256-packed event chunks, synthetic N-Caltech101-rate stream.
+EVERY leg — TPU and both CPU comparators — steps 256 events per
+micro-batch (mixed 200-event CPU vs 256-event TPU steps would inflate
+the published ratios ~1.28x).
 
 The headline is the fastest streaming execution of the flagship model
 that holds the ASYNC-VS-DENSE CONTRACT (BASELINE.md: per-layer <= 1e-4
@@ -56,7 +59,6 @@ tunnel round trip per timing (see _chained_events_per_sec).
 
 import json
 import time
-from collections import OrderedDict
 
 import numpy as np
 
@@ -83,8 +85,10 @@ EFCN_DSL = (
 )
 H, W = 160, 224
 LEAK = 5e-5
-CHUNK_EVENTS = 200
 CAPACITY = 256
+# CPU comparators step the SAME events-per-micro-batch as the TPU legs'
+# capacity-packed chunks; a smaller CPU step would inflate the ratios
+CHUNK_EVENTS = CAPACITY
 T_CHUNKS = 50        # chunks per dispatch for sequential modes
 T_PARALLEL = 200     # chunks per dispatch for the parallel-in-time mode
 DISPATCHES = 8       # steps chained in-jit per timing
@@ -252,15 +256,20 @@ def bench_tpu_parallel(params, layer_defs, events, dispatches=DISPATCHES,
 
 
 def _at_precision(precision, fn, *args, **kwargs):
-    """Run a bench leg at a matmul precision, restoring the bench default
-    (the headline tier, 'default' — see module docstring) afterwards."""
-    from async_ev_cnn_tpu.ops.conv import set_matmul_precision
+    """Run a bench leg at a matmul precision, restoring whatever tier was
+    active at entry (restoring a hardcoded default would silently reset
+    an ambient non-default tier for everything built afterwards)."""
+    from jax.lax import Precision
 
+    from async_ev_cnn_tpu.ops.conv import matmul_precision, set_matmul_precision
+
+    prev = {Precision.HIGHEST: "highest", Precision.HIGH: "high",
+            Precision.DEFAULT: "default"}[matmul_precision()]
     set_matmul_precision(precision)
     try:
         return fn(*args, **kwargs)
     finally:
-        set_matmul_precision(HEADLINE_PRECISION)
+        set_matmul_precision(prev)
 
 
 HEADLINE_PRECISION = "default"  # fastest tier that holds the 10k contract
@@ -275,7 +284,6 @@ def bench_tpu_dense_frame(params, layer_defs, events):
     sequential scan — integrate chunk, one conv per layer, repeat."""
     import jax
     import jax.numpy as jnp
-    from async_ev_cnn_tpu.utils.runner import pack_chunks
 
     net = _net(layer_defs, "full")
     jparams = {k: jnp.asarray(v) for k, v in params.items()}
@@ -290,7 +298,6 @@ def bench_tpu_async(params, layer_defs, events, conv_mode="dense"):
     leak propagation) — or any other conv_mode."""
     import jax
     import jax.numpy as jnp
-    from async_ev_cnn_tpu.utils.runner import pack_chunks
 
     net = _net(layer_defs, conv_mode)
     jparams = {k: jnp.asarray(v) for k, v in params.items()}
@@ -311,7 +318,6 @@ def bench_tpu_serving(params, layer_defs, events, n_streams=8,
     trip."""
     import jax
     import jax.numpy as jnp
-    from async_ev_cnn_tpu.utils.runner import pack_chunks
 
     net = _net(layer_defs, "full", activation_dtype=activation_dtype)
     jparams = {k: jnp.asarray(v) for k, v in params.items()}
@@ -430,8 +436,10 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
         # with the one-fetch watermark drain (rationale + the measured
         # failure modes of the alternatives live in its module docstring)
         net = _net(layer_defs, "full")
-        wire = "auto" if force_wire is None else (
-            "compact" if force_wire == "compact" else "plain")
+        # pass through to StreamingPipeline's VALIDATED wire argument —
+        # a silent anything-else->'plain' mapping turned force_wire='auto'
+        # (or a typo) into the 8 B wire, halving the link-bound leg
+        wire = "auto" if force_wire is None else force_wire
         if wire == "auto" and pack_wire_compact(
                 decode(paths[0]), CAPACITY) is None:  # pragma: no cover
             wire = "plain"
