@@ -29,6 +29,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from async_ev_cnn_tpu.ops.conv import matmul_precision
+from async_ev_cnn_tpu.ops.pallas_rulebook import pad_lanes_128
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -74,12 +77,12 @@ def _kernel(rows_ref, fm_hbm, ca_hbm, kmat_ref, bias_ref,
             acc_fm = acc_fm + jnp.dot(
                 rowbuf[slot, 0, dy, dx:dx + ow, :], w_tap,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,  # see ops/conv.py
+                precision=matmul_precision(),  # trace-time tier, see ops/conv.py
             )
             acc_ca = acc_ca + jnp.dot(
                 rowbuf[slot, 1, dy, dx:dx + ow, :], w_tap,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=matmul_precision(),
             )
     out_fm_ref[0] = acc_fm
     out_ca_ref[0] = acc_ca
@@ -101,12 +104,8 @@ def rows_gather_conv_pallas(
     r = row_idx.shape[0]
     # DMA wants the lane (channel) dim a multiple of 128; zero-pad planes
     # and the kernel's input-channel dim (exact — padded channels add 0).
-    c_pad = (-c) % 128
-    if c_pad:
-        fm_hwc = jnp.pad(fm_hwc, ((0, 0), (0, 0), (0, c_pad)))
-        ca_hwc = jnp.pad(ca_hwc, ((0, 0), (0, 0), (0, c_pad)))
-        kernel_hwio = jnp.pad(kernel_hwio, ((0, 0), (0, 0), (0, c_pad), (0, 0)))
-        c += c_pad
+    fm_hwc, ca_hwc, kernel_hwio, c = pad_lanes_128(
+        fm_hwc, ca_hwc, kernel_hwio)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # row_idx

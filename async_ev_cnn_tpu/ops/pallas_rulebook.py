@@ -24,8 +24,24 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from async_ev_cnn_tpu.ops.conv import matmul_precision
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def pad_lanes_128(fm_hwc, ca_hwc, kernel_hwio):
+    """Zero-pad the channel (lane) dim of the HWC planes and the kernel's
+    input-channel dim to a multiple of 128 — Mosaic DMA wants 128-lane
+    minor dims; padded channels contribute exact zeros to the dots.
+    Shared by all three rulebook kernels."""
+    c = fm_hwc.shape[-1]
+    c_pad = (-c) % 128
+    if c_pad:
+        fm_hwc = jnp.pad(fm_hwc, ((0, 0), (0, 0), (0, c_pad)))
+        ca_hwc = jnp.pad(ca_hwc, ((0, 0), (0, 0), (0, c_pad)))
+        kernel_hwio = jnp.pad(kernel_hwio, ((0, 0), (0, 0), (0, c_pad), (0, 0)))
+    return fm_hwc, ca_hwc, kernel_hwio, c + c_pad
 
 
 def _kernel(ys_ref, xs_ref, fm_hbm, ca_hbm, kmat_ref, bias_ref,
@@ -64,12 +80,12 @@ def _kernel(ys_ref, xs_ref, fm_hbm, ca_hbm, kmat_ref, bias_ref,
             acc_fm = acc_fm + jnp.dot(
                 patches[0, :, dy, dx, :], w_tap,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,  # see ops/conv.py
+                precision=matmul_precision(),  # trace-time tier, see ops/conv.py
             )
             acc_ca = acc_ca + jnp.dot(
                 patches[1, :, dy, dx, :], w_tap,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=matmul_precision(),
             )
     out_fm_ref[:] = acc_fm
     out_ca_ref[:] = acc_ca
@@ -100,12 +116,8 @@ def rulebook_gather_gemm_pallas(
     # The per-site DMA requires the lane (channel) dim to be a multiple of
     # 128; zero-pad the planes and the kernel's input-channel dim (exact —
     # padded channels contribute 0 to the dots).
-    c_pad = (-c) % 128
-    if c_pad:
-        fm_hwc = jnp.pad(fm_hwc, ((0, 0), (0, 0), (0, c_pad)))
-        ca_hwc = jnp.pad(ca_hwc, ((0, 0), (0, 0), (0, c_pad)))
-        kernel_hwio = jnp.pad(kernel_hwio, ((0, 0), (0, 0), (0, c_pad), (0, 0)))
-        c += c_pad
+    fm_hwc, ca_hwc, kernel_hwio, c = pad_lanes_128(
+        fm_hwc, ca_hwc, kernel_hwio)
     kmat = kernel_hwio.astype(jnp.float32)  # [kh, kw, C, O], indexed per tap
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -19,6 +19,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from async_ev_cnn_tpu.ops.conv import matmul_precision
+from async_ev_cnn_tpu.ops.pallas_rulebook import pad_lanes_128
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -77,11 +80,11 @@ def _kernel(by_ref, bx_ref, fm_hbm, ca_hbm, kmat_ref, bias_ref,
             lhs_ca = strips[cur, 1, :, dy, dx : dx + BLOCK_W, :].reshape(n, -1)
             acc_fm = acc_fm + jnp.dot(
                 lhs_fm, w_tap, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=matmul_precision(),
             )
             acc_ca = acc_ca + jnp.dot(
                 lhs_ca, w_tap, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=matmul_precision(),
             )
     out_fm_ref[:] = acc_fm
     out_ca_ref[:] = acc_ca
@@ -111,12 +114,8 @@ def rulebook_gather_gemm_pallas_blocks(
     num_tiles = by.shape[0] // tile
 
     # lane-dim alignment (see pallas_rulebook.py)
-    c_pad = (-c) % 128
-    if c_pad:
-        fm_hwc = jnp.pad(fm_hwc, ((0, 0), (0, 0), (0, c_pad)))
-        ca_hwc = jnp.pad(ca_hwc, ((0, 0), (0, 0), (0, c_pad)))
-        kernel_hwio = jnp.pad(kernel_hwio, ((0, 0), (0, 0), (0, c_pad), (0, 0)))
-        c += c_pad
+    fm_hwc, ca_hwc, kernel_hwio, c = pad_lanes_128(
+        fm_hwc, ca_hwc, kernel_hwio)
     # make sure a strip at the right edge stays in range
     strip_w = BLOCK_W + kw - 1
     wb = -(-(fm_hwc.shape[1] - (kw - 1)) // BLOCK_W)

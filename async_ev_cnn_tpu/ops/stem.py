@@ -47,7 +47,13 @@ from async_ev_cnn_tpu.ops.conv import leaky, matmul_precision
 # taps), so the fused contraction multiplies the identical bf16-rounded
 # product set as the direct conv — the only difference is f32
 # accumulation order, the same ~1e-7 noise as at HIGHEST.  Flag default
-# follows the measurement (examples/stem_bf16_retest.py).
+# follows the measurement (examples/stem_bf16_retest.py — pending, see
+# its STATUS note).
+#
+# TRACE-TIME setting, like ops.conv.set_matmul_precision: the network
+# gate reads it while tracing and it is not part of any jit cache key —
+# toggling it after a program has compiled silently leaves that program
+# at its old fused/unfused state (rebuild the network objects to apply).
 allow_demoted_precision = False
 
 

@@ -1,0 +1,80 @@
+"""Stem-fusion re-test at the bf16 headline tier — the measurement that
+governs ``ops.stem.allow_demoted_precision``'s default.
+
+Round 3 measured the s2d conv1+pool1 fusion a wash at f32 HIGHEST, where
+the step was compute-bound.  The round-4 floor analysis
+(examples/bf16_floor.py) shows the bf16-tier step is HBM-bound — and the
+fusion's main saving is exactly the largest HBM term (conv1's
+full-resolution [T, 16, H, W] output, ~459 MB/dispatch written + read at
+T=200 f32).  Re-test:
+
+1. parity: scan (direct convs) vs scan_parallel (s2d-fused) at
+   `default` precision — gate tolerance 1e-4, report the actual max
+   (expected ~1e-7: bf16 rounding is elementwise and s2d only permutes
+   the operands, so the product set is identical and only f32
+   accumulation order differs).
+2. whole-step A/B: fused vs unfused scan_parallel at `default`,
+   interleaved same-process reps.
+
+STATUS: blocked on a TPU-service outage at round-4 close (2026-08-18);
+the flag default stays False (fusion only at HIGHEST, the historically
+measured configuration) until this runs.  When it runs: if parity holds
+and fused wins, flip ``allow_demoted_precision`` to True and record the
+A/B in docs/performance.md; if it loses or drifts, record the negative.
+"""
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+import bench
+
+bench._enable_compilation_cache()
+import jax
+import jax.numpy as jnp
+
+from async_ev_cnn_tpu.layers.network import EventNetwork
+from async_ev_cnn_tpu.ops import stem
+from async_ev_cnn_tpu.ops.conv import set_matmul_precision
+from async_ev_cnn_tpu.utils.config import layers_dict
+
+stem.allow_demoted_precision = True
+
+layer_defs = layers_dict(bench.EFCN_DSL)
+rng = np.random.RandomState(0)
+params = bench.make_params(layer_defs, rng)
+jparams = {k: jnp.asarray(v) for k, v in params.items()}
+set_matmul_precision(bench.HEADLINE_PRECISION)
+
+events = bench.synth_stream(rng, bench.DISPATCHES * bench.T_PARALLEL,
+                            bench.CAPACITY)
+chunks, n_events = bench._pack_k(events, bench.CAPACITY)
+
+# ---- 1. parity at default tier -----------------------------------------
+net_f = EventNetwork(layer_defs, bench.H, bench.W, leak=bench.LEAK,
+                     alpha=0.1, padding="SAME", conv_mode="full",
+                     stem_fusion=True)
+assert net_f._s2d_pairs, "stem pair must fuse"
+one = jax.tree.map(lambda a: a[0][:40], chunks)  # 40 chunks
+st0 = net_f.init_state(jparams)
+_, outs_seq = jax.jit(lambda s, c: net_f.scan(jparams, s, c))(st0, one)
+_, outs_par = jax.jit(
+    lambda s, c: net_f.scan_parallel(jparams, s, c))(st0, one)
+d = float(jnp.max(jnp.abs(outs_seq - outs_par)))
+print(json.dumps({"probe": "parity_default_tier", "max_abs_diff": d,
+                  "gate": 1e-4, "ok": d <= 1e-4}), flush=True)
+
+# ---- 2. whole-step A/B --------------------------------------------------
+for fused in (False, True, False, True):
+    net = EventNetwork(layer_defs, bench.H, bench.W, leak=bench.LEAK,
+                       alpha=0.1, padding="SAME", conv_mode="full",
+                       stem_fusion=fused)
+    state = net.init_state(jparams)
+    fn = jax.jit(lambda s, c, n=net: n.scan_parallel(jparams, s, c))
+    eps, dt, spread = bench._chained_events_per_sec(fn, state, chunks,
+                                                    n_events)
+    print(json.dumps({"probe": "ab", "fused": fused,
+                      "events_per_sec": round(eps, 1),
+                      "ms_per_dispatch": round(dt / bench.DISPATCHES * 1e3, 2),
+                      "spread": round(spread, 3)}), flush=True)

@@ -56,3 +56,28 @@ def test_pallas_nondivisible_k(rng):
     assert fm_vals.shape == (5, o)
     exp_fm, exp_ca = reference_vals(fm, ca, kern, bias, ys, xs, 1)
     np.testing.assert_allclose(np.asarray(fm_vals), exp_fm, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_matches_xla_stride2(rng):
+    """stride > 1 is the ONLY production route to this per-site kernel
+    (conv2d.py sends stride-1 sparse_pallas convs to the blocks kernel),
+    yet it had never been executed by any test."""
+    hp, wp, c, o, kh, kw = 17, 21, 3, 6, 3, 3
+    stride = 2
+    fm = rng.randn(hp, wp, c).astype(np.float32)
+    ca = rng.randn(hp, wp, c).astype(np.float32)
+    kern = rng.randn(kh, kw, c, o).astype(np.float32)
+    bias = rng.randn(o).astype(np.float32)
+    oh = (hp - kh) // stride + 1
+    ow = (wp - kw) // stride + 1
+    k = 12
+    ys = rng.randint(0, oh, k).astype(np.int32)
+    xs = rng.randint(0, ow, k).astype(np.int32)
+    fm_vals, ca_vals = rulebook_gather_gemm_pallas(
+        jnp.asarray(fm), jnp.asarray(ca), jnp.asarray(kern), jnp.asarray(bias),
+        jnp.asarray(ys), jnp.asarray(xs), stride=stride, tile=4,
+        interpret=True,
+    )
+    exp_fm, exp_ca = reference_vals(fm, ca, kern, bias, ys, xs, stride)
+    np.testing.assert_allclose(np.asarray(fm_vals), exp_fm, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ca_vals), exp_ca, rtol=1e-5, atol=1e-5)
