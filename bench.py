@@ -58,9 +58,90 @@ tunnel round trip per timing (see _chained_events_per_sec).
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# Outage resilience (round-4 verdict #1): the TPU service has documented
+# multi-hour outage windows (CLAUDE.md) where backend init dies UNAVAILABLE
+# or a tiny op takes minutes.  Round 4's driver capture was a single-shot
+# ``python bench.py`` and lost the round's verified number to one such
+# window.  Every entry into the chip now goes through a bounded
+# probe-retry loop, and on final failure the script still emits a VALID
+# one-line JSON with ``degraded: true`` and exits 0.
+BENCH_MAX_WAIT_S = float(os.environ.get("BENCH_MAX_WAIT_S", "2700"))
+BENCH_POLL_S = float(os.environ.get("BENCH_POLL_S", "120"))
+_BENCH_DEADLINE = [None]  # wall-clock deadline for outage waits, set in main()
+
+
+def _reset_backend():
+    """Drop the cached (possibly failed) backend so the next dispatch
+    re-initializes it — JAX caches backend-init *failures* too."""
+    try:
+        import jax.extend.backend
+
+        jax.extend.backend.clear_backends()
+    except Exception:
+        pass
+
+
+def _probe_device():
+    """One tiny dispatch+fetch round trip; raises if the backend is down.
+    Returns elapsed seconds so callers can flag the slow-sick failure mode
+    (outage windows where a 1x1 matmul takes minutes, CLAUDE.md)."""
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    x = jnp.full((1, 1), 2.0, jnp.float32)
+    assert float(np.asarray(x @ x)[0, 0]) == 4.0
+    return time.time() - t0
+
+
+def _wait_for_backend():
+    """Block until the accelerator answers a tiny matmul fast enough,
+    retrying through outage windows up to the global bench deadline.
+    Returns ``None`` when healthy, else the last error string."""
+    first = True
+    while True:
+        try:
+            dt = _probe_device()
+            # first probe pays backend init + compile (~20-40 s normal over
+            # the tunnel); later probes are warm.  Anything slower is the
+            # documented sick-service mode — treat as down and retry.
+            if dt < (150.0 if first else 45.0):
+                return None
+            last = f"slow backend: tiny matmul took {dt:.0f}s"
+        except Exception as e:  # pragma: no cover - requires a real outage
+            last = f"{type(e).__name__}: {str(e)[:300]}"
+        first = False
+        _reset_backend()
+        now = time.time()
+        deadline = _BENCH_DEADLINE[0]
+        if deadline is None or now >= deadline:
+            return last
+        wait = min(BENCH_POLL_S, deadline - now)
+        print(f"[bench] backend unhealthy; retrying in {int(wait)}s "
+              f"({int(deadline - now)}s of budget left): {last}",
+              file=sys.stderr)
+        time.sleep(wait)
+
+
+def _resilient(fn, *args, **kwargs):
+    """Run a headline leg; on failure wait out the outage and retry.
+    Returns ``None`` only when the backend never came back."""
+    for attempt in range(3):
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:  # pragma: no cover - requires a real outage
+            print(f"[bench] leg {getattr(fn, '__name__', fn)} failed "
+                  f"(attempt {attempt + 1}): {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
+            _reset_backend()
+            if _wait_for_backend() is not None:
+                return None
+    return None
 
 
 def _enable_compilation_cache():
@@ -574,6 +655,8 @@ def main():
     from async_ev_cnn_tpu.ops.conv import set_matmul_precision
     from async_ev_cnn_tpu.utils.config import layers_dict
 
+    _BENCH_DEADLINE[0] = time.time() + BENCH_MAX_WAIT_S
+
     layer_defs = layers_dict(EFCN_DSL)
     rng = np.random.RandomState(0)
     params = make_params(layer_defs, rng)
@@ -587,20 +670,53 @@ def main():
     # pipeline) runs at one consistent precision
     set_matmul_precision(HEADLINE_PRECISION)
 
-    tpu_eps, _, tpu_spread = bench_tpu_parallel(params, layer_defs, events_par)
-    dense_eps, _, _ = bench_tpu_dense_frame(params, layer_defs, events)
+    # CPU comparators first — they need no accelerator and must survive
+    # a degraded (outage) run so the JSON still carries the baselines
     cpu_eps, cpu_dt = bench_cpu_dense_proxy(params, layer_defs, events)
     cpu_async_eps = bench_cpu_async_baseline(params, layer_defs, events)
 
-    # optional extras must never cost the driver the headline JSON line
-    def _try(fn, *a, **kw):
-        try:
-            return fn(*a, **kw)
-        except Exception as e:  # pragma: no cover
-            import sys
+    # gate on a healthy backend (bounded retry through outage windows),
+    # then run the two headline legs with mid-run outage recovery
+    reason = _wait_for_backend()
+    tpu = None if reason else _resilient(
+        bench_tpu_parallel, params, layer_defs, events_par)
+    if tpu is None:
+        # the service never came back inside the budget: emit a VALID
+        # degraded JSON line (driver contract: rc=0, parseable) so the
+        # round records the outage instead of an rc=1 with no output
+        print(json.dumps({
+            "metric": "events_per_sec_chip",
+            "value": 0.0,
+            "unit": "events/s",
+            "vs_baseline": 0.0,
+            "degraded": True,
+            "reason": reason or "headline leg failed after backend retries",
+            "wait_budget_s": BENCH_MAX_WAIT_S,
+            "baseline_is_standin": True,
+            "baseline_cpu_async_events_per_sec": round(cpu_async_eps, 1),
+            "baseline_cpu_dense_numpy_events_per_sec": round(cpu_eps, 1),
+            "config": "efcn_event (160x224, leak 5e-5, capacity-256-packed "
+                      "chunks)",
+        }))
+        return
+    tpu_eps, _, tpu_spread = tpu
+    dense = _resilient(bench_tpu_dense_frame, params, layer_defs, events)
+    dense_eps = dense[0] if dense else None
 
-            print(f"bench extra failed: {e}", file=sys.stderr)
-            return None
+    # optional extras must never cost the driver the headline JSON line;
+    # one outage-wait retry each so a mid-run outage blanks as few rows
+    # as possible
+    def _try(fn, *a, **kw):
+        for attempt in range(2):
+            try:
+                return fn(*a, **kw)
+            except Exception as e:  # pragma: no cover
+                print(f"bench extra failed (attempt {attempt + 1}): {e}",
+                      file=sys.stderr)
+                _reset_backend()
+                if _wait_for_backend() is not None:
+                    return None
+        return None
 
     # the reference-semantics incremental path drifts past the 1e-4 gate
     # at bf16 (10k steps on-chip) — its rows stay at the tier it passes
@@ -671,8 +787,10 @@ def main():
                 "integrate engine; async==dense 0.0 over 10k on-chip steps "
                 "at this tier)",
         "matmul_precision": HEADLINE_PRECISION,
-        "tpu_dense_frame_events_per_sec": round(dense_eps, 1),
-        "vs_tpu_dense_frame": round(tpu_eps / dense_eps, 2),
+        "tpu_dense_frame_events_per_sec":
+            round(dense_eps, 1) if dense_eps else None,
+        "vs_tpu_dense_frame":
+            round(tpu_eps / dense_eps, 2) if dense_eps else None,
         "async_dense_masked_events_per_sec":
             round(masked_eps, 1) if masked_eps else None,
         "parallel_f32_highest_events_per_sec":

@@ -206,3 +206,79 @@ def test_pack_k_windows_are_distinct(bench_mod):
         assert not np.array_equal(ys[0], ys[i])
     # every real event is counted exactly once
     assert n_events == events.shape[0]
+
+
+class _Seq:
+    """Callable that pops scripted results; raising entries raise."""
+
+    def __init__(self, *results):
+        self.results = list(results)
+        self.calls = 0
+
+    def __call__(self, *a, **kw):
+        self.calls += 1
+        r = self.results.pop(0)
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+
+def test_wait_for_backend_retries_through_outage(bench_mod, monkeypatch):
+    """An UNAVAILABLE probe retries (with backend reset) until the service
+    answers, inside the budget — the round-4 failure mode (BENCH_r04
+    rc=1) must never recur as a silent single-shot abort."""
+    probe = _Seq(RuntimeError("UNAVAILABLE: TPU backend setup"), 250.0, 1.0)
+    resets = []
+    monkeypatch.setattr(bench_mod, "_probe_device", probe)
+    monkeypatch.setattr(bench_mod, "_reset_backend", lambda: resets.append(1))
+    monkeypatch.setattr(bench_mod.time, "sleep", lambda s: None)
+    bench_mod._BENCH_DEADLINE[0] = bench_mod.time.time() + 3600
+    assert bench_mod._wait_for_backend() is None
+    # attempt 1 errored, attempt 2 was slow-sick (250 s > 150 s first-probe
+    # threshold... second probe threshold 45 s), attempt 3 healthy
+    assert probe.calls == 3
+    assert len(resets) == 2
+
+
+def test_wait_for_backend_bounded_by_deadline(bench_mod, monkeypatch):
+    """Past the wait budget the loop gives up and returns the last error
+    string instead of spinning forever."""
+    monkeypatch.setattr(
+        bench_mod, "_probe_device",
+        _Seq(RuntimeError("UNAVAILABLE: down"),
+             RuntimeError("UNAVAILABLE: still down")))
+    monkeypatch.setattr(bench_mod, "_reset_backend", lambda: None)
+    bench_mod._BENCH_DEADLINE[0] = bench_mod.time.time() - 1.0
+    err = bench_mod._wait_for_backend()
+    assert err is not None and "UNAVAILABLE" in err
+
+
+def test_resilient_recovers_midrun(bench_mod, monkeypatch):
+    """A leg that dies mid-run (service drops during capture) is retried
+    after the backend answers again; the result of the retry is returned."""
+    monkeypatch.setattr(bench_mod, "_probe_device", lambda: 0.01)
+    monkeypatch.setattr(bench_mod, "_reset_backend", lambda: None)
+    bench_mod._BENCH_DEADLINE[0] = bench_mod.time.time() + 60
+    leg = _Seq(RuntimeError("UNAVAILABLE: dropped"), (1234.5, 0.1, 0.0))
+    assert bench_mod._resilient(leg) == (1234.5, 0.1, 0.0)
+    assert leg.calls == 2
+
+
+def test_main_degraded_emits_valid_json(bench_mod, monkeypatch, capsys):
+    """When the backend never comes back inside the budget, main() still
+    prints ONE parseable JSON line with degraded=true and returns (rc=0)
+    — the driver contract the round-4 outage broke."""
+    monkeypatch.setattr(bench_mod, "_wait_for_backend", lambda: "UNAVAILABLE: outage")
+    monkeypatch.setattr(bench_mod, "bench_cpu_dense_proxy",
+                        lambda *a, **k: (1000.0, 0.01))
+    monkeypatch.setattr(bench_mod, "bench_cpu_async_baseline",
+                        lambda *a, **k: 500.0)
+    monkeypatch.setattr(bench_mod, "BENCH_MAX_WAIT_S", 0.0)
+    bench_mod.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    assert payload["degraded"] is True
+    assert payload["metric"] == "events_per_sec_chip"
+    assert payload["value"] == 0.0
+    assert "UNAVAILABLE" in payload["reason"]
+    assert payload["baseline_cpu_async_events_per_sec"] == 500.0
