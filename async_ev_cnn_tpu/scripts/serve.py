@@ -43,15 +43,18 @@ from async_ev_cnn_tpu.models import YoloEventJax
 from async_ev_cnn_tpu.utils.config import config
 from async_ev_cnn_tpu.utils.transforms import data_transform
 
-_INT32_TS_CEIL = np.iinfo(np.int32).max - 2**24
 
-
-def _stream_items(reader, args, pipe, streams, capacity, t_chunks):
-    """Yield packed wire items, ``streams`` consecutive per dispatch
+def _stream_items(reader, args, streams, capacity, t_chunks):
+    """Yield RAW int64 event arrays, ``streams`` consecutive per dispatch
     round (one per stream slot), until the test split is exhausted
-    (ragged tails are flushed as padded final items)."""
-    bufs = [np.zeros((0, 3), np.int64) for _ in range(streams)]
-    toffs = [0] * streams
+    (ragged tails are flushed as short final items; the pipeline pads
+    them to ``t_chunks`` via its own pack).  Raw items — not pre-packed
+    wires — so the pipeline can rebase each stream's time base once it
+    outlives the int32 µs range (~35.8 min): the endless-feed contract.
+    With ``--keep_polarity`` the 4th (polarity) column rides along."""
+    cols = 4 if getattr(args, "keep_polarity", False) else 3
+    bufs = [np.zeros((0, cols), np.int64) for _ in range(streams)]
+    toffs = [0] * streams  # int64 python ints — unbounded stream time
     pulls, total = 0, reader.test_size()
     need = t_chunks * capacity
 
@@ -66,16 +69,9 @@ def _stream_items(reader, args, pipe, streams, capacity, t_chunks):
             pulls += 1
             if ev.shape[0] == 0:
                 continue
-            ev = ev[:, :3].astype(np.int64)
+            ev = ev[:, :cols].astype(np.int64)
             ev[:, 2] += toffs[s]
             toffs[s] = int(ev[-1, 2]) + 1
-            if toffs[s] > _INT32_TS_CEIL:
-                raise SystemExit(
-                    "stream time exceeded the int32 microsecond range "
-                    "(~35.8 min); split the run (the surface state's "
-                    "prev_ts is int32 — the same contract data_transform "
-                    "enforces per example)"
-                )
             bufs[s] = np.concatenate([bufs[s], ev])
 
     while True:
@@ -85,20 +81,26 @@ def _stream_items(reader, args, pipe, streams, capacity, t_chunks):
             return
         for s in range(streams):
             take, bufs[s] = bufs[s][:need], bufs[s][need:]
-            yield pipe.pack(take, t_chunks=t_chunks)
+            yield take
 
 
 def _write_detections(fh, res, args, dispatch_idx, streams):
-    """Host NMS + JSONL for one retired dispatch's decoded boxes."""
+    """Host NMS + JSONL for one retired dispatch's decoded boxes.
+    Zero-count chunks (``res.counts``) are exact no-op padding steps
+    whose outputs repeat the previous surface — skipped, or a padded
+    short tail would write duplicate phantom detection rows."""
     from async_ev_cnn_tpu.utils.nms import nms
 
     boxes, probs = (np.asarray(a) for a in res.outputs)
+    counts = np.asarray(res.counts)
     # leading axes: [T, ...] or [S, T, ...]
     if streams == 1:
-        boxes, probs = boxes[None], probs[None]
+        boxes, probs, counts = boxes[None], probs[None], counts[None]
     n_written = 0
     for s in range(boxes.shape[0]):
         for t in range(boxes.shape[1]):
+            if counts[s, t] == 0:
+                continue
             conf = probs[s, t].max(axis=-1)
             cls = probs[s, t].argmax(axis=-1)
             keepable = conf >= args.conf_threshold
@@ -128,10 +130,14 @@ def main(argv=None):
     set_matmul_precision(args.matmul_precision)
     if args.network not in ("YoloEventJax", "YoloEventNumpy"):
         raise SystemExit("serve drives the event network (YoloEventJax)")
-    if getattr(args, "keep_polarity", False):
+    keep_polarity = bool(getattr(args, "keep_polarity", False))
+    first_cin = next(
+        (s[2] for n, s in args.yolo_cnn_layers.items() if "conv" in n), 1)
+    if keep_polarity and first_cin != 2:
         raise SystemExit(
-            "serve's wire format carries (y, x, ts) only; polarity "
-            "surfaces need run_networks"
+            "--keep_polarity serves a 2-channel (ON/OFF) surface network: "
+            f"the first conv's in_channels must be 2, got {first_cin} "
+            "(adjust the config's conv1)"
         )
 
     reader = detection_reader.factory(args.input_data_dir,
@@ -178,7 +184,8 @@ def main(argv=None):
 
     pipe = StreamingPipeline(model.net, model.params, capacity=capacity,
                              streams=streams, postprocess=post,
-                             wire=args.serve_wire)
+                             wire=args.serve_wire, t_chunks=t_chunks,
+                             keep_polarity=keep_polarity)
     state_restored = False
     if args.serve_state:
         import os
@@ -189,8 +196,7 @@ def main(argv=None):
             pipe.state = restore_stream_state(args.serve_state, pipe.state)
             state_restored = True
     src = threaded_source(
-        lambda: _stream_items(reader, args, pipe, streams, capacity,
-                              t_chunks),
+        lambda: _stream_items(reader, args, streams, capacity, t_chunks),
         depth=max(4, streams + 2), threads=1,
     )
 
@@ -231,6 +237,11 @@ def main(argv=None):
         "wire_bytes": pipe.stats["wire_bytes"],
         "wire_MBps": round(pipe.stats["wire_bytes"] / max(dt, 1e-9) / 2**20,
                            2),
+        # per-dispatch latency + event staleness quantiles (upper bounds
+        # — retirement is proven at watermark fetches); the serving-grade
+        # replacement for the reference's per-step prints (runner.py:92-96)
+        "latency": pipe.latency_stats(),
+        "rebased_epochs_us": [e for e in pipe._epochs if e] or None,
     }
     print(json.dumps(stats))
     return stats

@@ -35,19 +35,32 @@ this loop.
 
 from __future__ import annotations
 
+import time
 from collections import deque
 from typing import Any, Iterable, Iterator, NamedTuple
 
 import numpy as np
 
+# Endless-feed clock handling: int32 µs wraps at ~35.8 min, so the
+# pipeline rebases each stream's time base once its relative clock
+# passes this threshold (raw-event sources only; the state's prev_ts
+# shifts with it on device, which is EXACT — the integrate arithmetic
+# uses only timestamp differences).  2**30 µs = ~17.9 min leaves the
+# full second half of the int32 range for the dispatch window itself.
+_REBASE_AT = 2**30
+
 
 class DispatchResult(NamedTuple):
     """One retired dispatch: ``outputs`` is the (device-resident)
     postprocessed network output, ``n_events`` the valid events it
-    consumed."""
+    consumed, and ``counts`` the host-side int32 valid-event counts per
+    chunk (``[T]``, or ``[S, T]`` for multi-stream) — zero-count chunks
+    are exact no-op padding steps whose outputs repeat the previous
+    surface (consumers writing per-chunk results should skip them)."""
 
     outputs: Any
     n_events: int
+    counts: Any = None
 
 
 class StreamingPipeline:
@@ -75,6 +88,25 @@ class StreamingPipeline:
         Optional traced function applied to the network outputs inside
         the dispatch (e.g. a YOLO head decode or top-k) so only small
         results are ever fetched.  Default: identity.
+    keep_polarity:
+        Serve a 2-channel (ON/OFF) surface network: sources must supply
+        a 4th polarity column (strict {0, 1}), the wire carries it (bit
+        31 of the 8 B word, a 1-bit packed plane on the 4 B format), and
+        the first conv's in_channels must be 2.  Default off — the eFCN
+        drops polarity like the reference (runner.py:32).
+    rebase:
+        Endless-feed clock handling (default on): raw-array sources may
+        carry int64 µs timestamps past the int32 range; each stream's
+        time base is rebased once its relative clock passes ~17.9 min
+        (2**30 µs), with the state's ``prev_ts`` shifted on device by
+        the same delta — EXACT, the integrate arithmetic uses only
+        timestamp differences.  Pre-packed wire items cannot be rebased
+        (their base is unknowable); mixing them with a rebased stream
+        raises.
+    t_chunks:
+        Default chunk count every serve-side ``pack`` pads to (static
+        dispatch shape — one compiled program for variable-length raw
+        items).  ``None`` leaves items their natural length.
     mesh:
         Optional ``jax.sharding.Mesh`` with axes ``(data, model)`` (see
         :func:`async_ev_cnn_tpu.parallel.streams.make_mesh`).  The
@@ -90,7 +122,10 @@ class StreamingPipeline:
 
     def __init__(self, net, params, *, capacity=256, window=None,
                  streams=1, max_in_flight=16, wire="auto",
-                 postprocess=None, mesh=None):
+                 postprocess=None, mesh=None, keep_polarity=False,
+                 rebase=True, t_chunks=None):
+        import functools
+
         import jax
         import jax.numpy as jnp
 
@@ -105,10 +140,24 @@ class StreamingPipeline:
             raise ValueError("max_in_flight must be >= 1")
         if wire not in ("auto", "compact", "plain"):
             raise ValueError("wire must be 'auto', 'compact' or 'plain'")
+        if keep_polarity and net.event_layers[0].spec.channels != 2:
+            raise ValueError(
+                "keep_polarity serving needs a 2-channel (ON/OFF) surface "
+                "network — the first conv's in_channels must be 2, got "
+                f"{net.event_layers[0].spec.channels}"
+            )
         self._capacity = capacity
         self._streams = streams
         self._max_in_flight = max_in_flight
         self._wire = wire
+        self._keep_polarity = keep_polarity
+        self._rebase = rebase
+        self._t_chunks = t_chunks
+        #: per-stream int64 µs epoch subtracted from raw source
+        #: timestamps (grows as the stream is rebased past int32)
+        self._epochs = [0] * streams
+        chunks_from_wire = functools.partial(
+            chunks_from_wire, polarity=keep_polarity)
         post = postprocess if postprocess is not None else (lambda outs: outs)
 
         jparams = {k: jnp.asarray(v) for k, v in params.items()}
@@ -146,8 +195,28 @@ class StreamingPipeline:
             # replicated copy of the whole dispatch to every device
             self._wire_sharding = NamedSharding(mesh, P("data"))
 
-        def _dispatch_fn(st, *wire_arrays):
-            unpack = (chunks_from_wire_compact if len(wire_arrays) == 4
+        def _dispatch_fn(st, deltas, *wire_arrays):
+            # clock rebase (exact: integrate arithmetic uses only ts
+            # differences, and the event ts were shifted by the same
+            # delta on the host).  int64 is unavailable without x64, so
+            # the host splits the shift into two halves <= 2**30
+            # (``deltas`` is int32 ``[2]`` or ``[2, S]``) and the device
+            # applies two floor-clipped int32 subtractions — no
+            # intermediate can underflow (operand >= floor, half <=
+            # 2**30, floor - 2**30 > int32 min).  The floor only binds
+            # for a pathological gap (>~17.9 min of silence), where it
+            # diverges only for a pixel whose surface exceeds
+            # 2**30 * leak (~5.4e4 at the eFCN's 5e-5) — tens of
+            # thousands of unleaked events on one pixel.
+            from async_ev_cnn_tpu.layers.types import IntegrationState
+
+            intgr = st[0]
+            d_a, d_b = jnp.asarray(deltas, jnp.int32)
+            floor = jnp.int32(-(2**30) + 1)
+            new_prev = jnp.maximum(
+                jnp.maximum(intgr.prev_ts - d_a, floor) - d_b, floor)
+            st = (IntegrationState(intgr.surface, new_prev),) + tuple(st[1:])
+            unpack = (chunks_from_wire_compact if len(wire_arrays) >= 4
                       else chunks_from_wire)
             chunks = unpack(*wire_arrays)
             if mesh is not None:
@@ -180,8 +249,41 @@ class StreamingPipeline:
         #: cumulative serve() counters: dispatches enqueued, wire bytes
         #: shipped, valid events consumed
         self.stats = {"dispatches": 0, "wire_bytes": 0, "events": 0}
+        # (latency_s, age_s) per retired dispatch for latency_stats()
+        self._lat: deque = deque(maxlen=4096)
         self._engine = engine
         self._seen_plain = wire == "plain"
+
+    def latency_stats(self) -> dict:
+        """Per-dispatch latency observability for deployments.
+
+        ``dispatch_latency_ms``: enqueue -> proven-retired wall time per
+        dispatch.  ``event_age_ms``: source-item arrival -> proven-retired
+        (staleness of the dispatch's events: host pack + queueing +
+        device time).  Both are UPPER bounds — retirement is proven only
+        at the watermark fetches (one per ``max_in_flight/2`` dispatches,
+        the engine's backpressure design), so a dispatch that retired
+        earlier is credited the fetch time.  Quantiles over the last
+        4096 retired dispatches.  The reference prints raw per-step
+        times (/root/reference/src/libs/runner.py:92-96); batching
+        dispatches made per-step prints meaningless, this is the
+        serving-grade replacement.
+        """
+        if not self._lat:
+            return {"n": 0}
+        lat = np.array([l for l, _ in self._lat]) * 1e3
+        age = np.array([a for _, a in self._lat]) * 1e3
+
+        def q(a):
+            return {
+                "p50": round(float(np.percentile(a, 50)), 3),
+                "p95": round(float(np.percentile(a, 95)), 3),
+                "p99": round(float(np.percentile(a, 99)), 3),
+                "max": round(float(a.max()), 3),
+            }
+
+        return {"n": len(self._lat), "dispatch_latency_ms": q(lat),
+                "event_age_ms": q(age)}
 
     @property
     def state(self):
@@ -223,14 +325,18 @@ class StreamingPipeline:
 
         w = None
         if self._wire in ("auto", "compact"):
-            w = pack_wire_compact(events, self._capacity)
+            w = pack_wire_compact(events, self._capacity,
+                                  keep_polarity=self._keep_polarity)
             if w is None and self._wire == "compact":
                 raise ValueError(
                     "stream does not fit the compact wire (coords >= 256 "
                     "or chunk ts span >= 2**16 us); use wire='auto'"
                 )
         if w is None:
-            w = pack_wire(events, self._capacity)
+            w = pack_wire(events, self._capacity,
+                          keep_polarity=self._keep_polarity)
+        if t_chunks is None:
+            t_chunks = self._t_chunks
         if t_chunks is not None:
             t0 = w[0].shape[0]
             if t0 > t_chunks:
@@ -269,10 +375,13 @@ class StreamingPipeline:
                 popped.append(in_flight.popleft())
             if popped:
                 float(popped[-1][2])
-                for outs, n, _ in popped:
-                    yield DispatchResult(outs, n)
+                t_ret = time.time()
+                for outs, n, _, counts, t_enq, t_arr in popped:
+                    self._lat.append((t_ret - t_enq, t_ret - t_arr))
+                    yield DispatchResult(outs, n, counts)
 
         while True:
+            t_arrival = time.time()
             if self._streams == 1:
                 try:
                     events = next(it)
@@ -289,8 +398,44 @@ class StreamingPipeline:
                 if len(group) < self._streams:
                     break  # ragged tail dropped (documented)
             prepacked = [isinstance(ev, tuple) for ev in group]
-            wires = [ev if pre else self.pack(np.asarray(ev))
-                     for ev, pre in zip(group, prepacked)]
+            deltas = np.zeros((2, self._streams), np.int32)
+            wires = []
+            for i, (ev, pre) in enumerate(zip(group, prepacked)):
+                if pre:
+                    if self._epochs[i]:
+                        raise ValueError(
+                            f"stream {i} runs on a rebased time base "
+                            f"(epoch {self._epochs[i]} us) but received a "
+                            "pre-packed wire item, whose time base is "
+                            "unknowable — feed raw event arrays on "
+                            "streams that outlive the int32 us range"
+                        )
+                    wires.append(ev)
+                    continue
+                ev = np.asarray(ev)
+                if self._rebase and ev.shape[0]:
+                    ts64 = ev[:, 2].astype(np.int64) - self._epochs[i]
+                    if ts64.max() >= _REBASE_AT:
+                        # rebase so this window starts at 0; the state's
+                        # prev_ts shifts by the same delta on device (two
+                        # int32 halves — see _dispatch_fn; a gap past
+                        # int32 is capped there by the saturating floor)
+                        d = int(ts64.min())
+                        if d < 0:
+                            raise ValueError(
+                                f"stream {i} timestamps regressed below "
+                                "the stream's time base (non-monotone "
+                                "source); cannot rebase"
+                            )
+                        self._epochs[i] += d
+                        d_eff = min(d, 2**31)
+                        deltas[0, i] = d_eff // 2
+                        deltas[1, i] = d_eff - d_eff // 2
+                        ts64 -= d
+                    if self._epochs[i]:
+                        ev = ev.astype(np.int64, copy=True)
+                        ev[:, 2] = ts64
+                wires.append(self.pack(ev))
             # Format unification, exact and raw-events-free: a compact
             # quadruple always re-encodes to the plain triple on the host
             # (wire_compact_to_plain).  Two rules: (1) a mixed group
@@ -303,9 +448,9 @@ class StreamingPipeline:
             from async_ev_cnn_tpu.utils.wire import wire_compact_to_plain
 
             if len({len(w) for w in wires}) > 1 or (
-                self._seen_plain and any(len(w) == 4 for w in wires)
+                self._seen_plain and any(len(w) >= 4 for w in wires)
             ):
-                wires = [wire_compact_to_plain(w) if len(w) == 4 else w
+                wires = [wire_compact_to_plain(w) if len(w) >= 4 else w
                          for w in wires]
             if any(len(w) == 3 for w in wires):
                 self._seen_plain = True
@@ -318,10 +463,15 @@ class StreamingPipeline:
                 )
             if self._streams == 1:
                 wire = wires[0]
+                deltas_arg = deltas[:, 0]  # [2] scalars
             else:
                 wire = tuple(np.stack(parts) for parts in zip(*wires))
-            # the counts plane is the last wire array in both formats
-            n = sum(int(w[-1].sum()) for w in wires)
+                deltas_arg = deltas  # [2, S]
+            # the counts plane: index 2 in the plain triple, 3 in the
+            # compact formats (the polarity plane, when present, is last)
+            counts = [w[2] if len(w) == 3 else w[3] for w in wires]
+            n = sum(int(c.sum()) for c in counts)
+            counts = counts[0] if self._streams == 1 else np.stack(counts)
             self.stats["dispatches"] += 1
             self.stats["wire_bytes"] += sum(a.nbytes for a in wire)
             self.stats["events"] += n
@@ -329,8 +479,9 @@ class StreamingPipeline:
                 import jax
 
                 wire = jax.device_put(wire, self._wire_sharding)
-            self._state, outs, chk = self._dispatch(self._state, *wire)
-            in_flight.append((outs, n, chk))
+            self._state, outs, chk = self._dispatch(
+                self._state, deltas_arg, *wire)
+            in_flight.append((outs, n, chk, counts, time.time(), t_arrival))
             if len(in_flight) >= self._max_in_flight:
                 yield from release(self._max_in_flight // 2)
         yield from release(0)

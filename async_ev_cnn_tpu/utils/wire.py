@@ -22,37 +22,70 @@ Reference analog: the reference feeds raw ``[N, 3]`` numpy into each
 ``feed_network`` call (/root/reference/src/libs/runner.py:74-88); its
 in-process numpy has no transfer cost to optimize.
 
-Neither format carries polarity (``p`` is zeroed on unpack): the eFCN
-merges polarities, like the reference's network path.  A pipeline for a
-polarity-surface model needs a wire extension (one sign bit — the
-compact format has no spare bits; the 8 B format could steal y's top
-bit) — not built until such a model needs serving.
+By default neither format carries polarity (``p`` is zeroed on unpack):
+the eFCN merges polarities, like the reference's network path
+(/root/reference/src/libs/runner.py:32).  ``keep_polarity=True`` extends
+both formats for 2-channel (ON/OFF) surface models: the 8 B format
+steals the packed word's bit 31 (tightening the coordinate bound to
+``y < 2**15``), and the 4 B format appends a packed 1-bit-per-event
+plane (capacity/8 bytes per chunk, +3% wire).  Both round-trip exactly
+(tests/test_wire.py).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from async_ev_cnn_tpu.layers.types import validate_int32_ts
 
-def pack_wire(events: np.ndarray, capacity: int):
-    """Pack a host ``[N, >=3]`` (y, x, ts, ...) stream for upload.
+
+def _polarity_col(events: np.ndarray) -> np.ndarray:
+    """The p column as strict {0, 1} int32 — anything else (e.g. the
+    {-1, 1} convention some tools use) must be normalized upstream, or
+    the channel routing would silently misplace events."""
+    if events.shape[1] < 4:
+        raise ValueError(
+            "keep_polarity needs a 4th (polarity) event column"
+        )
+    p = np.asarray(events[:, 3], np.int32)
+    if p.size and (p.min() < 0 or p.max() > 1):
+        raise ValueError(
+            f"polarity must be 0/1 for the wire (got [{p.min()}, "
+            f"{p.max()}]); map {{-1, 1}} conventions to {{0, 1}} first"
+        )
+    return p
+
+
+def pack_wire(events: np.ndarray, capacity: int, keep_polarity: bool = False):
+    """Pack a host ``[N, >=3]`` (y, x, ts[, p]) stream for upload.
 
     Returns numpy ``(yx [T, capacity] int32, ts [T, capacity] int32,
-    counts [T] int32)``.  Requires ``0 <= y, x < 2**16``.
+    counts [T] int32)``.  Requires ``0 <= y, x < 2**16`` and timestamps
+    inside the non-negative int32 µs contract (validated here — a
+    wrapped ts would silently corrupt the event-scatter engine's 31-bit
+    dt payload downstream).  With ``keep_polarity`` the polarity rides
+    bit 31 of the packed word (``y < 2**15`` then) — unpack with
+    ``chunks_from_wire(..., polarity=True)``.
     """
     n = events.shape[0]
     t = max(1, -(-n // capacity))
     pad = t * capacity - n
     y = np.asarray(events[:, 0], np.int32)
     x = np.asarray(events[:, 1], np.int32)
-    ts = np.asarray(events[:, 2], np.int32)
-    if n and (y.min() < 0 or x.min() < 0 or y.max() >= 2**16 or x.max() >= 2**16):
-        raise ValueError("pack_wire needs 0 <= y, x < 2**16")
-    # pack via int64 then truncate: for y >= 2**15 the packed word has
-    # the int32 sign bit set (the unpack masks it back out), and a bare
-    # int32 shift would trip numpy overflow warnings
-    packed = ((y.astype(np.int64) << 16) | x.astype(np.int64)).astype(
-        np.uint32).view(np.int32)
+    ts = validate_int32_ts(events[:, 2])
+    y_cap = 2**15 if keep_polarity else 2**16
+    if n and (y.min() < 0 or x.min() < 0 or y.max() >= y_cap or x.max() >= 2**16):
+        raise ValueError(
+            f"pack_wire needs 0 <= y < {y_cap} (bit 31 carries polarity "
+            "under keep_polarity) and 0 <= x < 2**16"
+        )
+    # pack via int64 then truncate: for y >= 2**15 (or a polarity bit)
+    # the packed word has the int32 sign bit set (the unpack masks it
+    # back out), and a bare int32 shift would trip numpy overflow warnings
+    packed64 = (y.astype(np.int64) << 16) | x.astype(np.int64)
+    if keep_polarity:
+        packed64 |= _polarity_col(events).astype(np.int64) << 31
+    packed = packed64.astype(np.uint32).view(np.int32)
     yx = np.concatenate([packed, np.zeros(pad, np.int32)])
     tsp = np.concatenate([ts, np.zeros(pad, np.int32)])
     counts = np.full(t, capacity, np.int32)
@@ -60,7 +93,8 @@ def pack_wire(events: np.ndarray, capacity: int):
     return yx.reshape(t, capacity), tsp.reshape(t, capacity), counts
 
 
-def pack_wire_compact(events: np.ndarray, capacity: int):
+def pack_wire_compact(events: np.ndarray, capacity: int,
+                      keep_polarity: bool = False):
     """4 bytes/event wire: uint16 ``(y << 8) | x`` + uint16 ts deltas
     against a per-chunk int32 base.
 
@@ -70,18 +104,28 @@ def pack_wire_compact(events: np.ndarray, capacity: int):
     ms).  Returns ``(yx u16 [T, E], dts u16 [T, E], base i32 [T],
     counts i32 [T])`` or ``None`` when the stream does not fit — callers
     fall back to :func:`pack_wire` (8 B/event).  Exact: the device
-    reconstructs ``ts = base + dts`` in int32.
+    reconstructs ``ts = base + dts`` in int32.  Timestamps are validated
+    against the non-negative int32 µs contract (a wrapped ts would
+    silently corrupt the event-scatter engine downstream).
+
+    With ``keep_polarity`` a fifth array is appended: ``pol`` uint8
+    ``[T, ceil(capacity/8)]``, the little-endian bit-packed polarity
+    plane (1 bit/event) — unpack with :func:`chunks_from_wire_compact`'s
+    five-argument form.
     """
     n = events.shape[0]
     t = max(1, -(-n // capacity))
     pad = t * capacity - n
     y = np.asarray(events[:, 0], np.int32)
     x = np.asarray(events[:, 1], np.int32)
-    ts = np.asarray(events[:, 2], np.int32)
+    ts = validate_int32_ts(events[:, 2])
+    pol_bytes = -(-capacity // 8)
     if n == 0:
-        return (np.zeros((1, capacity), np.uint16),
-                np.zeros((1, capacity), np.uint16),
-                np.zeros(1, np.int32), np.zeros(1, np.int32))
+        empty = (np.zeros((1, capacity), np.uint16),
+                 np.zeros((1, capacity), np.uint16),
+                 np.zeros(1, np.int32), np.zeros(1, np.int32))
+        return empty + ((np.zeros((1, pol_bytes), np.uint8),)
+                        if keep_polarity else ())
     if y.min() < 0 or x.min() < 0 or y.max() >= 256 or x.max() >= 256:
         return None
     tsp = np.concatenate([ts, np.full(pad, ts[-1], np.int32)]).reshape(
@@ -97,25 +141,53 @@ def pack_wire_compact(events: np.ndarray, capacity: int):
     ).reshape(t, capacity)
     counts = np.full(t, capacity, np.int32)
     counts[-1] = capacity - pad
-    return (yxp.astype(np.uint16), dts.astype(np.uint16),
-            base.astype(np.int32), counts)
+    out = (yxp.astype(np.uint16), dts.astype(np.uint16),
+           base.astype(np.int32), counts)
+    if keep_polarity:
+        p = _polarity_col(events)
+        bits = np.concatenate([p, np.zeros(pad, np.int32)]).reshape(
+            t, capacity).astype(bool)
+        out += (np.packbits(bits, axis=1, bitorder="little"),)
+    return out
 
 
 def wire_compact_to_plain(w):
-    """Re-encode a compact wire quadruple as the plain 8 B triple on the
-    host — exact (``ts = base + dts`` in int32, coordinates < 256 fit the
-    16-bit fields trivially).  Lets a consumer unify a pre-packed group
-    whose members chose different formats without the raw events."""
-    yx16, dts, base, counts = w
+    """Re-encode a compact wire tuple (quadruple, or quintuple with the
+    polarity plane) as the plain 8 B triple on the host — exact
+    (``ts = base + dts`` in int32, coordinates < 256 fit the 16-bit
+    fields trivially; a polarity plane moves to the plain word's bit 31).
+    Lets a consumer unify a pre-packed group whose members chose
+    different formats without the raw events."""
+    yx16, dts, base, counts = w[:4]
     y = (yx16.astype(np.int32) >> 8) & 0xFF
     x = yx16.astype(np.int32) & 0xFF
-    return ((y << 16) | x,
-            base.astype(np.int32)[:, None] + dts.astype(np.int32),
+    yx = (y << 16) | x
+    if len(w) == 5:
+        bits = np.unpackbits(w[4], axis=1, bitorder="little",
+                             count=yx16.shape[1]).astype(np.int64)
+        yx = ((yx.astype(np.int64) | (bits << 31))
+              .astype(np.uint32).view(np.int32))
+    return (yx, base.astype(np.int32)[:, None] + dts.astype(np.int32),
             counts)
 
 
-def chunks_from_wire_compact(yx, dts, base, counts):
-    """Expand the compact wire quadruple into an EventChunk — inside jit."""
+def _unpack_polarity_plane(pol, capacity: int):
+    """Expand the little-endian bit-packed polarity plane ``[..., B]``
+    (B = ceil(capacity/8) bytes) to int32 ``[..., capacity]`` — inside
+    jit (one static repeat + shift/mask, no gather)."""
+    import jax
+    import jax.numpy as jnp
+
+    pol = jnp.asarray(pol).astype(jnp.int32)
+    bytes_rep = jnp.repeat(pol, 8, axis=-1)[..., :capacity]
+    bit = jax.lax.broadcasted_iota(
+        jnp.int32, bytes_rep.shape, bytes_rep.ndim - 1) & 7
+    return (bytes_rep >> bit) & 1
+
+
+def chunks_from_wire_compact(yx, dts, base, counts, pol=None):
+    """Expand the compact wire tuple into an EventChunk — inside jit.
+    ``pol`` is the optional bit-packed polarity plane (5-array form)."""
     import jax
     import jax.numpy as jnp
 
@@ -130,13 +202,19 @@ def chunks_from_wire_compact(yx, dts, base, counts):
         x=yx & 0xFF,
         ts=jnp.asarray(base, jnp.int32)[..., None]
         + jnp.asarray(dts).astype(jnp.int32),
-        p=jnp.zeros_like(yx),
+        p=(jnp.zeros_like(yx) if pol is None
+           else _unpack_polarity_plane(pol, yx.shape[-1])),
         valid=valid,
     )
 
 
-def chunks_from_wire(yx, ts, counts):
-    """Expand the wire triple into an :class:`EventChunk` — inside jit."""
+def chunks_from_wire(yx, ts, counts, polarity: bool = False):
+    """Expand the wire triple into an :class:`EventChunk` — inside jit.
+
+    ``polarity`` (static) must match the packer's ``keep_polarity``: the
+    bit layouts differ (bit 31 is polarity vs y's top bit) and the wire
+    itself cannot distinguish them.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -147,11 +225,12 @@ def chunks_from_wire(yx, ts, counts):
         jnp.asarray(counts, jnp.int32)[..., None]
     )
     return EventChunk(
-        # logical, not arithmetic, high-half extract: for y >= 2**15 the
-        # int32 pack sets the sign bit and a bare >> would sign-extend
-        y=(yx >> 16) & 0xFFFF,
+        # logical, not arithmetic, high-half extract: for y >= 2**15 (or
+        # a polarity bit) the int32 pack sets the sign bit and a bare >>
+        # would sign-extend
+        y=(yx >> 16) & (0x7FFF if polarity else 0xFFFF),
         x=yx & 0xFFFF,
         ts=jnp.asarray(ts, jnp.int32),
-        p=jnp.zeros_like(yx),
+        p=(yx >> 31) & 1 if polarity else jnp.zeros_like(yx),
         valid=valid,
     )

@@ -263,3 +263,165 @@ def test_threaded_source_propagates_worker_errors(rng):
     with pytest.raises(RuntimeError, match="item 5"):
         list(threaded_source(lambda: iter(range(20)), fn=bad,
                              depth=3, threads=2))
+
+
+def test_pipeline_polarity_matches_direct(rng):
+    """serve with keep_polarity: a 2-channel (ON/OFF) network fed 4-column
+    events through the wire must EXACTLY match scan_parallel over the
+    same polarity-carrying chunks — for both wire formats (compact grows
+    a bit-packed plane; plain steals bit 31)."""
+    dsl = "conv1=3,3,2,4 pool1=2,2 conv2=1,1,4,6"
+    net = EventNetwork(layers_dict(dsl), H, W, leak=1e-4, alpha=0.1,
+                       padding="SAME", conv_mode="full")
+    params = _params(layers_dict(dsl), rng)
+    items = []
+    t0 = 0
+    for _ in range(3):
+        ev = _stream(rng, 2 * CAP)
+        ev[:, 2] += t0
+        t0 = int(ev[-1, 2]) + 1
+        p = rng.randint(0, 2, ev.shape[0]).astype(np.int32)
+        items.append(np.concatenate([ev, p[:, None]], axis=1))
+
+    import jax.numpy as jnp
+
+    jparams = {k: jnp.asarray(v) for k, v in params.items()}
+    state = net.init_state(jparams)
+    want = []
+    for ev in items:
+        state, o = jax.jit(
+            lambda s, c: net.scan_parallel(jparams, s, c)
+        )(state, pack_chunks(ev, CAP))
+        want.append(np.asarray(o))
+
+    for wire in ("compact", "plain"):
+        pipe = StreamingPipeline(net, params, capacity=CAP, wire=wire,
+                                 keep_polarity=True)
+        got = list(pipe.serve(list(items)))
+        assert len(got) == len(want)
+        for res, ref in zip(got, want):
+            np.testing.assert_allclose(np.asarray(res.outputs), ref,
+                                       rtol=0, atol=1e-6)
+
+
+def test_pipeline_polarity_requires_two_channels(rng):
+    net = _net()  # 1-channel
+    params = _params(layers_dict(DSL), rng)
+    with pytest.raises(ValueError, match="2-channel"):
+        StreamingPipeline(net, params, capacity=CAP, keep_polarity=True)
+
+
+def test_pipeline_rebase_is_exact_within_int32(rng):
+    """A stream whose relative clock crosses the 2**30 µs rebase
+    threshold but stays inside int32: the rebasing pipeline must be
+    EXACTLY equal to the direct (unrebased) scan_parallel chain — the
+    rebase is a pure time-base shift, integrate arithmetic sees only
+    differences."""
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    # 5 items; uniform steps in [0.2, 0.42] * 2**30 / CAP guarantee the
+    # total lands in (2**30, 2**31): min 5*0.2*2**30, max 5*0.42*2**30
+    items = []
+    t0 = 0
+    lo, hi = int(0.2 * 2**30 / CAP), int(0.42 * 2**30 / CAP)
+    for _ in range(5):
+        steps = rng.randint(lo, hi, CAP).astype(np.int64)
+        ts = t0 + np.cumsum(steps)
+        t0 = int(ts[-1]) + 1
+        y = rng.randint(0, H, CAP).astype(np.int64)
+        x = rng.randint(0, W, CAP).astype(np.int64)
+        items.append(np.stack([y, x, ts], axis=-1))
+    assert items[-1][-1, 2] < 2**31 - 1
+    assert items[-1][-1, 2] > 2**30  # the rebase must actually trigger
+
+    want = _oracle(net, params, [ev.astype(np.int32) for ev in items])
+
+    pipe = StreamingPipeline(net, params, capacity=CAP)
+    got = list(pipe.serve(list(items)))
+    assert pipe._epochs[0] > 0, "rebase did not trigger"
+    for res, ref in zip(got, want):
+        np.testing.assert_allclose(np.asarray(res.outputs), ref,
+                                   rtol=0, atol=0)  # bit-exact
+
+
+def test_pipeline_rebase_endless_stream_past_int32(rng):
+    """An endless-feed stream whose absolute clock runs past 2**31 µs
+    (and 2**32): serve keeps running via per-stream rebasing.  Items are
+    separated by huge silent gaps (leak fully zeroes the surface), so
+    each dispatch must equal a FRESH pipeline over that item alone —
+    the oracle for the saturating-floor path."""
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    base_items = [_stream(rng, CAP) for _ in range(5)]
+    long_items = []
+    t0 = np.int64(2**31 + 12345)  # starts already past int32
+    for ev in base_items:
+        ev64 = ev.astype(np.int64)
+        ev64[:, 2] += t0 - ev64[0, 2]
+        t0 = ev64[-1, 2] + 7 * 10**8  # ~11.7 min silent gap; leak 1e-4
+        long_items.append(ev64)
+    assert long_items[-1][-1, 2] > 2**32
+
+    want = []
+    for ev in base_items:
+        fresh = StreamingPipeline(net, params, capacity=CAP)
+        ev0 = ev.copy()
+        ev0[:, 2] -= ev0[0, 2] - 1  # rebased to ~0, same differences
+        want.append(np.asarray(list(fresh.serve([ev0]))[0].outputs))
+
+    pipe = StreamingPipeline(net, params, capacity=CAP)
+    got = list(pipe.serve(long_items))
+    assert pipe._epochs[0] > 2**32
+    for res, ref in zip(got, want):
+        np.testing.assert_allclose(np.asarray(res.outputs), ref,
+                                   rtol=0, atol=1e-6)
+
+
+def test_pipeline_rebased_stream_rejects_prepacked(rng):
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    pipe = StreamingPipeline(net, params, capacity=CAP)
+    far = _stream(rng, CAP).astype(np.int64)
+    far[:, 2] += 2**30  # triggers a rebase
+    list(pipe.serve([far]))
+    assert pipe._epochs[0] > 0
+    with pytest.raises(ValueError, match="rebased time base"):
+        list(pipe.serve([pipe.pack(_stream(rng, CAP))]))
+
+
+def test_pipeline_latency_stats(rng):
+    """latency_stats(): per-dispatch p50/p95/p99 and event-age after a
+    serve run — the serving observability the reference's per-step
+    prints provided (runner.py:92-96)."""
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    pipe = StreamingPipeline(net, params, capacity=CAP)
+    assert pipe.latency_stats() == {"n": 0}
+    items = [_stream(rng, CAP) for _ in range(4)]
+    t0 = 0
+    for ev in items:
+        ev[:, 2] += t0
+        t0 = int(ev[-1, 2]) + 1
+    list(pipe.serve(items))
+    stats = pipe.latency_stats()
+    assert stats["n"] == 4
+    lat = stats["dispatch_latency_ms"]
+    age = stats["event_age_ms"]
+    for q in (lat, age):
+        assert 0 <= q["p50"] <= q["p95"] <= q["p99"] <= q["max"]
+    # age includes host pack + queueing, so it dominates latency
+    assert age["p50"] >= lat["p50"]
+
+
+def test_dispatch_result_counts_mark_padding(rng):
+    """DispatchResult.counts exposes per-chunk valid-event counts so
+    consumers can skip exact-no-op padding chunks (t_chunks padding used
+    to produce phantom duplicate detections downstream)."""
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    pipe = StreamingPipeline(net, params, capacity=CAP, t_chunks=4)
+    got = list(pipe.serve([_stream(rng, 2 * CAP)]))  # 2 real chunks of 4
+    counts = np.asarray(got[0].counts)
+    assert counts.shape == (4,)
+    assert counts[0] == CAP and counts[1] == CAP
+    assert counts[2] == 0 and counts[3] == 0

@@ -1,6 +1,7 @@
 """The compact wire format must round-trip exactly vs pack_chunks."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -122,3 +123,94 @@ def test_wire_batched_unpack(rng):
         np.testing.assert_array_equal(
             np.asarray(got.valid[i]), np.asarray(ref.valid)
         )
+
+
+def test_wire_polarity_roundtrip_plain(rng):
+    """keep_polarity on the 8 B wire: p rides bit 31; y/x/ts/valid and p
+    all round-trip exactly, including y up to 2**15 - 1."""
+    import jax
+
+    from async_ev_cnn_tpu.utils.wire import chunks_from_wire, pack_wire
+
+    n = 200
+    y = rng.randint(0, 2**15, n).astype(np.int64)
+    x = rng.randint(0, 2**16, n).astype(np.int64)
+    ts = np.sort(rng.randint(0, 2**31 - 1, n)).astype(np.int64)
+    p = rng.randint(0, 2, n).astype(np.int64)
+    events = np.stack([y, x, ts, p], axis=-1)
+    got = jax.jit(lambda *w: chunks_from_wire(*w, polarity=True))(
+        *pack_wire(events, 64, keep_polarity=True))
+    valid = np.asarray(got.valid).reshape(-1)[:n]
+    assert valid.all()
+    np.testing.assert_array_equal(np.asarray(got.y).reshape(-1)[:n], y)
+    np.testing.assert_array_equal(np.asarray(got.x).reshape(-1)[:n], x)
+    np.testing.assert_array_equal(np.asarray(got.ts).reshape(-1)[:n], ts)
+    np.testing.assert_array_equal(np.asarray(got.p).reshape(-1)[:n], p)
+
+
+def test_wire_polarity_roundtrip_compact(rng):
+    """keep_polarity on the 4 B wire: the bit-packed polarity plane
+    round-trips exactly, and wire_compact_to_plain moves it to bit 31."""
+    import jax
+
+    from async_ev_cnn_tpu.utils.wire import (
+        chunks_from_wire,
+        chunks_from_wire_compact,
+        pack_wire_compact,
+        wire_compact_to_plain,
+    )
+
+    for n, cap in ((200, 64), (37, 32), (0, 16)):
+        y = rng.randint(0, 256, n).astype(np.int64)
+        x = rng.randint(0, 256, n).astype(np.int64)
+        ts = np.sort(rng.randint(0, 50000, n)).astype(np.int64)
+        p = rng.randint(0, 2, n).astype(np.int64)
+        events = np.stack([y, x, ts, p], axis=-1).reshape(n, 4)
+        w = pack_wire_compact(events, cap, keep_polarity=True)
+        assert len(w) == 5 and w[4].dtype == np.uint8
+        got = jax.jit(chunks_from_wire_compact)(*w)
+        # ... and via the plain unification path
+        got2 = jax.jit(lambda *a: chunks_from_wire(*a, polarity=True))(
+            *wire_compact_to_plain(w))
+        for g in (got, got2):
+            valid = np.asarray(g.valid).reshape(-1)
+            assert valid.sum() == n
+            for plane, ref in (("y", y), ("x", x), ("ts", ts), ("p", p)):
+                vals = np.asarray(getattr(g, plane)).reshape(-1)[valid.astype(bool)]
+                np.testing.assert_array_equal(vals, ref)
+
+
+def test_wire_polarity_validation(rng):
+    from async_ev_cnn_tpu.utils.wire import pack_wire, pack_wire_compact
+
+    ev3 = np.stack([np.arange(4), np.arange(4), np.arange(4)], axis=-1)
+    with pytest.raises(ValueError, match="polarity"):
+        pack_wire(ev3, 8, keep_polarity=True)
+    bad_p = np.stack([np.arange(4)] * 3 + [np.array([-1, 1, 0, 1])], axis=-1)
+    with pytest.raises(ValueError, match="0/1"):
+        pack_wire(bad_p, 8, keep_polarity=True)
+    with pytest.raises(ValueError, match="0/1"):
+        pack_wire_compact(bad_p % 256, 8, keep_polarity=True)
+    # y >= 2**15 collides with the polarity bit
+    big_y = np.stack([np.full(4, 2**15), np.arange(4), np.arange(4),
+                      np.ones(4)], axis=-1)
+    with pytest.raises(ValueError, match="bit 31"):
+        pack_wire(big_y, 8, keep_polarity=True)
+    # ... but is fine without keep_polarity
+    pack_wire(big_y, 8)
+
+
+def test_wire_rejects_invalid_timestamps(rng):
+    """Both packers enforce the non-negative int32 µs ts contract — a
+    silently wrapped ts would corrupt the event-scatter engine's 31-bit
+    dt payload (advisor finding, round 4)."""
+    from async_ev_cnn_tpu.utils.wire import pack_wire, pack_wire_compact
+
+    neg = np.stack([np.arange(4)] * 2 + [np.array([-5, 1, 2, 3])], axis=-1)
+    big = np.stack([np.arange(4)] * 2
+                   + [np.array([0, 1, 2, 2**31], np.int64)], axis=-1)
+    for packer in (pack_wire, pack_wire_compact):
+        with pytest.raises(ValueError, match="negative timestamp"):
+            packer(neg, 8)
+        with pytest.raises(ValueError, match="int32"):
+            packer(big, 8)
