@@ -51,10 +51,17 @@ def center_crop(l, x, y, ts, p, bboxes, old_shape, new_shape):
         # xywh: only the CENTER columns shift with the crop window; the
         # width/height columns just rescale (shifting them shrank every
         # box by the crop offset and zeroed narrow ones)
-        bb[:, 0] = np.clip(bb[:, 0] * old_w - shift_x, 0, new_w) / new_w
-        bb[:, 1] = np.clip(bb[:, 1] * old_h - shift_y, 0, new_h) / new_h
-        bb[:, 2] = np.clip(bb[:, 2] * old_w, 0, new_w) / new_w
-        bb[:, 3] = np.clip(bb[:, 3] * old_h, 0, new_h) / new_h
+        cx = bb[:, 0] * old_w - shift_x
+        cy = bb[:, 1] * old_h - shift_y
+        # an object whose CENTER fell outside the window is cropped out:
+        # zero its w/h (downstream target builders drop w/h <= 0 rows)
+        # instead of clamping the center to the edge, which manufactured
+        # spurious full-size edge ground-truth boxes
+        outside = (cx < 0) | (cx >= new_w) | (cy < 0) | (cy >= new_h)
+        bb[:, 0] = np.clip(cx, 0, new_w) / new_w
+        bb[:, 1] = np.clip(cy, 0, new_h) / new_h
+        bb[:, 2] = np.where(outside, 0.0, np.clip(bb[:, 2] * old_w, 0, new_w) / new_w)
+        bb[:, 3] = np.where(outside, 0.0, np.clip(bb[:, 3] * old_h, 0, new_h) / new_h)
     else:
         bb = bboxes
 

@@ -14,6 +14,7 @@
 //
 // Build: make -C native   ->  libevio.so
 
+#include <array>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -324,16 +325,18 @@ uint32_t evio_crc32c(const uint8_t* data, int64_t n) {
     crc = __builtin_ia32_crc32qi(static_cast<uint32_t>(crc), data[i]);
   }
 #else
-  static uint32_t table[256];
-  static bool init = false;
-  if (!init) {
+  // C++ magic-static: thread-safe one-time init (the hand-rolled
+  // `static bool init` lazy pattern was a data race when first called
+  // from two prefetch workers concurrently)
+  static const std::array<uint32_t, 256> table = [] {
+    std::array<uint32_t, 256> t{};
     for (uint32_t b = 0; b < 256; ++b) {
       uint32_t c = b;
       for (int k = 0; k < 8; ++k) c = (c & 1) ? (c >> 1) ^ 0x82F63B78u : c >> 1;
-      table[b] = c;
+      t[b] = c;
     }
-    init = true;
-  }
+    return t;
+  }();
   for (int64_t i = 0; i < n; ++i) {
     crc = table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
   }

@@ -324,3 +324,38 @@ def test_ts_window_bitexact_vs_full(rng):
         run(chunks, 1, (10, 10))
         run(chunks, 2, (10, 10))
         run(chunks, 1, (64, 64))  # window >= frame: full path short-circuit
+
+
+def test_integrate_frame_chunked_cross_slice_divergence_is_by_design(rng):
+    """A pixel that fires in TWO different slices contributes once per
+    slice (the accumulator is additive across calls — the reference's
+    per-micro-batch protocol, viz.py called once per batch), which is
+    NOT the single whole-stream call's last-winner-only value.  This
+    test pins the divergence so neither side gets 'fixed' silently
+    (advisor finding, round 4; PARITY.md frame-path note)."""
+    from async_ev_cnn_tpu.ops.integrate import (
+        integrate_frame,
+        integrate_frame_chunked,
+    )
+
+    h, w, leak = 4, 4, 0.01
+    # two events on the SAME pixel, far enough apart to land in
+    # different 2-event slices, with two spacer events between
+    ev = np.array([
+        [1, 1, 10],   # slice 0
+        [0, 0, 20],   # slice 0
+        [2, 2, 30],   # slice 1
+        [1, 1, 40],   # slice 1 — same pixel as event 0
+    ], np.int32)
+    one_shot, _ = integrate_frame(ev, leak, h, w)
+    chunked, _ = integrate_frame_chunked(ev, leak, h, w, slice_len=2)
+    one_shot, chunked = np.asarray(one_shot), np.asarray(chunked)
+    # the twice-hit pixel accumulates a contribution per slice
+    assert chunked[1, 1] > one_shot[1, 1]
+    # ... and equals the per-slice chain exactly
+    ref = integrate_frame(ev[2:], leak, h, w,
+                          integrate_frame(ev[:2], leak, h, w))
+    np.testing.assert_array_equal(np.asarray(ref[0]), chunked)
+    # pixels hit in one slice only agree between the protocols
+    np.testing.assert_allclose(one_shot[0, 0], chunked[0, 0], atol=1e-6)
+    np.testing.assert_allclose(one_shot[2, 2], chunked[2, 2], atol=1e-6)

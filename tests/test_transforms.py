@@ -66,3 +66,30 @@ def test_center_crop_empty_window():
         2, x, y, ts, p, np.zeros((1, 6), np.float32), (30, 40), (2, 2)
     )
     assert l == 0 and len(nx) == 0
+
+
+def test_center_crop_drops_fully_cropped_out_boxes(rng):
+    """A box whose CENTER falls outside the crop window is cropped out:
+    its w/h zero (downstream target builders drop w/h <= 0 rows) instead
+    of surviving as a spurious full-size edge box (advisor finding)."""
+    from async_ev_cnn_tpu.utils.transforms import center_crop
+
+    old_h, old_w = 40, 40
+    new_h, new_w = 10, 10
+    # events spread over the full extent -> centered 10x10 window
+    n = 500
+    x = rng.randint(0, old_w, n).astype(np.int32)
+    y = rng.randint(0, old_h, n).astype(np.int32)
+    ts = np.sort(rng.randint(0, 1000, n)).astype(np.int32)
+    p = np.zeros(n, np.int32)
+    # box 0: center at the frame corner (far outside the center crop);
+    # box 1: center mid-frame (inside the crop)
+    bboxes = np.array([
+        [2 / old_w, 2 / old_h, 8 / old_w, 8 / old_h],
+        [0.5, 0.5, 8 / old_w, 8 / old_h],
+    ], np.float32)
+    _, _, _, _, _, bb = center_crop(
+        n, x, y, ts, p, bboxes, (old_h, old_w), (new_h, new_w))
+    assert bb[0, 2] == 0 and bb[0, 3] == 0, "cropped-out box must zero w/h"
+    assert bb[1, 2] > 0 and bb[1, 3] > 0
+    assert 0 <= bb[1, 0] <= 1 and 0 <= bb[1, 1] <= 1
