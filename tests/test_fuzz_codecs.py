@@ -59,3 +59,187 @@ def test_evt_fuzz(tmp_path, rng, size, header):
             # retry loop skips raising files)
             continue
         assert l == len(x) == len(y) == len(ts) == len(p)
+
+
+# ---- EVT3 structured adversaries (round-4 verdict #8) ----------------------
+# The decoders will face vendor files this environment cannot provide;
+# hand-built adversarial streams are the available substitute (same
+# treatment the AEDAT 3.1 walker got in round 4).
+
+
+def _evt3_file(tmp_path, words, name="adv.raw"):
+    path = str(tmp_path / name)
+    with open(path, "wb") as f:
+        f.write(b"% evt 3.0\n% format EVT3\n")
+        f.write(np.asarray(words, dtype="<u2").tobytes())
+    return path
+
+
+def _w(typ, val):
+    return (typ << 12) | (val & 0xFFF)
+
+
+def _decode_both(tmp_path, words):
+    """Decode via read_example (native C++ when built) AND the numpy
+    fallback; assert they agree exactly; return the decode."""
+    from async_ev_cnn_tpu.data import native
+    from async_ev_cnn_tpu.data.evt import Evt3Reader
+
+    path = _evt3_file(tmp_path, words)
+    got = Evt3Reader().read_example(path)
+    fallback = Evt3Reader._decode(np.asarray(words, dtype="<u2"))
+    if native.available():
+        for a, b in zip(got, fallback):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    return fallback
+
+
+def test_evt3_truncated_vector_stream(tmp_path):
+    """A VECT_BASE_X followed by a vector validity word cut off mid-
+    sequence, and a validity word with NO preceding base (base falls back
+    to 0): both decode deterministically, no crash, coords in range."""
+    words = [
+        _w(0x8, 0x001), _w(0x6, 0x100), _w(0x0, 5),      # time + y
+        _w(0x3, 40),                                     # base_x = 40
+        _w(0x4, 0b000000000101),                         # events at 40, 42
+        # stream truncated right after a fresh base (no validity word)
+        _w(0x3, 100),
+    ]
+    n, x, y, ts, p = _decode_both(tmp_path, words)
+    assert n == 2
+    np.testing.assert_array_equal(x, [40, 42])
+    np.testing.assert_array_equal(y, [5, 5])
+
+    # validity word with no base at all: base_x defaults to 0
+    orphan = [_w(0x8, 0x001), _w(0x6, 0x000), _w(0x5, 0b10000001)]
+    n, x, y, ts, p = _decode_both(tmp_path, orphan)
+    assert n == 2
+    np.testing.assert_array_equal(x, [0, 7])
+    assert (y == 0).all()
+
+
+def test_evt3_vector_advance_across_bases(tmp_path):
+    """base_x advances by 12/8 per vector word and resets at each new
+    VECT_BASE_X — the stateful part a truncation adversary perturbs."""
+    words = [
+        _w(0x8, 0x000), _w(0x6, 0x010), _w(0x0, 3),
+        _w(0x3, 24),
+        _w(0x4, 0b1),               # event at 24; base advances to 36
+        _w(0x4, 0b1),               # event at 36; base advances to 48
+        _w(0x5, 0b1),               # event at 48; base advances to 56
+        _w(0x3, 200),               # reset
+        _w(0x5, 0b10),              # event at 201
+    ]
+    n, x, y, ts, p = _decode_both(tmp_path, words)
+    np.testing.assert_array_equal(x, [24, 36, 48, 201])
+
+
+def test_evt3_time_base_regression_wraps_forward(tmp_path):
+    """A genuine 24-bit rollover (TIME_HIGH decreases once) unwraps
+    FORWARD: output timestamps stay non-decreasing across the wrap."""
+    words = [
+        _w(0x8, 0xFFF), _w(0x6, 0x800), _w(0x0, 1), _w(0x2, 10),
+        _w(0x8, 0x000), _w(0x6, 0x001), _w(0x2, 11),  # wrapped high
+    ]
+    n, x, y, ts, p = _decode_both(tmp_path, words)
+    assert n == 2
+    assert ts[1] > ts[0]
+    assert ts[1] == ((0x1000 << 12) | 0x001)
+
+
+def test_evt3_oscillating_time_high_raises_not_wraps(tmp_path):
+    """A corrupt stream whose TIME_HIGH oscillates accumulates fake
+    rollovers; once the unwrapped time leaves the int32 µs contract the
+    decoder must REFUSE loudly (the reader retry loop skips the file)
+    instead of silently wrapping into negative timestamps."""
+    from async_ev_cnn_tpu.data.evt import Evt3Reader
+
+    words = []
+    for _ in range(300):  # 300 fake wraps x 2^24 µs >> int32
+        words += [_w(0x8, 0x800), _w(0x8, 0x000)]
+    words += [_w(0x6, 0x000), _w(0x0, 0), _w(0x2, 1)]
+    path = _evt3_file(tmp_path, words)
+    with pytest.raises(ValueError, match="int32"):
+        Evt3Reader().read_example(path)
+    with pytest.raises(ValueError, match="int32"):
+        Evt3Reader._decode(np.asarray(words, dtype="<u2"))
+
+
+def test_evt3_ignored_packet_types_do_not_perturb_state(tmp_path):
+    """EXT_TRIGGER / OTHERS / CONTINUED words injected between every
+    valid word must not change the decode — corrupt/foreign packets must
+    not desync y, time, or vector-base state."""
+    base = [
+        _w(0x8, 0x002), _w(0x6, 0x123), _w(0x0, 7), _w(0x2, 0x811),
+        _w(0x3, 50), _w(0x4, 0b11), _w(0x0, 9), _w(0x2, 30),
+    ]
+    ref = _decode_both(tmp_path, base)
+    noise_types = [0xA, 0xE, 0x7, 0xF]
+    noisy = []
+    for i, w in enumerate(base):
+        noisy.append(_w(noise_types[i % 4], 0xABC))
+        noisy.append(w)
+    noisy.append(_w(0xE, 0x123))
+    got = _decode_both(tmp_path, noisy)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_evt3_native_matches_numpy_on_random_words(tmp_path, rng):
+    """Differential fuzz: the native C++ decoder and the vectorized numpy
+    fallback must agree exactly on arbitrary word soup (when neither
+    refuses) — the strongest available stand-in for vendor files."""
+    from async_ev_cnn_tpu.data import native
+    from async_ev_cnn_tpu.data.evt import Evt3Reader
+
+    if not native.available():
+        pytest.skip("native decoder not built")
+    for trial in range(20):
+        words = rng.randint(0, 2**16, size=rng.randint(1, 400),
+                            dtype=np.int64).astype("<u2")
+        payload = words.tobytes()
+        try:
+            a = Evt3Reader._decode(words)
+        except ValueError:
+            a = None
+        try:
+            b = native.decode_evt3(payload)
+        except ValueError:
+            b = None
+        # both sides enforce the same int32-µs prepass: they must refuse
+        # on exactly the same streams
+        assert (a is None) == (b is None), (
+            "one decoder refused where the other silently decoded")
+        if a is None:
+            continue
+        for pa, pb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_evt2_corrupt_types_and_truncation(tmp_path, rng):
+    """EVT2: unknown type nibbles are skipped without perturbing the
+    TIME_HIGH state; a payload truncated mid-word drops only the ragged
+    tail bytes."""
+    from async_ev_cnn_tpu.data.evt import Evt2Reader
+
+    def w32(typ, payload):
+        return (typ << 28) | (payload & 0x0FFFFFFF)
+
+    words = [
+        w32(0x8, 5),                      # TIME_HIGH
+        w32(0xA, 0xDEAD),                 # trigger: ignored
+        w32(0x0, (3 << 22) | (7 << 11) | 9),   # CD off at ts (5<<6)|3
+        w32(0xB, 0xBEEF), w32(0x3, 0x123),     # unknown: ignored
+        w32(0x1, (4 << 22) | (8 << 11) | 2),   # CD on
+    ]
+    path = str(tmp_path / "adv2.raw")
+    blob = np.asarray(words, dtype="<u4").tobytes()
+    with open(path, "wb") as f:
+        f.write(b"% evt 2.0\n")
+        f.write(blob + b"\x01\x02")  # ragged 2-byte tail
+    n, x, y, ts, p = Evt2Reader().read_example(path)
+    assert n == 2
+    np.testing.assert_array_equal(x, [7, 8])
+    np.testing.assert_array_equal(y, [9, 2])
+    np.testing.assert_array_equal(ts, [(5 << 6) | 3, (5 << 6) | 4])
+    np.testing.assert_array_equal(p, [0, 1])

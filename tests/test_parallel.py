@@ -11,7 +11,9 @@ import jax.numpy as jnp
 from async_ev_cnn_tpu.layers.network import EventNetwork
 from async_ev_cnn_tpu.layers.types import EventChunk
 from async_ev_cnn_tpu.parallel import MultiStreamEngine, make_mesh
+from async_ev_cnn_tpu.utils.config import layers_dict
 from async_ev_cnn_tpu.utils.equivalence import make_stream
+from async_ev_cnn_tpu.utils.runner import pack_chunks
 
 
 def build_net_params(rng):
@@ -242,3 +244,85 @@ def test_time_shard_long_horizon_drift(rng):
             np.asarray(outs_sp), np.asarray(outs_seq), atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(st_sp[0].surface), np.asarray(st_seq[0].surface), atol=1e-4)
+
+
+def _collect_collectives(jaxpr, out=None):
+    """Recursively walk a jaxpr (incl. pjit/shard_map/scan sub-jaxprs)
+    and collect (primitive_name, invar_elems, outvar_elems) for every
+    cross-device collective equation."""
+    import jax.core
+
+    collectives = {"all_gather", "psum", "ppermute", "all_to_all",
+                   "reduce_scatter", "pmax", "pmin", "all_gather_invariant"}
+    out = [] if out is None else out
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name in collectives:
+            n_in = sum(int(np.prod(v.aval.shape)) for v in eqn.invars
+                       if hasattr(v.aval, "shape"))
+            n_out = sum(int(np.prod(v.aval.shape)) for v in eqn.outvars
+                        if hasattr(v.aval, "shape"))
+            out.append((eqn.primitive.name, n_in, n_out))
+        for val in eqn.params.values():
+            for sub in (val if isinstance(val, (list, tuple)) else [val]):
+                inner = getattr(sub, "jaxpr", None)
+                if inner is not None:
+                    _collect_collectives(inner, out)
+                elif hasattr(sub, "eqns"):
+                    _collect_collectives(sub, out)
+    return out
+
+
+def test_time_shard_ici_traffic_independent_of_T(rng):
+    """The TimeShardEngine's documented contract: cross-device traffic is
+    O(D * C*H*W) per dispatch, INDEPENDENT of T (time_shard.py module
+    docstring).  Inspect the traced jaxpr and assert the collective
+    operand sizes do not scale with T — a future edit (e.g. gathering
+    the per-chunk prefixes instead of the device totals) cannot silently
+    regress the claim.  Also pins the collective set itself: exactly the
+    three all_gathers of the prefix-composition round (the check_vma=False
+    replication invariant relies on that structure)."""
+    import jax
+
+    from async_ev_cnn_tpu.parallel.time_shard import (
+        TimeShardEngine,
+        make_time_mesh,
+    )
+
+    h = w = 16
+    cap = 8
+    dsl = "conv1=3,3,1,4 pool1=2,2 conv2=1,1,4,6"
+    net = EventNetwork(layers_dict(dsl), h, w, leak=1e-4, alpha=0.1,
+                       padding="SAME", conv_mode="full")
+    params = {}
+    for name, size in layers_dict(dsl).items():
+        if "conv" in name:
+            params[f"w_{name}"] = jnp.asarray(
+                rng.randn(*size[:2], size[2], size[3]).astype(np.float32))
+            params[f"b_{name}"] = jnp.asarray(
+                rng.randn(size[3]).astype(np.float32))
+    mesh = make_time_mesh(8)
+    engine = TimeShardEngine(net, mesh)
+    state = net.init_state(params)
+
+    def traffic(t):
+        ev = np.stack([
+            rng.randint(0, h, t * cap), rng.randint(0, w, t * cap),
+            np.sort(rng.randint(1, 10000, t * cap)),
+        ], axis=-1).astype(np.int32)
+        chunks = pack_chunks(ev, cap)
+        engine._build()
+        jaxpr = jax.make_jaxpr(
+            lambda p, s, c: engine._jit(p, s, c))(params, state, chunks)
+        return _collect_collectives(jaxpr.jaxpr)
+
+    t32, t64 = traffic(32), traffic(64)
+    assert t32, "no collectives found — the walker or the engine changed"
+    assert t32 == t64, (
+        f"collective traffic scales with T: {t32} vs {t64}")
+    # exactly the documented round: all_gather of the scalar ts maxes +
+    # all_gather of the (b, c) device totals (C*H*W each)
+    names = sorted(n for n, _, _ in t32)
+    assert set(names) == {"all_gather"} or set(names) == {
+        "all_gather_invariant"}, names
+    sizes = sorted(n_in for _, n_in, _ in t32)
+    assert sizes == [1, 1 * h * w, 1 * h * w], sizes
