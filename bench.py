@@ -467,8 +467,10 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
     producer threads decode+pack ahead, dispatches chain on-device, and
     a bounded in-flight window is released by one tail fetch per
     half-window.  Returns ``(events_per_sec, host_events_per_sec,
-    wire_mbps, dispatches)`` where ``host_events_per_sec`` is the
-    decode+pack stage alone (one pass, one thread, no device).
+    wire_mbps, dispatches, latency_stats)`` where ``host_events_per_sec``
+    is the decode+pack stage alone (one pass, one thread, no device) and
+    ``latency_stats`` the pipeline's per-dispatch latency/event-age
+    quantiles (:meth:`StreamingPipeline.latency_stats`).
 
     On this tunneled dev chip the link (~30-40 MB/s) is the binding
     stage (measured: host 51M ev/s, device ~7.5M, 8 B-wire pipe 4.8M);
@@ -565,7 +567,8 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
         dt = time.time() - t0
         n_dispatches = pipe.stats["dispatches"] - stats0["dispatches"]
         wire_bytes = pipe.stats["wire_bytes"] - stats0["wire_bytes"]
-    return n_events / dt, host_eps, wire_bytes / dt / 1e6, n_dispatches
+        latency = pipe.latency_stats()
+    return n_events / dt, host_eps, wire_bytes / dt / 1e6, n_dispatches, latency
 
 
 def bench_cpu_dense_proxy(params, layer_defs, events, steps=5):
@@ -827,6 +830,12 @@ def main():
             round(pipeline[2], 2) if pipeline else None,
         "sustained_pipeline_dispatches":
             pipeline[3] if pipeline else None,
+        # per-dispatch latency + event staleness (upper bounds — proven
+        # at watermark fetches), from the serving engine's own counters
+        "sustained_pipeline_latency_ms":
+            pipeline[4].get("dispatch_latency_ms") if pipeline else None,
+        "sustained_pipeline_event_age_ms":
+            pipeline[4].get("event_age_ms") if pipeline else None,
         "sustained_pipeline_4stream_events_per_sec":
             round(pipeline4[0], 1) if pipeline4 else None,
         "baseline_is_standin": True,

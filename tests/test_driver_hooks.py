@@ -76,11 +76,14 @@ def test_bench_sustained_pipeline_smoke(bench_mod, monkeypatch, streams, wire):
     layer_defs = layers_dict(bench_mod.EFCN_DSL)
     rng = np.random.RandomState(0)
     params = bench_mod.make_params(layer_defs, rng)
-    eps, host_eps, mbps, n = bench_mod.bench_sustained_pipeline(
+    eps, host_eps, mbps, n, lat = bench_mod.bench_sustained_pipeline(
         params, layer_defs, seconds=1, files=3, chunks_per_dispatch=4,
         force_wire=wire, max_in_flight=4, streams=streams,
     )
     assert eps > 0 and host_eps > 0 and mbps > 0 and n >= 1
+    assert lat["n"] >= 1
+    assert lat["dispatch_latency_ms"]["p50"] > 0
+    assert lat["event_age_ms"]["p99"] >= lat["event_age_ms"]["p50"]
 
 
 def test_graft_entry_single_chip():
