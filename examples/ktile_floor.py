@@ -31,8 +31,24 @@ matmul tiers):
   im2col_k128  — same GEMM, K zero-padded to 128 (explicit full tile)
   s2d          — conv1+pool1 fused via space-to-depth (ops/stem.py)
 
-STATUS / measured result: see the JSON lines appended below by the run
-(docs/performance.md "K-tile floor A/B" records the conclusion).
+STATUS / measured result (2026-08-18, v5e via tunnel, cold cache):
+
+    {"leg": "conv",        "tier": "bf16",        "ms_per_step": 4.96}
+    {"leg": "im2col",      "tier": "bf16",        "ms_per_step": 8.514}
+    {"leg": "im2col_k128", "tier": "bf16",        "ms_per_step": 18.001}
+    {"leg": "s2d",         "tier": "bf16",        "ms_per_step": 4.71}
+    {"leg": "conv",        "tier": "f32_highest", "ms_per_step": 9.646}
+    {"leg": "im2col",      "tier": "f32_highest", "ms_per_step": 14.179}
+    {"leg": "im2col_k128", "tier": "f32_highest", "ms_per_step": 39.005}
+    {"leg": "s2d",         "tier": "f32_highest", "ms_per_step": 9.454}
+
+Structural expectation CONFIRMED: zero-padding K to a full tile is
+~3.6-4x slower (the pad materializes 14x the patch bytes through HBM
+for zero useful FLOPs), plain im2col loses ~1.5-1.7x (it materializes
+the patch matrix the conv emitter reads implicitly), and only the
+HBM-reducing s2d leg edges the baseline (~2-5%, within its previously
+measured whole-step band; remains the `stem_fusion=True` opt-in).
+docs/performance.md "K-tile floor A/B" records the conclusion.
 """
 import json
 import sys
