@@ -389,6 +389,53 @@ def test_pipeline_rebased_stream_rejects_prepacked(rng):
         list(pipe.serve([pipe.pack(_stream(rng, CAP))]))
 
 
+def test_pipeline_multistream_rebase_per_stream_epochs(rng):
+    """streams=2 with DIFFERENT clock rates: the per-stream ``[2, S]``
+    rebase-delta path (untested by the single-stream rebase gates, which
+    exercise the scalar ``[2]`` shape) must shift each stream's time
+    base independently.  Both streams stay inside int32 overall, so a
+    rebase=False pipeline over the int32-cast items is a bit-exact
+    oracle that isolates exactly the rebase machinery — same vmap, same
+    wire, only the deltas differ."""
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+
+    def make(scale, n_items=5):
+        # steps uniform in [0.9, 1.0] * scale * 2**30 / CAP, so each
+        # item's span is tightly ~0.95 * scale * 2**30
+        items, t0 = [], 0
+        span = int(scale * 2**30)
+        for _ in range(n_items):
+            steps = rng.randint(int(0.9 * span / CAP), span // CAP,
+                                CAP).astype(np.int64)
+            ts = t0 + np.cumsum(steps)
+            t0 = int(ts[-1]) + 1
+            y = rng.randint(0, H, CAP).astype(np.int64)
+            x = rng.randint(0, W, CAP).astype(np.int64)
+            items.append(np.stack([y, x, ts], axis=-1))
+        return items
+
+    a = make(0.38)  # crosses 2**30 at item 3 (cum in [1.03, 1.14])
+    b = make(0.24)  # crosses at item 5 — different epochs per slot
+    for seq in (a, b):
+        assert seq[-1][-1, 2] < 2**31 - 1
+        assert seq[-1][-1, 2] > 2**30
+
+    interleaved = [x for pair in zip(a, b) for x in pair]
+    oracle = StreamingPipeline(net, params, capacity=CAP, streams=2,
+                               rebase=False)
+    want = [np.asarray(r.outputs) for r in oracle.serve(
+        [ev.astype(np.int32) for ev in interleaved])]
+
+    pipe = StreamingPipeline(net, params, capacity=CAP, streams=2)
+    got = list(pipe.serve(interleaved))
+    assert pipe._epochs[0] > 0 and pipe._epochs[1] > 0
+    assert pipe._epochs[0] != pipe._epochs[1]
+    for res, ref in zip(got, want):
+        np.testing.assert_allclose(np.asarray(res.outputs), ref,
+                                   rtol=0, atol=0)  # bit-exact
+
+
 def test_pipeline_latency_stats(rng):
     """latency_stats(): per-dispatch p50/p95/p99 and event-age after a
     serve run — the serving observability the reference's per-step
