@@ -1,0 +1,234 @@
+"""On-chip validation of the round-5 serving features.
+
+The endless-feed time-base rebase applies its two floor-clipped int32
+subtractions ON DEVICE (utils/serving.py `_dispatch_fn`), and the
+polarity wire expands its packed planes on device too — the CPU test
+suite (tests/test_serving.py) proves the logic, this script proves it
+on the real TPU through the axon tunnel, where integer clip semantics
+and fusion boundaries are the production ones.
+
+Checks (one JSON line each):
+  rebase_int32      single stream crossing 2**30 µs — BIT-exact vs the
+                    same pipeline with rebase=False over int32 items
+                    (identical compiled program, only the deltas differ)
+  rebase_endless    stream running past 2**32 µs with leak-clearing
+                    gaps — each dispatch vs a fresh pipeline (<=1e-6)
+  rebase_multistream streams=2 with different clock rates (the [2, S]
+                    per-stream delta path) — bit-exact vs rebase=False
+  polarity_compact / polarity_plain
+                    keep_polarity pipeline vs direct scan_parallel over
+                    the same 4-column chunks (<=1e-6, cross-program)
+  latency_stats     quantiles populated and ordered
+
+Reference anchor: the reference rebases ts per example on the host
+(/root/reference/src/libs/runner.py:24-33) and never runs unbounded;
+the serving engine must do it mid-stream without breaking exactness.
+
+STATUS / measured result (2026-08-18, v5e via tunnel): ALL PASS —
+every check bit-exact (max_abs_diff 0.0), including the cross-program
+polarity comparisons:
+
+  {"check": "rebase_int32", "ok": true, "max_abs_diff": 0.0}
+  {"check": "rebase_endless", "ok": true, "max_abs_diff": 0.0, "epoch_us": 4947497235}
+  {"check": "rebase_multistream", "ok": true, "max_abs_diff": 0.0, "epochs": [1557202172, 984251055]}
+  {"check": "polarity_compact", "ok": true, "max_abs_diff": 0.0}
+  {"check": "polarity_plain", "ok": true, "max_abs_diff": 0.0}
+  {"check": "latency_stats", "ok": true, "n": 8}
+  {"all_ok": true}
+"""
+import json
+import sys
+from collections import OrderedDict
+
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+import bench
+
+bench._enable_compilation_cache()
+import jax
+import jax.numpy as jnp
+
+from async_ev_cnn_tpu.layers.network import EventNetwork
+from async_ev_cnn_tpu.utils.config import layers_dict
+from async_ev_cnn_tpu.utils.runner import pack_chunks
+from async_ev_cnn_tpu.utils.serving import StreamingPipeline
+
+H = W = 16
+CAP = 32
+RNG = np.random.RandomState(7)
+
+
+def _params(layer_defs):
+    out = {}
+    for name, size in layer_defs.items():
+        if "conv" in name:
+            out[f"w_{name}"] = (
+                RNG.randn(*size[:2], size[2], size[3]).astype(np.float32) * 0.1
+            )
+            out[f"b_{name}"] = RNG.randn(size[3]).astype(np.float32) * 0.1
+    return out
+
+
+def _net(dsl):
+    return EventNetwork(layers_dict(dsl), H, W, leak=1e-4, alpha=0.1,
+                        padding="SAME", conv_mode="full")
+
+
+def _stream(n, cols=3):
+    y = RNG.randint(0, H, n).astype(np.int64)
+    x = RNG.randint(0, W, n).astype(np.int64)
+    ts = np.cumsum(RNG.randint(1, 20, n)).astype(np.int64)
+    ev = np.stack([y, x, ts], axis=-1)
+    if cols == 4:
+        p = RNG.randint(0, 2, n).astype(np.int64)
+        ev = np.concatenate([ev, p[:, None]], axis=1)
+    return ev
+
+
+def _report(check, diffs, **extra):
+    d = float(max(diffs)) if diffs else 0.0
+    row = {"check": check, "ok": bool(d <= extra.pop("tol", 1e-6)),
+           "max_abs_diff": d, **extra}
+    print(json.dumps(row), flush=True)
+    return row["ok"]
+
+
+DSL = "conv1=3,3,1,4 pool1=2,2 conv2=3,3,4,8 pool2=2,2 conv3=1,1,8,12"
+
+
+def chk_rebase_int32(net, params):
+    items, t0 = [], 0
+    span = int(0.38 * 2**30)
+    for _ in range(5):
+        steps = RNG.randint(int(0.9 * span / CAP), span // CAP,
+                            CAP).astype(np.int64)
+        ts = t0 + np.cumsum(steps)
+        t0 = int(ts[-1]) + 1
+        y = RNG.randint(0, H, CAP).astype(np.int64)
+        x = RNG.randint(0, W, CAP).astype(np.int64)
+        items.append(np.stack([y, x, ts], axis=-1))
+    assert 2**30 < items[-1][-1, 2] < 2**31 - 1
+    oracle = StreamingPipeline(net, params, capacity=CAP, rebase=False)
+    want = [np.asarray(r.outputs) for r in oracle.serve(
+        [ev.astype(np.int32) for ev in items])]
+    pipe = StreamingPipeline(net, params, capacity=CAP)
+    got = list(pipe.serve(items))
+    assert pipe._epochs[0] > 0
+    diffs = [np.abs(np.asarray(r.outputs) - w).max()
+             for r, w in zip(got, want)]
+    return _report("rebase_int32", diffs, tol=0.0)
+
+
+def chk_rebase_endless(net, params):
+    base = [_stream(CAP).astype(np.int64) for _ in range(5)]
+    long_items, t0 = [], np.int64(2**31 + 12345)
+    for ev in base:
+        ev64 = ev.copy()
+        ev64[:, 2] += t0 - ev64[0, 2]
+        t0 = ev64[-1, 2] + 7 * 10**8  # leak 1e-4 clears the surface
+        long_items.append(ev64)
+    assert long_items[-1][-1, 2] > 2**32
+    want = []
+    for ev in base:
+        fresh = StreamingPipeline(net, params, capacity=CAP)
+        ev0 = ev.copy()
+        ev0[:, 2] -= ev0[0, 2] - 1
+        want.append(np.asarray(list(fresh.serve([ev0]))[0].outputs))
+    pipe = StreamingPipeline(net, params, capacity=CAP)
+    got = list(pipe.serve(long_items))
+    diffs = [np.abs(np.asarray(r.outputs) - w).max()
+             for r, w in zip(got, want)]
+    return _report("rebase_endless", diffs, epoch_us=pipe._epochs[0])
+
+
+def chk_rebase_multistream(net, params):
+    def make(scale):
+        items, t0 = [], 0
+        span = int(scale * 2**30)
+        for _ in range(5):
+            steps = RNG.randint(int(0.9 * span / CAP), span // CAP,
+                                CAP).astype(np.int64)
+            ts = t0 + np.cumsum(steps)
+            t0 = int(ts[-1]) + 1
+            y = RNG.randint(0, H, CAP).astype(np.int64)
+            x = RNG.randint(0, W, CAP).astype(np.int64)
+            items.append(np.stack([y, x, ts], axis=-1))
+        return items
+
+    a, b = make(0.38), make(0.24)
+    inter = [x for pair in zip(a, b) for x in pair]
+    oracle = StreamingPipeline(net, params, capacity=CAP, streams=2,
+                               rebase=False)
+    want = [np.asarray(r.outputs) for r in oracle.serve(
+        [ev.astype(np.int32) for ev in inter])]
+    pipe = StreamingPipeline(net, params, capacity=CAP, streams=2)
+    got = list(pipe.serve(inter))
+    assert pipe._epochs[0] > 0 and pipe._epochs[1] > 0
+    diffs = [np.abs(np.asarray(r.outputs) - w).max()
+             for r, w in zip(got, want)]
+    return _report("rebase_multistream", diffs, tol=0.0,
+                   epochs=list(pipe._epochs))
+
+
+def chk_polarity(net2, params2):
+    items, t0 = [], 0
+    for _ in range(3):
+        ev = _stream(2 * CAP, cols=4)
+        ev[:, 2] += t0
+        t0 = int(ev[-1, 2]) + 1
+        items.append(ev)
+    jparams = {k: jnp.asarray(v) for k, v in params2.items()}
+    state = net2.init_state(jparams)
+    want = []
+    step = jax.jit(lambda s, c: net2.scan_parallel(jparams, s, c))
+    for ev in items:
+        state, o = step(state, pack_chunks(ev, CAP))
+        want.append(np.asarray(o))
+    ok = True
+    for wire in ("compact", "plain"):
+        pipe = StreamingPipeline(net2, params2, capacity=CAP, wire=wire,
+                                 keep_polarity=True)
+        got = list(pipe.serve(list(items)))
+        diffs = [np.abs(np.asarray(r.outputs) - w).max()
+                 for r, w in zip(got, want)]
+        ok &= _report(f"polarity_{wire}", diffs)
+    return ok
+
+
+def chk_latency(net, params):
+    items, t0 = [], 0
+    for _ in range(8):
+        ev = _stream(CAP)
+        ev[:, 2] += t0
+        t0 = int(ev[-1, 2]) + 1
+        items.append(ev)
+    pipe = StreamingPipeline(net, params, capacity=CAP, max_in_flight=4)
+    list(pipe.serve(items))
+    st = pipe.latency_stats()
+    q = st.get("dispatch_latency_ms", {})
+    ok = (st.get("n", 0) == 8 and 0 < q.get("p50", 0) <= q.get("p95", 0)
+          <= q.get("p99", 0) <= q.get("max", 0))
+    print(json.dumps({"check": "latency_stats", "ok": bool(ok),
+                      "n": st.get("n", 0)}), flush=True)
+    return ok
+
+
+def main():
+    net = _net(DSL)
+    params = _params(layers_dict(DSL))
+    dsl2 = "conv1=3,3,2,4 pool1=2,2 conv2=1,1,4,6"
+    net2 = _net(dsl2)
+    params2 = _params(layers_dict(dsl2))
+    ok = True
+    ok &= chk_rebase_int32(net, params)
+    ok &= chk_rebase_endless(net, params)
+    ok &= chk_rebase_multistream(net, params)
+    ok &= chk_polarity(net2, params2)
+    ok &= chk_latency(net, params)
+    print(json.dumps({"all_ok": bool(ok)}), flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
