@@ -162,14 +162,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve CLI: stop after this many dispatches "
                         "(default: one pass over the test split).")
     p.add_argument("--serve_wire", type=str, default="auto",
-                   choices=("auto", "compact", "plain"),
+                   choices=("auto", "ultra", "compact", "plain"),
                    help="serve CLI: host->device wire format. 'auto' "
-                        "uses the 4 B/event compact wire while the "
-                        "stream fits and converts exactly to the 8 B "
-                        "wire when it stops fitting (at most two "
-                        "compiled programs per run); 'plain' pins 8 B "
-                        "up front; 'compact' errors if the stream does "
-                        "not fit.")
+                        "uses the smallest tier each item fits — "
+                        "3 B/event ultra (u8 ts deltas), 4 B compact "
+                        "(u16 deltas), 8 B plain — converting exactly "
+                        "upward when the stream stops fitting (at most "
+                        "one compiled program per tier era); 'plain' "
+                        "pins 8 B up front; 'ultra'/'compact' error if "
+                        "the stream does not fit.")
     p.add_argument("--serve_state", type=str, default=None,
                    help="serve CLI: mid-stream state checkpoint path "
                         "(.npz). Restored at startup when the file "

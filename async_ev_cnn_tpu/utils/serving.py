@@ -82,8 +82,10 @@ class StreamingPipeline:
     max_in_flight:
         Backpressure window (dispatches).
     wire:
-        'auto' (compact when the stream fits, else 8 B), 'compact'
-        (raise if it does not fit), or 'plain'.
+        'auto' (the smallest tier each item fits: 3 B/event ultra ->
+        4 B compact -> 8 B plain, see :mod:`async_ev_cnn_tpu.utils.
+        wire`), or pin one of 'ultra'/'compact' (raise if an item does
+        not fit) / 'plain'.
     postprocess:
         Optional traced function applied to the network outputs inside
         the dispatch (e.g. a YOLO head decode or top-k) so only small
@@ -132,14 +134,16 @@ class StreamingPipeline:
         from async_ev_cnn_tpu.utils.wire import (
             chunks_from_wire,
             chunks_from_wire_compact,
+            chunks_from_wire_ultra,
         )
 
         if streams < 1:
             raise ValueError("streams must be >= 1")
         if max_in_flight < 1:
             raise ValueError("max_in_flight must be >= 1")
-        if wire not in ("auto", "compact", "plain"):
-            raise ValueError("wire must be 'auto', 'compact' or 'plain'")
+        if wire not in ("auto", "ultra", "compact", "plain"):
+            raise ValueError(
+                "wire must be 'auto', 'ultra', 'compact' or 'plain'")
         if keep_polarity and net.event_layers[0].spec.channels != 2:
             raise ValueError(
                 "keep_polarity serving needs a 2-channel (ON/OFF) surface "
@@ -158,6 +162,9 @@ class StreamingPipeline:
         self._epochs = [0] * streams
         chunks_from_wire = functools.partial(
             chunks_from_wire, polarity=keep_polarity)
+        _UNPACKERS = {"plain": chunks_from_wire,
+                      "compact": chunks_from_wire_compact,
+                      "ultra": chunks_from_wire_ultra}
         post = postprocess if postprocess is not None else (lambda outs: outs)
 
         jparams = {k: jnp.asarray(v) for k, v in params.items()}
@@ -216,9 +223,11 @@ class StreamingPipeline:
             new_prev = jnp.maximum(
                 jnp.maximum(intgr.prev_ts - d_a, floor) - d_b, floor)
             st = (IntegrationState(intgr.surface, new_prev),) + tuple(st[1:])
-            unpack = (chunks_from_wire_compact if len(wire_arrays) >= 4
-                      else chunks_from_wire)
-            chunks = unpack(*wire_arrays)
+            # tier dispatch by shape+dtype sniffing (wire.wire_format):
+            # both are static under jit, so this costs nothing traced
+            from async_ev_cnn_tpu.utils.wire import wire_format
+
+            chunks = _UNPACKERS[wire_format(wire_arrays)](*wire_arrays)
             if mesh is not None:
                 # pipeline layout is stream-leading [S, T, E]; pin the
                 # stream axis to 'data' right after the unpack so GSPMD
@@ -252,7 +261,12 @@ class StreamingPipeline:
         # (latency_s, age_s) per retired dispatch for latency_stats()
         self._lat: deque = deque(maxlen=4096)
         self._engine = engine
-        self._seen_plain = wire == "plain"
+        # highest wire tier seen so far (WIRE_TIERS rank) — later
+        # dispatches never drop back below it, bounding a long-running
+        # serve at one compiled program per tier era (see serve())
+        from async_ev_cnn_tpu.utils.wire import WIRE_TIERS
+
+        self._era = WIRE_TIERS.get(wire, 0)
 
     def latency_stats(self) -> dict:
         """Per-dispatch latency observability for deployments.
@@ -321,10 +335,23 @@ class StreamingPipeline:
         every layer — so every dispatch keeps one static shape and the
         jitted program never recompiles (raises if the events need more
         chunks than ``t_chunks``)."""
-        from async_ev_cnn_tpu.utils.wire import pack_wire, pack_wire_compact
+        from async_ev_cnn_tpu.utils.wire import (
+            pack_wire,
+            pack_wire_compact,
+            pack_wire_ultra,
+        )
 
         w = None
-        if self._wire in ("auto", "compact"):
+        if self._wire in ("auto", "ultra"):
+            w = pack_wire_ultra(events, self._capacity,
+                                keep_polarity=self._keep_polarity)
+            if w is None and self._wire == "ultra":
+                raise ValueError(
+                    "stream does not fit the ultra wire (coords >= 256, "
+                    "within-chunk ts gap >= 256 us, or non-monotone "
+                    "within-chunk ts); use wire='auto'"
+                )
+        if w is None and self._wire in ("auto", "compact"):
             w = pack_wire_compact(events, self._capacity,
                                   keep_polarity=self._keep_polarity)
             if w is None and self._wire == "compact":
@@ -436,24 +463,27 @@ class StreamingPipeline:
                         ev = ev.astype(np.int64, copy=True)
                         ev[:, 2] = ts64
                 wires.append(self.pack(ev))
-            # Format unification, exact and raw-events-free: a compact
-            # quadruple always re-encodes to the plain triple on the host
-            # (wire_compact_to_plain).  Two rules: (1) a mixed group
-            # unifies to plain; (2) once any dispatch has gone plain, all
-            # later compact dispatches convert too, so a long-running
-            # serve compiles at most two programs (compact era, then
-            # plain era) instead of flip-flopping per item — e.g. one
-            # sparse segment whose chunk spans overflow the 16-bit ts
-            # field must not recompile the pipe on every format change.
-            from async_ev_cnn_tpu.utils.wire import wire_compact_to_plain
+            # Tier unification, exact and raw-events-free: every tier
+            # re-encodes to any higher one on the host (wire_to_tier —
+            # ultra's cumsum fits the compact u16 plane by its span gate,
+            # compact expands to the plain triple).  Two rules: (1) a
+            # mixed group unifies to its highest tier; (2) the pipeline
+            # never drops back below the highest tier it has dispatched,
+            # so a long-running serve compiles at most one program per
+            # tier era (ultra -> compact -> plain) instead of
+            # flip-flopping per item — e.g. one sparse segment whose
+            # chunk spans overflow a delta field must not recompile the
+            # pipe on every format change.
+            from async_ev_cnn_tpu.utils.wire import (
+                WIRE_TIERS,
+                wire_format,
+                wire_to_tier,
+            )
 
-            if len({len(w) for w in wires}) > 1 or (
-                self._seen_plain and any(len(w) >= 4 for w in wires)
-            ):
-                wires = [wire_compact_to_plain(w) if len(w) >= 4 else w
-                         for w in wires]
-            if any(len(w) == 3 for w in wires):
-                self._seen_plain = True
+            self._era = max(self._era,
+                            *(WIRE_TIERS[wire_format(w)] for w in wires))
+            tier = next(t for t, r in WIRE_TIERS.items() if r == self._era)
+            wires = [wire_to_tier(w, tier) for w in wires]
             ts = {w[0].shape[0] for w in wires}
             if len(ts) > 1:
                 raise ValueError(

@@ -13,6 +13,17 @@ Wire format (8 bytes/event + 4 bytes/chunk):
 * ``ts``     int32 ``[T, E]`` — timestamps (µs, the int32 contract)
 * ``counts`` int32 ``[T]``    — valid events per chunk
 
+Three tiers ship, each exact, each applying when the stream's statistics
+allow and falling back to the next (``StreamingPipeline(wire='auto')``):
+
+* **ultra** (3 B/event): u16 ``(y << 8) | x`` + u8 per-event ts deltas,
+  reconstructed by one in-jit int32 cumsum — applies when coords < 256
+  and every within-chunk inter-event gap < 256 µs (busy streams, the
+  serving regime: count-packed chunks at >= ~4k ev/s/chunk-span);
+* **compact** (4 B/event): u16 yx + u16 ts deltas against a per-chunk
+  base — gaps up to 65.5 ms;
+* **plain** (8 B/event): the int32 pair above — any coords, any int32 ts.
+
 ``pack_wire`` builds it on the host (vectorized numpy, no per-event
 loop); ``chunks_from_wire`` unpacks INSIDE jit on the device (three
 cheap vector ops), so the expanded planes never cross the link.  The
@@ -151,6 +162,100 @@ def pack_wire_compact(events: np.ndarray, capacity: int,
     return out
 
 
+def pack_wire_ultra(events: np.ndarray, capacity: int,
+                    keep_polarity: bool = False):
+    """3 bytes/event wire: uint16 ``(y << 8) | x`` + uint8 per-event ts
+    deltas against the previous event (the chunk's first event against a
+    per-chunk int32 base, so its delta is 0).
+
+    Applicable when every coordinate fits 8 bits, timestamps are
+    non-decreasing within each chunk, every within-chunk inter-event gap
+    is < 256 µs, and each chunk's total span fits 16 bits (so the tuple
+    always converts exactly to the compact tier; automatic for
+    ``capacity <= 257``).  Busy event streams — the regime where the
+    host->device link binds — satisfy the gap bound by construction:
+    count-packed chunks at high rates have µs-scale gaps.  Returns
+    ``(yx u16 [T, E], d8 u8 [T, E], base i32 [T], counts i32 [T])`` or
+    ``None`` when the stream does not fit — callers fall back to
+    :func:`pack_wire_compact` (4 B/event).  Exact: the device
+    reconstructs ``ts = base + cumsum(d8)`` in int32.
+
+    With ``keep_polarity`` the same bit-packed polarity plane as the
+    compact tier is appended (``pol`` uint8 ``[T, ceil(capacity/8)]``).
+    """
+    n = events.shape[0]
+    t = max(1, -(-n // capacity))
+    pad = t * capacity - n
+    y = np.asarray(events[:, 0], np.int32)
+    x = np.asarray(events[:, 1], np.int32)
+    ts = validate_int32_ts(events[:, 2])
+    pol_bytes = -(-capacity // 8)
+    if n == 0:
+        empty = (np.zeros((1, capacity), np.uint16),
+                 np.zeros((1, capacity), np.uint8),
+                 np.zeros(1, np.int32), np.zeros(1, np.int32))
+        return empty + ((np.zeros((1, pol_bytes), np.uint8),)
+                        if keep_polarity else ())
+    if y.min() < 0 or x.min() < 0 or y.max() >= 256 or x.max() >= 256:
+        return None
+    tsp = np.concatenate([ts, np.full(pad, ts[-1], np.int32)]).reshape(
+        t, capacity)
+    base = tsp[:, 0]
+    # int64 diffs: adversarial int32-spanning gaps must not wrap past
+    # the gates below (same guard as the compact packer)
+    d = np.diff(tsp.astype(np.int64), axis=1, prepend=base[:, None])
+    if d.min() < 0 or d.max() >= 256 or d.sum(axis=1).max() >= 2**16:
+        return None
+    yxp = np.concatenate(
+        [(y << 8) | x, np.zeros(pad, np.int32)]
+    ).reshape(t, capacity)
+    counts = np.full(t, capacity, np.int32)
+    counts[-1] = capacity - pad
+    out = (yxp.astype(np.uint16), d.astype(np.uint8),
+           base.astype(np.int32), counts)
+    if keep_polarity:
+        p = _polarity_col(events)
+        bits = np.concatenate([p, np.zeros(pad, np.int32)]).reshape(
+            t, capacity).astype(bool)
+        out += (np.packbits(bits, axis=1, bitorder="little"),)
+    return out
+
+
+def wire_format(w) -> str:
+    """Classify a wire tuple by shape+dtype sniffing — 'plain' (3 arrays),
+    'compact' (u16 second plane) or 'ultra' (u8 second plane).  The tier
+    ORDER matters to callers unifying mixed groups: ultra converts
+    exactly to compact, compact to plain (``WIRE_TIERS`` ranks them)."""
+    if len(w) == 3:
+        return "plain"
+    return "compact" if w[1].dtype == np.uint16 else "ultra"
+
+
+#: tier name -> rank; higher rank = more general (unification target)
+WIRE_TIERS = {"ultra": 0, "compact": 1, "plain": 2}
+
+
+def wire_ultra_to_compact(w):
+    """Re-encode an ultra wire tuple as the compact tier on the host —
+    exact (``dts = cumsum(d8)`` fits u16 by the ultra packer's span
+    gate; the polarity plane is shared verbatim)."""
+    yx16, d8, base, counts = w[:4]
+    dts = np.cumsum(d8.astype(np.int32), axis=1)
+    return (yx16, dts.astype(np.uint16), base, counts) + tuple(w[4:])
+
+
+def wire_to_tier(w, tier: str):
+    """Upconvert a wire tuple to ``tier`` (exact, host-side; a tuple
+    already at or above the target is returned unchanged)."""
+    if WIRE_TIERS[wire_format(w)] >= WIRE_TIERS[tier]:
+        return w
+    if wire_format(w) == "ultra":
+        w = wire_ultra_to_compact(w)
+    if tier == "plain" and wire_format(w) == "compact":
+        w = wire_compact_to_plain(w)
+    return w
+
+
 def wire_compact_to_plain(w):
     """Re-encode a compact wire tuple (quadruple, or quintuple with the
     polarity plane) as the plain 8 B triple on the host — exact
@@ -183,6 +288,31 @@ def _unpack_polarity_plane(pol, capacity: int):
     bit = jax.lax.broadcasted_iota(
         jnp.int32, bytes_rep.shape, bytes_rep.ndim - 1) & 7
     return (bytes_rep >> bit) & 1
+
+
+def chunks_from_wire_ultra(yx, d8, base, counts, pol=None):
+    """Expand the ultra wire tuple into an EventChunk — inside jit.
+    ``ts = base + cumsum(d8)`` in int32 (exact: the packer bounds each
+    chunk's span below 2**16, and the base rides the int32 contract).
+    ``pol`` is the optional bit-packed polarity plane."""
+    import jax
+    import jax.numpy as jnp
+
+    from async_ev_cnn_tpu.layers.types import EventChunk
+
+    yx = jnp.asarray(yx).astype(jnp.int32)
+    valid = jax.lax.broadcasted_iota(jnp.int32, yx.shape, yx.ndim - 1) < (
+        jnp.asarray(counts, jnp.int32)[..., None]
+    )
+    dts = jnp.cumsum(jnp.asarray(d8).astype(jnp.int32), axis=-1)
+    return EventChunk(
+        y=yx >> 8,
+        x=yx & 0xFF,
+        ts=jnp.asarray(base, jnp.int32)[..., None] + dts,
+        p=(jnp.zeros_like(yx) if pol is None
+           else _unpack_polarity_plane(pol, yx.shape[-1])),
+        valid=valid,
+    )
 
 
 def chunks_from_wire_compact(yx, dts, base, counts, pol=None):

@@ -454,9 +454,9 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
                              force_wire=None, max_in_flight=16,
                              streams=1):
     """Sustained FILE -> network pipeline: on-disk N-data tree -> native
-    decode -> vectorized packing -> wire upload (utils/wire.py, 4 B/event
-    compact with 8 B fallback) -> parallel-in-time network, for >=
-    ``seconds`` of wall
+    decode -> vectorized packing -> wire upload (utils/wire.py 'auto':
+    3 B/event ultra -> 4 B compact -> 8 B plain, the smallest tier the
+    stream fits) -> parallel-in-time network, for >= ``seconds`` of wall
     time.  The reference's flagship loop is file->network in one process
     (/root/reference/src/libs/runner.py:49-103); the round-3 verdict
     flagged that ingest (56M ev/s native) and device serving (~4-5M ev/s)
@@ -828,6 +828,12 @@ def main():
             round(pipeline[1], 1) if pipeline else None,
         "sustained_pipeline_wire_MBps":
             round(pipeline[2], 2) if pipeline else None,
+        # negotiated wire tier, as bytes/event (3 = ultra, 4 = compact,
+        # 8 = plain, + ~0.03 chunk overhead) — the link-bound leg's
+        # throughput is this times the link rate
+        "sustained_pipeline_wire_B_per_event":
+            round(pipeline[2] * 1e6 / pipeline[0], 2)
+            if pipeline and pipeline[0] else None,
         "sustained_pipeline_dispatches":
             pipeline[3] if pipeline else None,
         # per-dispatch latency + event staleness (upper bounds — proven

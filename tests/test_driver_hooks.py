@@ -65,7 +65,7 @@ def test_bench_functions_smoke(bench_mod):
 
 
 @pytest.mark.parametrize("streams", [1, 2])
-@pytest.mark.parametrize("wire", ["compact", "plain"])
+@pytest.mark.parametrize("wire", ["ultra", "compact", "plain"])
 def test_bench_sustained_pipeline_smoke(bench_mod, monkeypatch, streams, wire):
     """The sustained file->device pipeline must run end-to-end at toy
     scale on CPU, for both wire formats and both the single-stream and

@@ -60,7 +60,7 @@ def _oracle(net, params, items):
     return outs
 
 
-@pytest.mark.parametrize("wire", ["auto", "compact", "plain"])
+@pytest.mark.parametrize("wire", ["auto", "ultra", "compact", "plain"])
 @pytest.mark.parametrize("max_in_flight", [1, 3])
 def test_pipeline_matches_scan_parallel(rng, wire, max_in_flight):
     net = _net()
@@ -179,20 +179,59 @@ def test_pipeline_prepacked_mixed_group_unifies(rng):
 
 def test_pipeline_wire_format_switch_is_monotone(rng):
     """Single stream: once one dispatch has gone plain, later
-    compact-able dispatches convert too (at most two compiled programs
-    per run instead of per-item format flip-flop), all exact."""
+    lower-tier-able dispatches convert too (at most one compiled program
+    per tier era instead of per-item format flip-flop), all exact."""
     net = _net()
     params = _params(layers_dict(DSL), rng)
     items = [_stream(rng, CAP) for _ in range(3)]
     items[1][:, 2] = np.arange(CAP, dtype=np.int32) * 70000  # overflows
     want = _oracle(net, params, items)
     pipe = StreamingPipeline(net, params, capacity=CAP)
-    assert not pipe._seen_plain
+    assert pipe._era == 0
     got = list(pipe.serve(list(items)))
-    assert pipe._seen_plain
+    assert pipe._era == 2
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g.outputs), w,
                                    rtol=0, atol=1e-6)
+
+
+def test_pipeline_wire_tier_ladder_is_exact(rng):
+    """auto walks the tier ladder as the stream's statistics degrade —
+    3 B ultra (small gaps) -> 4 B compact (one 300 µs gap) -> 8 B plain
+    (chunk span past u16) — never dropping back, with every dispatch
+    exact vs the direct scan_parallel chain and the wire bytes shrinking
+    monotonically with the tier."""
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    items = [_stream(rng, CAP) for _ in range(5)]
+    items[1][CAP // 2:, 2] += 300        # mid-chunk gap >= 256 µs
+    items[3][:, 2] = np.arange(CAP, dtype=np.int32) * 70000  # span > u16
+    want = _oracle(net, params, items)
+    # max_in_flight=1 yields each dispatch immediately, so the era is
+    # observable per dispatch instead of only after the drain
+    pipe = StreamingPipeline(net, params, capacity=CAP, max_in_flight=1)
+    eras = []
+    for g, w in zip(pipe.serve(list(items)), want):
+        np.testing.assert_allclose(np.asarray(g.outputs), w,
+                                   rtol=0, atol=1e-6)
+        eras.append(pipe._era)
+    assert eras == sorted(eras), "tier era regressed mid-stream"
+    assert pipe._era == 2
+    # per-event cost of each tier: the first dispatch rode ultra
+    first = StreamingPipeline(net, params, capacity=CAP)
+    list(first.serve([items[0]]))
+    assert first._era == 0
+    assert first.stats["wire_bytes"] <= CAP * 3 + 8
+
+
+def test_pipeline_ultra_strict_raises_when_unfit(rng):
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    bad = _stream(rng, CAP)
+    bad[:, 2] = np.arange(CAP, dtype=np.int32) * 300  # every gap >= 256
+    pipe = StreamingPipeline(net, params, capacity=CAP, wire="ultra")
+    with pytest.raises(ValueError, match="ultra"):
+        list(pipe.serve([bad]))
 
 
 def test_pipeline_unequal_chunk_counts_raise(rng):

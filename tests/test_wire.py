@@ -214,3 +214,129 @@ def test_wire_rejects_invalid_timestamps(rng):
             packer(neg, 8)
         with pytest.raises(ValueError, match="int32"):
             packer(big, 8)
+
+
+def test_wire_ultra_roundtrip(rng):
+    """The 3 B/event ultra tier (u8 per-event ts deltas + in-jit cumsum
+    reconstruction) round-trips exactly vs pack_chunks."""
+    from async_ev_cnn_tpu.utils.wire import (
+        chunks_from_wire_ultra,
+        pack_wire_ultra,
+    )
+
+    for n in (0, 1, 255, 256, 1000):
+        events = _stream(rng, n)  # 160x224: coords fit 8 bits, deltas 1-19
+        ref = pack_chunks(events, 256)
+        wire = pack_wire_ultra(events, 256)
+        assert wire is not None
+        yx, d8, base, counts = wire
+        assert yx.dtype == np.uint16 and d8.dtype == np.uint8
+        assert yx.nbytes + d8.nbytes <= max(n, 1) * 3 + 256 * 3
+        got = jax.jit(chunks_from_wire_ultra)(yx, d8, base, counts)
+        valid = np.asarray(ref.valid)
+        np.testing.assert_array_equal(np.asarray(got.valid), valid)
+        for a, b in ((got.y, ref.y), (got.x, ref.x), (got.ts, ref.ts)):
+            np.testing.assert_array_equal(
+                np.asarray(a)[valid], np.asarray(b)[valid]
+            )
+
+
+def test_wire_ultra_fallback(rng):
+    """Streams that don't fit the ultra tier return None: coords >= 256,
+    a within-chunk inter-event gap >= 256 µs, non-monotone within-chunk
+    ts, or a chunk span past u16 (capacity > 257 only — keeps the exact
+    ultra->compact conversion guaranteed)."""
+    from async_ev_cnn_tpu.utils.wire import pack_wire_ultra
+
+    assert pack_wire_ultra(_stream(rng, 100, h=300, w=224), 64) is None
+    gap = _stream(rng, 100)
+    gap[50, 2] += 300  # one 300 µs inter-event gap mid-chunk
+    gap[51:, 2] += 300
+    assert pack_wire_ultra(gap, 64) is None
+    unsorted = _stream(rng, 100)
+    unsorted[[10, 11], 2] = unsorted[[11, 10], 2]  # swap two mid-chunk ts
+    assert pack_wire_ultra(unsorted, 64) is None
+    # span gate: 300-event chunks of max-u8 deltas would cumsum past u16
+    span = _stream(rng, 600)
+    span[:, 2] = np.arange(600, dtype=np.int32) * 255
+    assert pack_wire_ultra(span, 300) is None
+    # ... but the same stream fits at capacity 256 (span 65 279 < 2**16)
+    assert pack_wire_ultra(span, 256) is not None
+
+
+def test_wire_tier_unification_exact(rng):
+    """wire_to_tier upconverts exactly: unpacking the ultra tuple, its
+    compact re-encode, and its plain re-encode all agree."""
+    from async_ev_cnn_tpu.utils.wire import (
+        WIRE_TIERS,
+        chunks_from_wire,
+        chunks_from_wire_compact,
+        chunks_from_wire_ultra,
+        pack_wire_ultra,
+        wire_format,
+        wire_to_tier,
+    )
+
+    events = _stream(rng, 500)
+    w3 = pack_wire_ultra(events, 64)
+    assert wire_format(w3) == "ultra"
+    w4 = wire_to_tier(w3, "compact")
+    w8 = wire_to_tier(w3, "plain")
+    assert wire_format(w4) == "compact" and wire_format(w8) == "plain"
+    # already-at-or-above targets pass through unchanged
+    assert wire_to_tier(w4, "compact") is w4
+    assert wire_to_tier(w8, "ultra") is w8
+    a = jax.jit(chunks_from_wire_ultra)(*w3)
+    b = jax.jit(chunks_from_wire_compact)(*w4)
+    c = jax.jit(chunks_from_wire)(*w8)
+    for other in (b, c):
+        for f in ("y", "x", "ts", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(other, f)))
+    assert WIRE_TIERS["ultra"] < WIRE_TIERS["compact"] < WIRE_TIERS["plain"]
+
+
+def test_wire_polarity_roundtrip_ultra(rng):
+    """keep_polarity on the 3 B wire: the bit-packed polarity plane
+    round-trips exactly, directly and through both upconversions."""
+    from async_ev_cnn_tpu.utils.wire import (
+        chunks_from_wire,
+        chunks_from_wire_compact,
+        chunks_from_wire_ultra,
+        pack_wire_ultra,
+        wire_to_tier,
+    )
+
+    for n, cap in ((200, 64), (37, 32), (0, 16)):
+        y = rng.randint(0, 256, n).astype(np.int64)
+        x = rng.randint(0, 256, n).astype(np.int64)
+        ts = np.cumsum(rng.randint(0, 200, n)).astype(np.int64)
+        p = rng.randint(0, 2, n).astype(np.int64)
+        events = np.stack([y, x, ts, p], axis=-1).reshape(n, 4)
+        w = pack_wire_ultra(events, cap, keep_polarity=True)
+        assert len(w) == 5 and w[4].dtype == np.uint8
+        got = jax.jit(chunks_from_wire_ultra)(*w)
+        got2 = jax.jit(chunks_from_wire_compact)(*wire_to_tier(w, "compact"))
+        got3 = jax.jit(lambda *a: chunks_from_wire(*a, polarity=True))(
+            *wire_to_tier(w, "plain"))
+        for g in (got, got2, got3):
+            valid = np.asarray(g.valid).reshape(-1)
+            assert valid.sum() == n
+            for plane, ref in (("y", y), ("x", x), ("ts", ts), ("p", p)):
+                vals = np.asarray(getattr(g, plane)).reshape(-1)[
+                    valid.astype(bool)]
+                np.testing.assert_array_equal(vals, ref)
+
+
+def test_wire_ultra_rejects_invalid_timestamps(rng):
+    """The ultra packer enforces the same non-negative int32 µs ts
+    contract as the other tiers."""
+    from async_ev_cnn_tpu.utils.wire import pack_wire_ultra
+
+    neg = np.stack([np.arange(4)] * 2 + [np.array([-5, 1, 2, 3])], axis=-1)
+    big = np.stack([np.arange(4)] * 2
+                   + [np.array([0, 1, 2, 2**31], np.int64)], axis=-1)
+    with pytest.raises(ValueError, match="negative timestamp"):
+        pack_wire_ultra(neg, 8)
+    with pytest.raises(ValueError, match="int32"):
+        pack_wire_ultra(big, 8)
