@@ -340,3 +340,58 @@ def test_wire_ultra_rejects_invalid_timestamps(rng):
         pack_wire_ultra(neg, 8)
     with pytest.raises(ValueError, match="int32"):
         pack_wire_ultra(big, 8)
+
+
+def test_wire_tier_differential_fuzz(rng):
+    """Randomized differential: for random streams and capacities, every
+    tier that accepts the stream must unpack to exactly pack_chunks'
+    planes, and the auto ladder (ultra -> compact -> plain) must accept
+    every stream at some tier."""
+    from async_ev_cnn_tpu.utils.wire import (
+        chunks_from_wire,
+        chunks_from_wire_compact,
+        chunks_from_wire_ultra,
+        pack_wire,
+        pack_wire_compact,
+        pack_wire_ultra,
+    )
+
+    unpack_plain = jax.jit(chunks_from_wire)
+    unpack_compact = jax.jit(chunks_from_wire_compact)
+    unpack_ultra = jax.jit(chunks_from_wire_ultra)
+    for trial in range(25):
+        n = int(rng.randint(0, 400))
+        cap = int(rng.choice([8, 32, 64, 256]))
+        h = int(rng.choice([64, 256, 1024]))
+        # delta scale sweeps across the tier gates (u8 / u16 / beyond)
+        scale = int(rng.choice([3, 200, 5000, 200000]))
+        y = rng.randint(0, h, n).astype(np.int64)
+        x = rng.randint(0, h, n).astype(np.int64)
+        ts = np.cumsum(rng.randint(0, scale, n)).astype(np.int64)
+        if rng.rand() < 0.3 and n > 2:
+            rng.shuffle(ts)  # non-monotone: ultra must refuse
+        events = np.stack([y, x, ts], axis=-1)
+        if ts.size and ts.max() >= 2**31:
+            continue  # outside the int32 contract every tier enforces
+        ref = pack_chunks(events, cap)
+        valid = np.asarray(ref.valid)
+        accepted = 0
+        for packer, unpacker in ((pack_wire_ultra, unpack_ultra),
+                                 (pack_wire_compact, unpack_compact),
+                                 (pack_wire, unpack_plain)):
+            try:
+                w = packer(events, cap)
+            except ValueError:
+                w = None  # pack_wire rejects coords >= 2**16 loudly
+            if w is None:
+                continue
+            accepted += 1
+            got = unpacker(*w)
+            np.testing.assert_array_equal(np.asarray(got.valid), valid)
+            for f in ("y", "x", "ts"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(got, f))[valid],
+                    np.asarray(getattr(ref, f))[valid],
+                    err_msg=f"tier {packer.__name__} plane {f} "
+                            f"(trial {trial}, n={n}, cap={cap})")
+        assert accepted >= 1 or h >= 2**16
