@@ -237,6 +237,10 @@ def main(argv=None):
         "wire_bytes": pipe.stats["wire_bytes"],
         "wire_MBps": round(pipe.stats["wire_bytes"] / max(dt, 1e-9) / 2**20,
                            2),
+        # negotiated wire tier as bytes/event (~3 ultra / 4 compact /
+        # 8 plain, + chunk overhead) — which tier 'auto' actually rode
+        "wire_B_per_event": round(
+            pipe.stats["wire_bytes"] / max(pipe.stats["events"], 1), 2),
         # per-dispatch latency + event staleness quantiles (upper bounds
         # — retirement is proven at watermark fetches); the serving-grade
         # replacement for the reference's per-step prints (runner.py:92-96)
