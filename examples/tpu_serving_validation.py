@@ -186,7 +186,7 @@ def chk_polarity(net2, params2):
         state, o = step(state, pack_chunks(ev, CAP))
         want.append(np.asarray(o))
     ok = True
-    for wire in ("compact", "plain"):
+    for wire in ("ultra", "compact", "plain"):
         pipe = StreamingPipeline(net2, params2, capacity=CAP, wire=wire,
                                  keep_polarity=True)
         got = list(pipe.serve(list(items)))
