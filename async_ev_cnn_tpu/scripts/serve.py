@@ -45,12 +45,14 @@ from async_ev_cnn_tpu.utils.transforms import data_transform
 
 
 def _stream_items(reader, args, streams, capacity, t_chunks):
-    """Yield RAW int64 event arrays, ``streams`` consecutive per dispatch
-    round (one per stream slot), until the test split is exhausted
-    (ragged tails are flushed as short final items; the pipeline pads
-    them to ``t_chunks`` via its own pack).  Raw items — not pre-packed
-    wires — so the pipeline can rebase each stream's time base once it
-    outlives the int32 µs range (~35.8 min): the endless-feed contract.
+    """Yield ``(stream_slot, raw int64 event array)`` pairs, ``streams``
+    consecutive per dispatch round (one per stream slot), until the test
+    split is exhausted (ragged tails are flushed as short final items;
+    the pipeline pads them to ``t_chunks`` via its pack).  The producer
+    worker turns each pair into a :meth:`StreamingPipeline.prepare` item
+    — rebase + pack run on the producer thread, overlapping the device
+    pipe, while keeping the endless-feed contract (each stream's time
+    base rebases once it outlives the int32 µs range, ~35.8 min).
     With ``--keep_polarity`` the 4th (polarity) column rides along."""
     cols = 4 if getattr(args, "keep_polarity", False) else 3
     bufs = [np.zeros((0, cols), np.int64) for _ in range(streams)]
@@ -81,7 +83,7 @@ def _stream_items(reader, args, streams, capacity, t_chunks):
             return
         for s in range(streams):
             take, bufs[s] = bufs[s][:need], bufs[s][need:]
-            yield take
+            yield s, take
 
 
 def _write_detections(fh, res, args, dispatch_idx, streams):
@@ -195,8 +197,14 @@ def main(argv=None):
         if os.path.exists(args.serve_state):
             pipe.state = restore_stream_state(args.serve_state, pipe.state)
             state_restored = True
+    # rebase + pack run inside the (single) producer worker via
+    # prepare(), overlapping the device pipe — packing inline in the
+    # serve loop would serialize ~11-19M ev/s of host work against the
+    # multi-M ev/s pipe (~30% CLI throughput).  prepare()'s in-order
+    # single-thread contract holds: threads=1 preserves item order.
     src = threaded_source(
         lambda: _stream_items(reader, args, streams, capacity, t_chunks),
+        fn=lambda st: pipe.prepare(st[1], stream=st[0]),
         depth=max(4, streams + 2), threads=1,
     )
 

@@ -50,6 +50,17 @@ import numpy as np
 _REBASE_AT = 2**30
 
 
+class PreparedItem(NamedTuple):
+    """One raw source item after producer-side :meth:`StreamingPipeline.
+    prepare`: the packed wire tuple plus the two int32 ``prev_ts`` shift
+    halves its rebase (if any) requires on device.  Unlike a bare wire
+    tuple, a PreparedItem is valid on a rebased stream — the epoch
+    bookkeeping already happened at prepare time."""
+
+    wire: tuple
+    deltas: np.ndarray  # int32 [2] prev_ts shift halves (zeros: no rebase)
+
+
 class DispatchResult(NamedTuple):
     """One retired dispatch: ``outputs`` is the (device-resident)
     postprocessed network output, ``n_events`` the valid events it
@@ -341,8 +352,13 @@ class StreamingPipeline:
             pack_wire_ultra,
         )
 
+        # under 'auto', never pack below the era floor — once serve()
+        # has promoted the pipeline to a higher tier, every lower-tier
+        # pack would just be upconverted (cumsum + full plane expansion)
+        # in the serial dispatch loop, ~2-3x the host work per item
+        era = self._era if self._wire == "auto" else 0
         w = None
-        if self._wire in ("auto", "ultra"):
+        if self._wire == "ultra" or (self._wire == "auto" and era <= 0):
             w = pack_wire_ultra(events, self._capacity,
                                 keep_polarity=self._keep_polarity)
             if w is None and self._wire == "ultra":
@@ -351,7 +367,8 @@ class StreamingPipeline:
                     "within-chunk ts gap >= 256 us, or non-monotone "
                     "within-chunk ts); use wire='auto'"
                 )
-        if w is None and self._wire in ("auto", "compact"):
+        if w is None and (self._wire == "compact"
+                          or (self._wire == "auto" and era <= 1)):
             w = pack_wire_compact(events, self._capacity,
                                   keep_polarity=self._keep_polarity)
             if w is None and self._wire == "compact":
@@ -380,12 +397,60 @@ class StreamingPipeline:
                 )
         return w
 
+    def _rebase_stream(self, ev: np.ndarray, i: int, out: np.ndarray):
+        """Apply stream ``i``'s epoch to a raw event array, advancing the
+        epoch (and writing the two int32 ``prev_ts`` shift halves into
+        ``out``) when the relative clock passes the rebase threshold."""
+        if self._rebase and ev.shape[0]:
+            ts64 = ev[:, 2].astype(np.int64) - self._epochs[i]
+            if ts64.max() >= _REBASE_AT:
+                # rebase so this window starts at 0; the state's prev_ts
+                # shifts by the same delta on device (two int32 halves —
+                # see _dispatch_fn; a gap past int32 is capped there by
+                # the saturating floor)
+                d = int(ts64.min())
+                if d < 0:
+                    raise ValueError(
+                        f"stream {i} timestamps regressed below the "
+                        "stream's time base (non-monotone source); "
+                        "cannot rebase"
+                    )
+                self._epochs[i] += d
+                d_eff = min(d, 2**31)
+                out[0] = d_eff // 2
+                out[1] = d_eff - d_eff // 2
+                ts64 -= d
+            if self._epochs[i]:
+                ev = ev.astype(np.int64, copy=True)
+                ev[:, 2] = ts64
+        return ev
+
+    def prepare(self, events: np.ndarray, stream: int = 0,
+                t_chunks: int | None = None) -> PreparedItem:
+        """Rebase + :meth:`pack` one raw ``[N, >=3]`` item for ``stream``
+        on the CALLER's thread, so the expensive host stage overlaps the
+        device pipe (see :func:`threaded_source`) even on rebased
+        endless feeds — a bare pre-packed wire tuple cannot be rebased
+        and :meth:`serve` rejects it once the stream's epoch is nonzero.
+
+        Items for one stream MUST be prepared in serve order by a single
+        thread (prepare advances the stream's epoch; out-of-order calls
+        desynchronize the rebase deltas from the dispatches that apply
+        them).  One producer thread per stream — or one thread for all
+        streams — satisfies this."""
+        deltas = np.zeros(2, np.int32)
+        ev = self._rebase_stream(np.asarray(events), stream, deltas)
+        return PreparedItem(self.pack(ev, t_chunks), deltas)
+
     def serve(self, source: Iterable) -> Iterator[DispatchResult]:
         """Drive the pipeline over ``source`` — an iterable of host
-        ``[N, >=3]`` (y, x, ts, ...) event arrays, or of wire tuples
+        ``[N, >=3]`` (y, x, ts, ...) event arrays, of wire tuples
         from :meth:`pack` (pre-packed in producer threads; a
         multi-stream source must then pack consistently, since raw
-        events are no longer available for a fallback re-pack).  With
+        events are no longer available for a fallback re-pack), or of
+        :class:`PreparedItem` from :meth:`prepare` (producer-side pack
+        that also carries the endless-feed rebase, the recommended
+        high-throughput shape).  With
         ``streams > 1`` every ``streams`` consecutive items form one
         dispatch and a ragged tail is dropped.  Yields one in-order
         :class:`DispatchResult` per dispatch, each only after its
@@ -408,7 +473,6 @@ class StreamingPipeline:
                     yield DispatchResult(outs, n, counts)
 
         while True:
-            t_arrival = time.time()
             if self._streams == 1:
                 try:
                     events = next(it)
@@ -424,44 +488,33 @@ class StreamingPipeline:
                         break
                 if len(group) < self._streams:
                     break  # ragged tail dropped (documented)
-            prepacked = [isinstance(ev, tuple) for ev in group]
+            # arrival is stamped AFTER the blocking next(it) calls: a
+            # slow/sparse producer's idle time is not event staleness
+            # (latency_stats' event_age measures pack+queue+device time
+            # of events that exist, not waiting-for-source time)
+            t_arrival = time.time()
             deltas = np.zeros((2, self._streams), np.int32)
             wires = []
-            for i, (ev, pre) in enumerate(zip(group, prepacked)):
-                if pre:
+            for i, ev in enumerate(group):
+                if isinstance(ev, PreparedItem):
+                    # producer-side prepare() already did the rebase
+                    # bookkeeping; its deltas ride with the item
+                    deltas[:, i] = ev.deltas
+                    wires.append(ev.wire)
+                    continue
+                if isinstance(ev, tuple):
                     if self._epochs[i]:
                         raise ValueError(
                             f"stream {i} runs on a rebased time base "
                             f"(epoch {self._epochs[i]} us) but received a "
                             "pre-packed wire item, whose time base is "
-                            "unknowable — feed raw event arrays on "
-                            "streams that outlive the int32 us range"
+                            "unknowable — feed raw event arrays (or "
+                            "prepare() items) on streams that outlive "
+                            "the int32 us range"
                         )
                     wires.append(ev)
                     continue
-                ev = np.asarray(ev)
-                if self._rebase and ev.shape[0]:
-                    ts64 = ev[:, 2].astype(np.int64) - self._epochs[i]
-                    if ts64.max() >= _REBASE_AT:
-                        # rebase so this window starts at 0; the state's
-                        # prev_ts shifts by the same delta on device (two
-                        # int32 halves — see _dispatch_fn; a gap past
-                        # int32 is capped there by the saturating floor)
-                        d = int(ts64.min())
-                        if d < 0:
-                            raise ValueError(
-                                f"stream {i} timestamps regressed below "
-                                "the stream's time base (non-monotone "
-                                "source); cannot rebase"
-                            )
-                        self._epochs[i] += d
-                        d_eff = min(d, 2**31)
-                        deltas[0, i] = d_eff // 2
-                        deltas[1, i] = d_eff - d_eff // 2
-                        ts64 -= d
-                    if self._epochs[i]:
-                        ev = ev.astype(np.int64, copy=True)
-                        ev[:, 2] = ts64
+                ev = self._rebase_stream(np.asarray(ev), i, deltas[:, i])
                 wires.append(self.pack(ev))
             # Tier unification, exact and raw-events-free: every tier
             # re-encodes to any higher one on the host (wire_to_tier —

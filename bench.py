@@ -95,7 +95,11 @@ def _probe_device():
 
     t0 = time.time()
     x = jnp.full((1, 1), 2.0, jnp.float32)
-    assert float(np.asarray(x @ x)[0, 0]) == 4.0
+    # explicit raise, not assert: python -O strips asserts, which would
+    # strip the only device fetch and silently disable the outage gate
+    val = float(np.asarray(x @ x)[0, 0])
+    if val != 4.0:
+        raise RuntimeError(f"device probe returned {val}, expected 4.0")
     return time.time() - t0
 
 
@@ -103,19 +107,21 @@ def _wait_for_backend():
     """Block until the accelerator answers a tiny matmul fast enough,
     retrying through outage windows up to the global bench deadline.
     Returns ``None`` when healthy, else the last error string."""
-    first = True
     while True:
         try:
             dt = _probe_device()
-            # first probe pays backend init + compile (~20-40 s normal over
-            # the tunnel); later probes are warm.  Anything slower is the
+            # every probe pays backend init + compile (~20-40 s normal
+            # over the tunnel, with wild variance): the first by nature,
+            # every retry because the failure path resets the backend
+            # cache below.  A tighter "warm" threshold here would
+            # misclassify a healthy-but-slow init day as an outage for
+            # the whole retry budget.  Anything slower than this is the
             # documented sick-service mode — treat as down and retry.
-            if dt < (150.0 if first else 45.0):
+            if dt < 150.0:
                 return None
             last = f"slow backend: tiny matmul took {dt:.0f}s"
         except Exception as e:  # pragma: no cover - requires a real outage
             last = f"{type(e).__name__}: {str(e)[:300]}"
-        first = False
         _reset_backend()
         now = time.time()
         deadline = _BENCH_DEADLINE[0]
@@ -491,7 +497,6 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
         StreamingPipeline,
         threaded_source,
     )
-    from async_ev_cnn_tpu.utils.wire import pack_wire_compact
 
     events_per_file = chunks_per_dispatch * CAPACITY
     rng = np.random.RandomState(7)
@@ -507,9 +512,6 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
                                 ev[:, 2], np.zeros(len(ev), np.int32))
             paths.append(path)
 
-        # wire format chosen once from the first file: 4 B/event compact
-        # (fits when coords < 256 and chunk ts spans < 2^16 — the link is
-        # this pipe's scarce resource) else the general 8 B/event wire
         def decode(path):
             _, x, y, ts, _ = reader.read_example(path)
             return np.stack([y % H, x % W, ts], axis=-1)
@@ -521,11 +523,11 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
         net = _net(layer_defs, "full")
         # pass through to StreamingPipeline's VALIDATED wire argument —
         # a silent anything-else->'plain' mapping turned force_wire='auto'
-        # (or a typo) into the 8 B wire, halving the link-bound leg
+        # (or a typo) into the 8 B wire, halving the link-bound leg.
+        # 'auto' negotiates per item (ultra -> compact -> plain) and the
+        # pipeline's era never drops below a dispatched tier, so no
+        # first-file pre-check is needed.
         wire = "auto" if force_wire is None else force_wire
-        if wire == "auto" and pack_wire_compact(
-                decode(paths[0]), CAPACITY) is None:  # pragma: no cover
-            wire = "plain"
         pipe = StreamingPipeline(net, params, capacity=CAPACITY,
                                  window=T_PARALLEL, streams=streams,
                                  max_in_flight=max_in_flight, wire=wire)

@@ -511,3 +511,96 @@ def test_dispatch_result_counts_mark_padding(rng):
     assert counts.shape == (4,)
     assert counts[0] == CAP and counts[1] == CAP
     assert counts[2] == 0 and counts[3] == 0
+
+
+def test_pipeline_prepare_matches_raw_path(rng):
+    """prepare() (producer-side rebase + pack) must be EXACTLY the raw
+    path: a rebasing stream served as PreparedItems equals the direct
+    unrebased oracle, the epochs advance identically, and — unlike a
+    bare wire tuple — a PreparedItem is accepted after the rebase."""
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    # same construction as the within-int32 rebase gate: crosses 2**30
+    items = []
+    t0 = 0
+    lo, hi = int(0.2 * 2**30 / CAP), int(0.42 * 2**30 / CAP)
+    for _ in range(5):
+        steps = rng.randint(lo, hi, CAP).astype(np.int64)
+        ts = t0 + np.cumsum(steps)
+        t0 = int(ts[-1]) + 1
+        y = rng.randint(0, H, CAP).astype(np.int64)
+        x = rng.randint(0, W, CAP).astype(np.int64)
+        items.append(np.stack([y, x, ts], axis=-1))
+    assert items[-1][-1, 2] > 2**30
+
+    want = _oracle(net, params, [ev.astype(np.int32) for ev in items])
+
+    raw = StreamingPipeline(net, params, capacity=CAP)
+    list(raw.serve(list(items)))
+    pipe = StreamingPipeline(net, params, capacity=CAP)
+    prepared = [pipe.prepare(ev) for ev in items]  # producer-side
+    got = list(pipe.serve(prepared))
+    assert pipe._epochs == raw._epochs
+    assert pipe._epochs[0] > 0, "rebase did not trigger"
+    for res, ref in zip(got, want):
+        np.testing.assert_allclose(np.asarray(res.outputs), ref,
+                                   rtol=0, atol=0)  # bit-exact
+
+
+def test_pipeline_prepare_multistream(rng):
+    """streams=2 PreparedItems with per-slot prepare(stream=s): each
+    stream's epoch advances independently and the dispatches equal the
+    raw-array path bit-exactly."""
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+
+    def make(scale):
+        out, t0 = [], 0
+        for _ in range(4):
+            steps = rng.randint(1, 50, CAP).astype(np.int64) * scale
+            ts = t0 + np.cumsum(steps)
+            t0 = int(ts[-1]) + 1
+            y = rng.randint(0, H, CAP).astype(np.int64)
+            x = rng.randint(0, W, CAP).astype(np.int64)
+            out.append(np.stack([y, x, ts], axis=-1))
+        return out
+
+    # b's items each span < int32 after rebase (~8e8 µs) but its clock
+    # crosses 2**30 by the second item; a never rebases
+    a, b = make(1), make(10**6)
+    interleaved = [x for pair in zip(a, b) for x in pair]
+    raw = StreamingPipeline(net, params, capacity=CAP, streams=2)
+    want = [np.asarray(r.outputs) for r in raw.serve(list(interleaved))]
+
+    pipe = StreamingPipeline(net, params, capacity=CAP, streams=2)
+    prepared = [pipe.prepare(ev, stream=i % 2)
+                for i, ev in enumerate(interleaved)]
+    got = list(pipe.serve(prepared))
+    assert pipe._epochs == raw._epochs
+    assert pipe._epochs[1] > 0 and pipe._epochs[0] == 0
+    for res, ref in zip(got, want):
+        np.testing.assert_allclose(np.asarray(res.outputs), ref,
+                                   rtol=0, atol=0)
+
+
+def test_pack_respects_era_floor(rng):
+    """Once serve() has promoted the tier era, pack() (and prepare())
+    emit at the era's tier directly instead of packing low and paying
+    the upconversion in the serial dispatch loop on every later item."""
+    from async_ev_cnn_tpu.utils.wire import wire_format
+
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    pipe = StreamingPipeline(net, params, capacity=CAP)
+    fits_ultra = _stream(rng, CAP)
+    assert wire_format(pipe.pack(fits_ultra)) == "ultra"
+    overflowing = _stream(rng, CAP)
+    overflowing[:, 2] = np.arange(CAP, dtype=np.int32) * 70000
+    list(pipe.serve([overflowing]))  # promotes the era to plain
+    assert pipe._era == 2
+    assert wire_format(pipe.pack(fits_ultra)) == "plain"
+    assert wire_format(pipe.prepare(fits_ultra).wire) == "plain"
+    # pinned tiers ignore the era bookkeeping entirely
+    pinned = StreamingPipeline(net, params, capacity=CAP, wire="ultra")
+    pinned._era = 2
+    assert wire_format(pinned.pack(fits_ultra)) == "ultra"
