@@ -431,9 +431,12 @@ def bench_tpu_serving_saturation(params, layer_defs, events,
     for each stream count; the round-2 verdict flagged that the bench JSON
     carried only S=8 while the measured chip saturation (~4.9M ev/s at
     S>=16) lived only in the docs.  Round 4 extended the sweep to S=64
-    (the f32-act curve is still rising ~5% from S=32 to S=64) and added
-    an ``activation_dtype='bfloat16'`` variant sweep (saturates ~17M ev/s
-    at S=48-64 vs ~12.5M f32-act — the two serving knobs compound).
+    and added an ``activation_dtype='bfloat16'`` variant sweep (the two
+    serving knobs compound).  The round-5 knee probe
+    (examples/serving_knee_probe.py) located both envelopes' peaks:
+    f32-act peaks AT S=64 (S=96 is slower, S=128 OOMs), while bf16-act
+    keeps rising to S=128 (~19.6M ev/s, ~1.13x its S=64 row; S=192
+    drops again) — so the bf16 variant sweep includes S=128.
     Returns a dict with the per-S rows and the peak."""
     rows = []
     for s in streams:
@@ -737,9 +740,9 @@ def main():
     serving = _try(bench_tpu_serving_saturation, params, layer_defs, events)
     # the bf16-activation serving sweep (opt-in knob; compounds with
     # stream saturation — see bench_tpu_parallel's docstring for why it
-    # is not the headline); S=32/64 brackets its measured knee
+    # is not the headline); the knee probe put its peak at S=128
     serving16 = _try(bench_tpu_serving_saturation, params, layer_defs,
-                     events, streams=(32, 64),
+                     events, streams=(32, 64, 128),
                      activation_dtype="bfloat16")
     events_400 = synth_stream(rng, DISPATCHES * 2 * T_PARALLEL, CAPACITY)
     t400 = _try(bench_tpu_parallel, params, layer_defs, events_400)
