@@ -769,6 +769,16 @@ def main():
     k32_act16 = _try(bench_tpu_parallel, params, layer_defs, events_k32,
                      dispatches=32, activation_dtype="bfloat16")
     k32_act16_eps = k32_act16[0] if k32_act16 else None
+    # throughput-oriented projection: T=1600 chunks per dispatch (8x the
+    # headline's T=200; the largest T the tunnel's compile path accepts)
+    # amortizes the per-dispatch state HBM round trip inside the chip on
+    # top of the RTT — the measured single-stream envelope top
+    # (examples/t_scaling_probe.py: 21.8M ev/s).  410k events/dispatch
+    # trades dispatch latency for rate; the latency rows stay T=200.
+    events_t1600 = synth_stream(rng, 32 * 8 * T_PARALLEL, CAPACITY)
+    t1600 = _try(bench_tpu_parallel, params, layer_defs, events_t1600,
+                 dispatches=32, activation_dtype="bfloat16")
+    t1600_eps = t1600[0] if t1600 else None
     clustered = clustered_stream(rng, DISPATCHES * T_CHUNKS, CAPACITY)
     window = _try(_at_precision, "highest", bench_tpu_async,
                   params, layer_defs, clustered, conv_mode="window")
@@ -825,6 +835,8 @@ def main():
             round(act16_eps, 1) if act16_eps else None,
         "parallel_bf16_act_K32_events_per_sec":
             round(k32_act16_eps, 1) if k32_act16_eps else None,
+        "parallel_bf16_act_T1600_K32_events_per_sec":
+            round(t1600_eps, 1) if t1600_eps else None,
         "window_mode_clustered_events_per_sec":
             round(window_eps, 1) if window_eps else None,
         "sustained_pipeline_events_per_sec":

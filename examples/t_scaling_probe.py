@@ -1,0 +1,78 @@
+"""One-off probe: does a longer per-dispatch time batch (T=400/800
+chunks) raise the single-stream bf16-activation rate past the K=32
+T=200 record (~17.5M ev/s)?  Larger T amortizes per-dispatch overheads
+(state round-trip through HBM, scan boundaries) at the cost of a larger
+activation working set — bf16 storage halves that, so T can go further
+than the f32 legs' T=400.
+
+STATUS / measured (2026-08-18, v5e via tunnel, headline tier, bf16-act,
+median-of-5 chained timings):
+
+  K=16: T=200 14.31M ev/s (3.58 ms/disp), T=400 15.91M (6.44 ms),
+        T=800 17.63M (11.6 ms)
+  K=32: T=800 19.30M (10.6 ms), T=1600 21.76M ev/s (18.8 ms,
+        spread 0.007) — the single-stream envelope top;
+        T=3200 is unreachable on this tunnel (remote-compile request
+        exceeds the HTTP body limit, same class as serving S=256).
+
+The rate keeps climbing with T even ex-RTT: each dispatch boundary
+costs a full network-state HBM round trip plus scan prologue, which
+T amortizes inside the chip.  bench.py publishes the T=1600 K=32 leg
+as ``parallel_bf16_act_T1600_K32_events_per_sec`` (a throughput-
+oriented projection: 410k events/dispatch is ~0.4 s of a 1M ev/s
+camera feed, so it trades dispatch latency for rate — the latency-
+oriented rows remain T=200).
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+import bench
+from async_ev_cnn_tpu.utils.config import layers_dict
+
+
+def main():
+    bench._enable_compilation_cache()
+    from async_ev_cnn_tpu.ops.conv import set_matmul_precision
+
+    set_matmul_precision(bench.HEADLINE_PRECISION)
+    layer_defs = layers_dict(bench.EFCN_DSL)
+    rng = np.random.RandomState(0)
+    params = bench.make_params(layer_defs, rng)
+
+    bench._BENCH_DEADLINE[0] = time.time() + bench.BENCH_MAX_WAIT_S
+    err = bench._wait_for_backend()
+    if err is not None:
+        print(json.dumps({"ok": False, "reason": err}))
+        return 1
+    K = 16  # chained dispatches per timing (RTT ~6% at 8 ms/dispatch)
+    for t_mult in (1, 2, 4):  # T = 200 / 400 / 800 chunks per dispatch
+        n_chunks = K * t_mult * bench.T_PARALLEL
+        events = bench.synth_stream(rng, n_chunks, bench.CAPACITY)
+        try:
+            eps, dt, spread = bench.bench_tpu_parallel(
+                params, layer_defs, events, dispatches=K,
+                activation_dtype="bfloat16")
+        except Exception as e:
+            print(json.dumps({
+                "T": t_mult * bench.T_PARALLEL,
+                "error": f"{type(e).__name__}: {str(e)[:160]}",
+            }), flush=True)
+            bench._reset_backend()
+            if bench._wait_for_backend() is not None:
+                return 1
+            continue
+        print(json.dumps({
+            "T": t_mult * bench.T_PARALLEL, "chained_dispatches": K,
+            "events_per_sec": round(eps, 1),
+            "ms_per_dispatch": round(dt * 1e3 / K, 3),
+            "spread": round(spread, 3),
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
