@@ -779,6 +779,13 @@ def main():
     t1600 = _try(bench_tpu_parallel, params, layer_defs, events_t1600,
                  dispatches=32, activation_dtype="bfloat16")
     t1600_eps = t1600[0] if t1600 else None
+    # ... and the same T=1600 shape at f32 activations: the fastest
+    # measured execution that holds the 10k-step <=1e-4 absolute
+    # contract (bf16-act does not; the T=200 K=8 headline stays the
+    # protocol row for round-over-round comparability)
+    t1600_f32 = _try(bench_tpu_parallel, params, layer_defs, events_t1600,
+                     dispatches=32)
+    t1600_f32_eps = t1600_f32[0] if t1600_f32 else None
     clustered = clustered_stream(rng, DISPATCHES * T_CHUNKS, CAPACITY)
     window = _try(_at_precision, "highest", bench_tpu_async,
                   params, layer_defs, clustered, conv_mode="window")
@@ -837,6 +844,8 @@ def main():
             round(k32_act16_eps, 1) if k32_act16_eps else None,
         "parallel_bf16_act_T1600_K32_events_per_sec":
             round(t1600_eps, 1) if t1600_eps else None,
+        "parallel_T1600_K32_events_per_sec":
+            round(t1600_f32_eps, 1) if t1600_f32_eps else None,
         "window_mode_clustered_events_per_sec":
             round(window_eps, 1) if window_eps else None,
         "sustained_pipeline_events_per_sec":

@@ -14,6 +14,11 @@ median-of-5 chained timings):
         spread 0.007) — the single-stream envelope top;
         T=3200 is unreachable on this tunnel (remote-compile request
         exceeds the HTTP body limit, same class as serving S=256).
+  K=32 at f32 activations (the contract-holding configuration):
+        T=800 12.91M (15.9 ms), T=1600 14.44M ev/s (28.4 ms, spread
+        0.001) — the fastest measured execution that holds the
+        10k-step <=1e-4 absolute async==dense contract, 1.86x the
+        T=200 K=8 protocol headline.
 
 The rate keeps climbing with T even ex-RTT: each dispatch boundary
 costs a full network-state HBM round trip plus scan prologue, which
