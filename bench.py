@@ -461,7 +461,7 @@ def bench_tpu_serving_saturation(params, layer_defs, events,
 def bench_sustained_pipeline(params, layer_defs, seconds=25,
                              files=24, chunks_per_dispatch=1000,
                              force_wire=None, max_in_flight=16,
-                             streams=1):
+                             streams=1, window=T_PARALLEL):
     """Sustained FILE -> network pipeline: on-disk N-data tree -> native
     decode -> vectorized packing -> wire upload (utils/wire.py 'auto':
     3 B/event ultra -> 4 B compact -> 8 B plain, the smallest tier the
@@ -532,7 +532,7 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
         # first-file pre-check is needed.
         wire = "auto" if force_wire is None else force_wire
         pipe = StreamingPipeline(net, params, capacity=CAPACITY,
-                                 window=T_PARALLEL, streams=streams,
+                                 window=window, streams=streams,
                                  max_in_flight=max_in_flight, wire=wire)
 
         def decode_pack(path):
