@@ -245,8 +245,8 @@ def main(argv=None):
         "wire_bytes": pipe.stats["wire_bytes"],
         "wire_MBps": round(pipe.stats["wire_bytes"] / max(dt, 1e-9) / 2**20,
                            2),
-        # negotiated wire tier as bytes/event (~3 ultra / 4 compact /
-        # 8 plain, + chunk overhead) — which tier 'auto' actually rode
+        # negotiated wire tier as bytes/event (~2.5 ultra4 / 3 ultra /
+        # 4 compact / 8 plain, + chunk overhead) — which tier 'auto' rode
         "wire_B_per_event": round(
             pipe.stats["wire_bytes"] / max(pipe.stats["events"], 1), 2),
         # per-dispatch latency + event staleness quantiles (upper bounds

@@ -162,15 +162,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve CLI: stop after this many dispatches "
                         "(default: one pass over the test split).")
     p.add_argument("--serve_wire", type=str, default="auto",
-                   choices=("auto", "ultra", "compact", "plain"),
+                   choices=("auto", "ultra4", "ultra", "compact", "plain"),
                    help="serve CLI: host->device wire format. 'auto' "
                         "uses the smallest tier each item fits — "
-                        "3 B/event ultra (u8 ts deltas), 4 B compact "
-                        "(u16 deltas), 8 B plain — converting exactly "
-                        "upward when the stream stops fitting (at most "
-                        "one compiled program per tier era); 'plain' "
-                        "pins 8 B up front; 'ultra'/'compact' error if "
-                        "the stream does not fit.")
+                        "2.5 B/event ultra4 (4-bit ts deltas), 3 B ultra "
+                        "(u8 deltas), 4 B compact (u16 deltas), 8 B "
+                        "plain — converting exactly upward when the "
+                        "stream stops fitting (at most one compiled "
+                        "program per tier era); 'plain' pins 8 B up "
+                        "front; 'ultra4'/'ultra'/'compact' error if the "
+                        "stream does not fit.")
     p.add_argument("--serve_state", type=str, default=None,
                    help="serve CLI: mid-stream state checkpoint path "
                         "(.npz). Restored at startup when the file "

@@ -93,10 +93,11 @@ class StreamingPipeline:
     max_in_flight:
         Backpressure window (dispatches).
     wire:
-        'auto' (the smallest tier each item fits: 3 B/event ultra ->
-        4 B compact -> 8 B plain, see :mod:`async_ev_cnn_tpu.utils.
-        wire`), or pin one of 'ultra'/'compact' (raise if an item does
-        not fit) / 'plain'.
+        'auto' (the smallest tier each item fits: 2.5 B/event ultra4 ->
+        3 B ultra -> 4 B compact -> 8 B plain, see
+        :mod:`async_ev_cnn_tpu.utils.wire`), or pin one of
+        'ultra4'/'ultra'/'compact' (raise if an item does not fit) /
+        'plain'.
     postprocess:
         Optional traced function applied to the network outputs inside
         the dispatch (e.g. a YOLO head decode or top-k) so only small
@@ -146,15 +147,17 @@ class StreamingPipeline:
             chunks_from_wire,
             chunks_from_wire_compact,
             chunks_from_wire_ultra,
+            chunks_from_wire_ultra4,
         )
 
         if streams < 1:
             raise ValueError("streams must be >= 1")
         if max_in_flight < 1:
             raise ValueError("max_in_flight must be >= 1")
-        if wire not in ("auto", "ultra", "compact", "plain"):
+        if wire not in ("auto", "ultra4", "ultra", "compact", "plain"):
             raise ValueError(
-                "wire must be 'auto', 'ultra', 'compact' or 'plain'")
+                "wire must be 'auto', 'ultra4', 'ultra', 'compact' or "
+                "'plain'")
         if keep_polarity and net.event_layers[0].spec.channels != 2:
             raise ValueError(
                 "keep_polarity serving needs a 2-channel (ON/OFF) surface "
@@ -175,7 +178,8 @@ class StreamingPipeline:
             chunks_from_wire, polarity=keep_polarity)
         _UNPACKERS = {"plain": chunks_from_wire,
                       "compact": chunks_from_wire_compact,
-                      "ultra": chunks_from_wire_ultra}
+                      "ultra": chunks_from_wire_ultra,
+                      "ultra4": chunks_from_wire_ultra4}
         post = postprocess if postprocess is not None else (lambda outs: outs)
 
         jparams = {k: jnp.asarray(v) for k, v in params.items()}
@@ -347,9 +351,11 @@ class StreamingPipeline:
         jitted program never recompiles (raises if the events need more
         chunks than ``t_chunks``)."""
         from async_ev_cnn_tpu.utils.wire import (
+            WIRE_TIERS,
             pack_wire,
             pack_wire_compact,
             pack_wire_ultra,
+            pack_wire_ultra4,
         )
 
         # under 'auto', never pack below the era floor — once serve()
@@ -358,7 +364,18 @@ class StreamingPipeline:
         # in the serial dispatch loop, ~2-3x the host work per item
         era = self._era if self._wire == "auto" else 0
         w = None
-        if self._wire == "ultra" or (self._wire == "auto" and era <= 0):
+        if self._wire == "ultra4" or (
+                self._wire == "auto" and era <= WIRE_TIERS["ultra4"]):
+            w = pack_wire_ultra4(events, self._capacity,
+                                 keep_polarity=self._keep_polarity)
+            if w is None and self._wire == "ultra4":
+                raise ValueError(
+                    "stream does not fit the ultra4 wire (coords >= 256, "
+                    "within-chunk ts gap >= 16 us, non-monotone "
+                    "within-chunk ts, or capacity < 2); use wire='auto'"
+                )
+        if w is None and (self._wire == "ultra" or (
+                self._wire == "auto" and era <= WIRE_TIERS["ultra"])):
             w = pack_wire_ultra(events, self._capacity,
                                 keep_polarity=self._keep_polarity)
             if w is None and self._wire == "ultra":
@@ -367,8 +384,8 @@ class StreamingPipeline:
                     "within-chunk ts gap >= 256 us, or non-monotone "
                     "within-chunk ts); use wire='auto'"
                 )
-        if w is None and (self._wire == "compact"
-                          or (self._wire == "auto" and era <= 1)):
+        if w is None and (self._wire == "compact" or (
+                self._wire == "auto" and era <= WIRE_TIERS["compact"])):
             w = pack_wire_compact(events, self._capacity,
                                   keep_polarity=self._keep_polarity)
             if w is None and self._wire == "compact":
@@ -523,7 +540,7 @@ class StreamingPipeline:
             # mixed group unifies to its highest tier; (2) the pipeline
             # never drops back below the highest tier it has dispatched,
             # so a long-running serve compiles at most one program per
-            # tier era (ultra -> compact -> plain) instead of
+            # tier era (ultra4 -> ultra -> compact -> plain) instead of
             # flip-flopping per item — e.g. one sparse segment whose
             # chunk spans overflow a delta field must not recompile the
             # pipe on every format change.

@@ -13,9 +13,14 @@ Wire format (8 bytes/event + 4 bytes/chunk):
 * ``ts``     int32 ``[T, E]`` — timestamps (µs, the int32 contract)
 * ``counts`` int32 ``[T]``    — valid events per chunk
 
-Three tiers ship, each exact, each applying when the stream's statistics
+Four tiers ship, each exact, each applying when the stream's statistics
 allow and falling back to the next (``StreamingPipeline(wire='auto')``):
 
+* **ultra4** (2.5 B/event): u16 ``(y << 8) | x`` + two 4-bit per-event
+  ts deltas per byte — applies when coords < 256 and every within-chunk
+  inter-event gap < 16 µs (very busy streams, > ~62.5k ev/s sustained
+  within a chunk span — exactly the regime where the host->device link
+  binds and bytes/event set the throughput ceiling);
 * **ultra** (3 B/event): u16 ``(y << 8) | x`` + u8 per-event ts deltas,
   reconstructed by one in-jit int32 cumsum — applies when coords < 256
   and every within-chunk inter-event gap < 256 µs (busy streams, the
@@ -221,18 +226,92 @@ def pack_wire_ultra(events: np.ndarray, capacity: int,
     return out
 
 
+def pack_wire_ultra4(events: np.ndarray, capacity: int,
+                     keep_polarity: bool = False):
+    """2.5 bytes/event wire: uint16 ``(y << 8) | x`` + two 4-bit
+    per-event ts deltas per byte (little-endian nibbles) against the
+    previous event (the chunk's first event against a per-chunk int32
+    base, so its delta is 0).
+
+    Applicable when every coordinate fits 8 bits, timestamps are
+    non-decreasing within each chunk, and every within-chunk inter-event
+    gap is < 16 µs — the very-busy-stream regime (>~62.5k ev/s sustained
+    inside a chunk's span) that is exactly where the host->device link
+    binds and bytes/event set the pipe's ceiling.  The span gate of the
+    wider tiers holds automatically for ``capacity <= 4369`` (15 µs max
+    gap x capacity < 2**16) but is still checked, so the tuple always
+    converts exactly up the ladder.  Returns ``(yx u16 [T, E], d4 u8
+    [T, ceil(E/2)], base i32 [T], counts i32 [T])`` or ``None`` when the
+    stream does not fit — callers fall back to :func:`pack_wire_ultra`
+    (3 B/event).  ``capacity < 2`` also returns ``None``: there the d4
+    plane's width would equal the yx plane's and :func:`wire_format`
+    could not tell the tier from ultra.  Exact: the device expands the
+    nibbles and reconstructs ``ts = base + cumsum(d)`` in int32.
+
+    With ``keep_polarity`` the same bit-packed polarity plane as the
+    other sub-plain tiers is appended (``pol`` u8 ``[T, ceil(cap/8)]``).
+    """
+    if capacity < 2:
+        return None
+    n = events.shape[0]
+    t = max(1, -(-n // capacity))
+    pad = t * capacity - n
+    y = np.asarray(events[:, 0], np.int32)
+    x = np.asarray(events[:, 1], np.int32)
+    ts = validate_int32_ts(events[:, 2])
+    half = -(-capacity // 2)
+    pol_bytes = -(-capacity // 8)
+    if n == 0:
+        empty = (np.zeros((1, capacity), np.uint16),
+                 np.zeros((1, half), np.uint8),
+                 np.zeros(1, np.int32), np.zeros(1, np.int32))
+        return empty + ((np.zeros((1, pol_bytes), np.uint8),)
+                        if keep_polarity else ())
+    if y.min() < 0 or x.min() < 0 or y.max() >= 256 or x.max() >= 256:
+        return None
+    tsp = np.concatenate([ts, np.full(pad, ts[-1], np.int32)]).reshape(
+        t, capacity)
+    base = tsp[:, 0]
+    # int64 diffs: adversarial int32-spanning gaps must not wrap past
+    # the gates below (same guard as the wider packers)
+    d = np.diff(tsp.astype(np.int64), axis=1, prepend=base[:, None])
+    if d.min() < 0 or d.max() >= 16 or d.sum(axis=1).max() >= 2**16:
+        return None
+    d8 = d.astype(np.uint8)
+    if capacity % 2:
+        d8 = np.concatenate([d8, np.zeros((t, 1), np.uint8)], axis=1)
+    d4 = d8[:, 0::2] | (d8[:, 1::2] << 4)
+    yxp = np.concatenate(
+        [(y << 8) | x, np.zeros(pad, np.int32)]
+    ).reshape(t, capacity)
+    counts = np.full(t, capacity, np.int32)
+    counts[-1] = capacity - pad
+    out = (yxp.astype(np.uint16), d4, base.astype(np.int32), counts)
+    if keep_polarity:
+        p = _polarity_col(events)
+        bits = np.concatenate([p, np.zeros(pad, np.int32)]).reshape(
+            t, capacity).astype(bool)
+        out += (np.packbits(bits, axis=1, bitorder="little"),)
+    return out
+
+
 def wire_format(w) -> str:
     """Classify a wire tuple by shape+dtype sniffing — 'plain' (3 arrays),
-    'compact' (u16 second plane) or 'ultra' (u8 second plane).  The tier
-    ORDER matters to callers unifying mixed groups: ultra converts
-    exactly to compact, compact to plain (``WIRE_TIERS`` ranks them)."""
+    'compact' (u16 second plane), 'ultra' (u8 second plane, full width)
+    or 'ultra4' (u8 second plane at HALF the yx plane's width — two
+    4-bit deltas per byte; the packer refuses capacity < 2, where the
+    widths would coincide).  The tier ORDER matters to callers unifying
+    mixed groups: each tier converts exactly to the next
+    (``WIRE_TIERS`` ranks them)."""
     if len(w) == 3:
         return "plain"
-    return "compact" if w[1].dtype == np.uint16 else "ultra"
+    if w[1].dtype == np.uint16:
+        return "compact"
+    return "ultra4" if w[1].shape[-1] != w[0].shape[-1] else "ultra"
 
 
 #: tier name -> rank; higher rank = more general (unification target)
-WIRE_TIERS = {"ultra": 0, "compact": 1, "plain": 2}
+WIRE_TIERS = {"ultra4": 0, "ultra": 1, "compact": 2, "plain": 3}
 
 
 def wire_ultra_to_compact(w):
@@ -244,9 +323,25 @@ def wire_ultra_to_compact(w):
     return (yx16, dts.astype(np.uint16), base, counts) + tuple(w[4:])
 
 
+def wire_ultra4_to_ultra(w):
+    """Re-encode an ultra4 wire tuple as the ultra tier on the host —
+    exact (little-endian nibble expansion back to one u8 delta per
+    event; the polarity plane is shared verbatim)."""
+    yx16, d4, base, counts = w[:4]
+    cap = yx16.shape[-1]
+    lo = d4 & 0xF
+    hi = d4 >> 4
+    d8 = np.stack([lo, hi], axis=-1).reshape(*d4.shape[:-1], -1)[..., :cap]
+    return (yx16, np.ascontiguousarray(d8), base, counts) + tuple(w[4:])
+
+
 def wire_to_tier(w, tier: str):
     """Upconvert a wire tuple to ``tier`` (exact, host-side; a tuple
     already at or above the target is returned unchanged)."""
+    if WIRE_TIERS[wire_format(w)] >= WIRE_TIERS[tier]:
+        return w
+    if wire_format(w) == "ultra4":
+        w = wire_ultra4_to_ultra(w)
     if WIRE_TIERS[wire_format(w)] >= WIRE_TIERS[tier]:
         return w
     if wire_format(w) == "ultra":
@@ -311,6 +406,36 @@ def chunks_from_wire_ultra(yx, d8, base, counts, pol=None):
         ts=jnp.asarray(base, jnp.int32)[..., None] + dts,
         p=(jnp.zeros_like(yx) if pol is None
            else _unpack_polarity_plane(pol, yx.shape[-1])),
+        valid=valid,
+    )
+
+
+def chunks_from_wire_ultra4(yx, d4, base, counts, pol=None):
+    """Expand the ultra4 wire tuple into an EventChunk — inside jit.
+    Each d4 byte carries two little-endian 4-bit deltas; the expansion
+    is one static repeat + shift/mask (no gather, the polarity-plane
+    pattern), then ``ts = base + cumsum(d)`` in int32 (exact: the packer
+    bounds each chunk's span below 2**16, and the base rides the int32
+    contract).  ``pol`` is the optional bit-packed polarity plane."""
+    import jax
+    import jax.numpy as jnp
+
+    from async_ev_cnn_tpu.layers.types import EventChunk
+
+    yx = jnp.asarray(yx).astype(jnp.int32)
+    cap = yx.shape[-1]
+    valid = jax.lax.broadcasted_iota(jnp.int32, yx.shape, yx.ndim - 1) < (
+        jnp.asarray(counts, jnp.int32)[..., None]
+    )
+    b = jnp.repeat(jnp.asarray(d4).astype(jnp.int32), 2, axis=-1)[..., :cap]
+    nib = jax.lax.broadcasted_iota(jnp.int32, b.shape, b.ndim - 1) & 1
+    dts = jnp.cumsum((b >> (nib << 2)) & 0xF, axis=-1)
+    return EventChunk(
+        y=yx >> 8,
+        x=yx & 0xFF,
+        ts=jnp.asarray(base, jnp.int32)[..., None] + dts,
+        p=(jnp.zeros_like(yx) if pol is None
+           else _unpack_polarity_plane(pol, cap)),
         valid=valid,
     )
 

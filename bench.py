@@ -461,11 +461,12 @@ def bench_tpu_serving_saturation(params, layer_defs, events,
 def bench_sustained_pipeline(params, layer_defs, seconds=25,
                              files=24, chunks_per_dispatch=1000,
                              force_wire=None, max_in_flight=16,
-                             streams=1, window=T_PARALLEL):
+                             streams=1, window="t_parallel"):
     """Sustained FILE -> network pipeline: on-disk N-data tree -> native
     decode -> vectorized packing -> wire upload (utils/wire.py 'auto':
-    3 B/event ultra -> 4 B compact -> 8 B plain, the smallest tier the
-    stream fits) -> parallel-in-time network, for >= ``seconds`` of wall
+    2.5 B/event ultra4 -> 3 B ultra -> 4 B compact -> 8 B plain, the
+    smallest tier the stream fits) -> parallel-in-time network, for
+    >= ``seconds`` of wall
     time.  The reference's flagship loop is file->network in one process
     (/root/reference/src/libs/runner.py:49-103); the round-3 verdict
     flagged that ingest (56M ev/s native) and device serving (~4-5M ev/s)
@@ -527,10 +528,20 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
         # pass through to StreamingPipeline's VALIDATED wire argument —
         # a silent anything-else->'plain' mapping turned force_wire='auto'
         # (or a typo) into the 8 B wire, halving the link-bound leg.
-        # 'auto' negotiates per item (ultra -> compact -> plain) and the
+        # 'auto' negotiates per item (ultra4 -> ultra -> compact ->
+        # plain) and the
         # pipeline's era never drops below a dispatched tier, so no
         # first-file pre-check is needed.
         wire = "auto" if force_wire is None else force_wire
+        # late-bound default (module constant may be monkeypatched in the
+        # toy-scale smoke tests).  window=200 over 1000-chunk dispatches
+        # is the measured winner on the tunneled chip: the ultra-tier pipe
+        # is link-bound and the un-windowed program achieves a LOWER link
+        # rate (examples/pipe_window_probe.py, 2026-08-19 negative) —
+        # window=None applies on co-located deployments where the device
+        # side binds (the T-scaling curve, docs/performance.md).
+        if window == "t_parallel":
+            window = T_PARALLEL
         pipe = StreamingPipeline(net, params, capacity=CAPACITY,
                                  window=window, streams=streams,
                                  max_in_flight=max_in_flight, wire=wire)

@@ -65,11 +65,13 @@ def test_bench_functions_smoke(bench_mod):
 
 
 @pytest.mark.parametrize("streams", [1, 2])
-@pytest.mark.parametrize("wire", ["ultra", "compact", "plain"])
+@pytest.mark.parametrize("wire", ["ultra4", "ultra", "compact", "plain"])
 def test_bench_sustained_pipeline_smoke(bench_mod, monkeypatch, streams, wire):
     """The sustained file->device pipeline must run end-to-end at toy
-    scale on CPU, for both wire formats and both the single-stream and
-    the vmapped multi-stream (serving-shape) dispatch."""
+    scale on CPU, for every wire tier (the synthetic clustered stream's
+    1-14 µs gaps fit even the 2.5 B ultra4 gate) and both the
+    single-stream and the vmapped multi-stream (serving-shape)
+    dispatch."""
     from async_ev_cnn_tpu.utils.config import layers_dict
 
     monkeypatch.setattr(bench_mod, "T_PARALLEL", 4)

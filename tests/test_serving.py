@@ -181,15 +181,17 @@ def test_pipeline_wire_format_switch_is_monotone(rng):
     """Single stream: once one dispatch has gone plain, later
     lower-tier-able dispatches convert too (at most one compiled program
     per tier era instead of per-item format flip-flop), all exact."""
+    from async_ev_cnn_tpu.utils.wire import WIRE_TIERS
+
     net = _net()
     params = _params(layers_dict(DSL), rng)
     items = [_stream(rng, CAP) for _ in range(3)]
     items[1][:, 2] = np.arange(CAP, dtype=np.int32) * 70000  # overflows
     want = _oracle(net, params, items)
     pipe = StreamingPipeline(net, params, capacity=CAP)
-    assert pipe._era == 0
+    assert pipe._era == WIRE_TIERS["ultra4"]
     got = list(pipe.serve(list(items)))
-    assert pipe._era == 2
+    assert pipe._era == WIRE_TIERS["plain"]
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g.outputs), w,
                                    rtol=0, atol=1e-6)
@@ -197,15 +199,20 @@ def test_pipeline_wire_format_switch_is_monotone(rng):
 
 def test_pipeline_wire_tier_ladder_is_exact(rng):
     """auto walks the tier ladder as the stream's statistics degrade —
-    3 B ultra (small gaps) -> 4 B compact (one 300 µs gap) -> 8 B plain
-    (chunk span past u16) — never dropping back, with every dispatch
-    exact vs the direct scan_parallel chain and the wire bytes shrinking
-    monotonically with the tier."""
+    2.5 B ultra4 (gaps < 16 µs) -> 3 B ultra (one 16-255 µs gap) ->
+    4 B compact (one 300 µs gap) -> 8 B plain (chunk span past u16) —
+    never dropping back, with every dispatch exact vs the direct
+    scan_parallel chain and the wire bytes shrinking monotonically with
+    the tier."""
+    from async_ev_cnn_tpu.utils.wire import WIRE_TIERS
+
     net = _net()
     params = _params(layers_dict(DSL), rng)
-    items = [_stream(rng, CAP) for _ in range(5)]
-    items[1][CAP // 2:, 2] += 300        # mid-chunk gap >= 256 µs
-    items[3][:, 2] = np.arange(CAP, dtype=np.int32) * 70000  # span > u16
+    items = [_stream(rng, CAP) for _ in range(6)]
+    items[0][:, 2] = np.cumsum(rng.randint(1, 16, CAP))   # ultra4 fits
+    items[1][CAP // 2:, 2] += 100        # mid-chunk gap in [16, 256)
+    items[2][CAP // 2:, 2] += 300        # mid-chunk gap >= 256 µs
+    items[4][:, 2] = np.arange(CAP, dtype=np.int32) * 70000  # span > u16
     want = _oracle(net, params, items)
     # max_in_flight=1 yields each dispatch immediately, so the era is
     # observable per dispatch instead of only after the drain
@@ -216,12 +223,15 @@ def test_pipeline_wire_tier_ladder_is_exact(rng):
                                    rtol=0, atol=1e-6)
         eras.append(pipe._era)
     assert eras == sorted(eras), "tier era regressed mid-stream"
-    assert pipe._era == 2
-    # per-event cost of each tier: the first dispatch rode ultra
-    first = StreamingPipeline(net, params, capacity=CAP)
+    assert eras[0] == WIRE_TIERS["ultra4"]
+    assert WIRE_TIERS["ultra"] in eras and WIRE_TIERS["compact"] in eras
+    assert pipe._era == WIRE_TIERS["plain"]
+    # per-event cost of the smallest tier: the first dispatch rode
+    # ultra4 at 2.5 B/event
+    first = StreamingPipeline(net, params, capacity=CAP, max_in_flight=1)
     list(first.serve([items[0]]))
-    assert first._era == 0
-    assert first.stats["wire_bytes"] <= CAP * 3 + 8
+    assert first._era == WIRE_TIERS["ultra4"]
+    assert first.stats["wire_bytes"] <= CAP * 2.5 + 8
 
 
 def test_pipeline_ultra_strict_raises_when_unfit(rng):
@@ -587,20 +597,29 @@ def test_pack_respects_era_floor(rng):
     """Once serve() has promoted the tier era, pack() (and prepare())
     emit at the era's tier directly instead of packing low and paying
     the upconversion in the serial dispatch loop on every later item."""
-    from async_ev_cnn_tpu.utils.wire import wire_format
+    from async_ev_cnn_tpu.utils.wire import WIRE_TIERS, wire_format
 
     net = _net()
     params = _params(layers_dict(DSL), rng)
     pipe = StreamingPipeline(net, params, capacity=CAP)
+    fits_ultra4 = _stream(rng, CAP)
+    fits_ultra4[:, 2] = np.cumsum(rng.randint(1, 16, CAP))  # gaps < 16
+    assert wire_format(pipe.pack(fits_ultra4)) == "ultra4"
     fits_ultra = _stream(rng, CAP)
+    fits_ultra[CAP // 2:, 2] += 100  # one gap in [16, 256): ultra exactly
     assert wire_format(pipe.pack(fits_ultra)) == "ultra"
     overflowing = _stream(rng, CAP)
     overflowing[:, 2] = np.arange(CAP, dtype=np.int32) * 70000
     list(pipe.serve([overflowing]))  # promotes the era to plain
-    assert pipe._era == 2
+    assert pipe._era == WIRE_TIERS["plain"]
     assert wire_format(pipe.pack(fits_ultra)) == "plain"
     assert wire_format(pipe.prepare(fits_ultra).wire) == "plain"
     # pinned tiers ignore the era bookkeeping entirely
     pinned = StreamingPipeline(net, params, capacity=CAP, wire="ultra")
-    pinned._era = 2
+    pinned._era = WIRE_TIERS["plain"]
     assert wire_format(pinned.pack(fits_ultra)) == "ultra"
+    pinned4 = StreamingPipeline(net, params, capacity=CAP, wire="ultra4")
+    pinned4._era = WIRE_TIERS["plain"]
+    assert wire_format(pinned4.pack(fits_ultra4)) == "ultra4"
+    with pytest.raises(ValueError, match="ultra4"):
+        pinned4.pack(fits_ultra)

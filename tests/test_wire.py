@@ -342,28 +342,156 @@ def test_wire_ultra_rejects_invalid_timestamps(rng):
         pack_wire_ultra(big, 8)
 
 
+def test_wire_ultra4_roundtrip(rng):
+    """The 2.5 B/event ultra4 tier (two 4-bit ts deltas per byte +
+    in-jit nibble expansion) round-trips exactly vs pack_chunks, for
+    even and odd capacities and with leading batch axes."""
+    from async_ev_cnn_tpu.utils.wire import (
+        chunks_from_wire_ultra4,
+        pack_wire_ultra4,
+        wire_format,
+    )
+
+    def busy(n):
+        ev = _stream(rng, n)
+        if n:
+            ev[:, 2] = np.cumsum(rng.randint(1, 16, n)).astype(np.int32)
+        return ev
+
+    for n, cap in ((0, 256), (1, 256), (255, 256), (256, 256),
+                   (1000, 256), (100, 33)):
+        events = busy(n)
+        ref = pack_chunks(events, cap)
+        wire = pack_wire_ultra4(events, cap)
+        assert wire is not None
+        yx, d4, base, counts = wire
+        assert yx.dtype == np.uint16 and d4.dtype == np.uint8
+        assert d4.shape[-1] == -(-cap // 2)
+        assert wire_format(wire) == "ultra4"
+        # 2.5 B/event + per-chunk overhead
+        assert yx.nbytes + d4.nbytes <= max(n, 1) * 2.5 + cap * 2.5 + 1
+        got = jax.jit(chunks_from_wire_ultra4)(yx, d4, base, counts)
+        valid = np.asarray(ref.valid)
+        np.testing.assert_array_equal(np.asarray(got.valid), valid)
+        for a, b in ((got.y, ref.y), (got.x, ref.x), (got.ts, ref.ts)):
+            np.testing.assert_array_equal(
+                np.asarray(a)[valid], np.asarray(b)[valid]
+            )
+    # leading batch axis (stacked streams) unpacks unchanged
+    events = busy(512)
+    w = pack_wire_ultra4(events, 256)
+    ref = pack_chunks(events, 256)
+    got = jax.jit(chunks_from_wire_ultra4)(
+        *(jnp.stack([a, a]) for a in w))
+    for i in range(2):
+        np.testing.assert_array_equal(np.asarray(got.ts[i]),
+                                      np.asarray(ref.ts))
+        np.testing.assert_array_equal(np.asarray(got.valid[i]),
+                                      np.asarray(ref.valid))
+
+
+def test_wire_ultra4_fallback(rng):
+    """Streams that don't fit the ultra4 tier return None: coords >=
+    256, a within-chunk inter-event gap >= 16 µs, non-monotone
+    within-chunk ts, or capacity < 2 (where the d4 plane's width would
+    collide with the yx plane's and wire_format could not classify)."""
+    from async_ev_cnn_tpu.utils.wire import pack_wire_ultra4
+
+    def busy(n):
+        ev = _stream(rng, n)
+        ev[:, 2] = np.cumsum(rng.randint(1, 16, n)).astype(np.int32)
+        return ev
+
+    assert pack_wire_ultra4(_stream(rng, 100, h=300, w=224), 64) is None
+    gap = busy(100)
+    gap[50:, 2] += 16  # one 16 µs-plus inter-event gap mid-chunk
+    assert pack_wire_ultra4(gap, 64) is None
+    assert pack_wire_ultra4(gap, 64 - 14) is not None  # gap on a boundary
+    unsorted = busy(100)
+    unsorted[[10, 11], 2] = unsorted[[11, 10], 2]
+    assert pack_wire_ultra4(unsorted, 64) is None
+    assert pack_wire_ultra4(busy(10), 1) is None
+    # ts contract enforced like every other tier
+    neg = np.stack([np.arange(4)] * 2 + [np.array([-5, 1, 2, 3])], axis=-1)
+    big = np.stack([np.arange(4)] * 2
+                   + [np.array([0, 1, 2, 2**31], np.int64)], axis=-1)
+    with pytest.raises(ValueError, match="negative timestamp"):
+        pack_wire_ultra4(neg, 8)
+    with pytest.raises(ValueError, match="int32"):
+        pack_wire_ultra4(big, 8)
+
+
+def test_wire_ultra4_tier_ladder(rng):
+    """wire_to_tier walks ultra4 up the whole ladder exactly, and the
+    polarity plane rides every conversion."""
+    from async_ev_cnn_tpu.utils.wire import (
+        WIRE_TIERS,
+        chunks_from_wire,
+        chunks_from_wire_compact,
+        chunks_from_wire_ultra,
+        chunks_from_wire_ultra4,
+        pack_wire_ultra4,
+        wire_format,
+        wire_to_tier,
+    )
+
+    assert (WIRE_TIERS["ultra4"] < WIRE_TIERS["ultra"]
+            < WIRE_TIERS["compact"] < WIRE_TIERS["plain"])
+    for n, cap in ((500, 64), (37, 33), (0, 16)):
+        y = rng.randint(0, 256, n).astype(np.int64)
+        x = rng.randint(0, 256, n).astype(np.int64)
+        ts = np.cumsum(rng.randint(0, 16, n)).astype(np.int64)
+        p = rng.randint(0, 2, n).astype(np.int64)
+        events = np.stack([y, x, ts, p], axis=-1).reshape(n, 4)
+        w25 = pack_wire_ultra4(events, cap, keep_polarity=True)
+        assert w25 is not None and wire_format(w25) == "ultra4"
+        w3 = wire_to_tier(w25, "ultra")
+        w4 = wire_to_tier(w25, "compact")
+        w8 = wire_to_tier(w25, "plain")
+        assert wire_format(w3) == "ultra" and wire_format(w4) == "compact"
+        assert wire_format(w8) == "plain"
+        assert wire_to_tier(w25, "ultra4") is w25
+        a = jax.jit(chunks_from_wire_ultra4)(*w25)
+        b = jax.jit(chunks_from_wire_ultra)(*w3)
+        c = jax.jit(chunks_from_wire_compact)(*w4)
+        d = jax.jit(lambda *args: chunks_from_wire(*args, polarity=True))(
+            *w8)
+        for other in (b, c, d):
+            for f in ("y", "x", "ts", "p", "valid"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a, f)), np.asarray(getattr(other, f)))
+        if n:
+            valid = np.asarray(a.valid).reshape(-1)
+            assert valid.sum() == n
+            np.testing.assert_array_equal(
+                np.asarray(a.p).reshape(-1)[valid.astype(bool)], p)
+
+
 def test_wire_tier_differential_fuzz(rng):
     """Randomized differential: for random streams and capacities, every
     tier that accepts the stream must unpack to exactly pack_chunks'
-    planes, and the auto ladder (ultra -> compact -> plain) must accept
-    every stream at some tier."""
+    planes, and the auto ladder (ultra4 -> ultra -> compact -> plain)
+    must accept every stream at some tier."""
     from async_ev_cnn_tpu.utils.wire import (
         chunks_from_wire,
         chunks_from_wire_compact,
         chunks_from_wire_ultra,
+        chunks_from_wire_ultra4,
         pack_wire,
         pack_wire_compact,
         pack_wire_ultra,
+        pack_wire_ultra4,
     )
 
     unpack_plain = jax.jit(chunks_from_wire)
     unpack_compact = jax.jit(chunks_from_wire_compact)
     unpack_ultra = jax.jit(chunks_from_wire_ultra)
+    unpack_ultra4 = jax.jit(chunks_from_wire_ultra4)
     for trial in range(25):
         n = int(rng.randint(0, 400))
         cap = int(rng.choice([8, 32, 64, 256]))
         h = int(rng.choice([64, 256, 1024]))
-        # delta scale sweeps across the tier gates (u8 / u16 / beyond)
+        # delta scale sweeps across the tier gates (u4 / u8 / u16 / beyond)
         scale = int(rng.choice([3, 200, 5000, 200000]))
         y = rng.randint(0, h, n).astype(np.int64)
         x = rng.randint(0, h, n).astype(np.int64)
@@ -376,7 +504,8 @@ def test_wire_tier_differential_fuzz(rng):
         ref = pack_chunks(events, cap)
         valid = np.asarray(ref.valid)
         accepted = 0
-        for packer, unpacker in ((pack_wire_ultra, unpack_ultra),
+        for packer, unpacker in ((pack_wire_ultra4, unpack_ultra4),
+                                 (pack_wire_ultra, unpack_ultra),
                                  (pack_wire_compact, unpack_compact),
                                  (pack_wire, unpack_plain)):
             try:
