@@ -865,9 +865,9 @@ def main():
             round(pipeline[1], 1) if pipeline else None,
         "sustained_pipeline_wire_MBps":
             round(pipeline[2], 2) if pipeline else None,
-        # negotiated wire tier, as bytes/event (3 = ultra, 4 = compact,
-        # 8 = plain, + ~0.03 chunk overhead) — the link-bound leg's
-        # throughput is this times the link rate
+        # negotiated wire tier, as bytes/event (2.5 = ultra4, 3 = ultra,
+        # 4 = compact, 8 = plain, + ~0.03 chunk overhead) — the
+        # link-bound leg's throughput is this times the link rate
         "sustained_pipeline_wire_B_per_event":
             round(pipeline[2] * 1e6 / pipeline[0], 2)
             if pipeline and pipeline[0] else None,
