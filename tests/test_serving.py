@@ -60,13 +60,17 @@ def _oracle(net, params, items):
     return outs
 
 
-@pytest.mark.parametrize("wire", ["auto", "ultra", "compact", "plain"])
+@pytest.mark.parametrize("wire",
+                         ["auto", "ultra4", "ultra", "compact", "plain"])
 @pytest.mark.parametrize("max_in_flight", [1, 3])
 def test_pipeline_matches_scan_parallel(rng, wire, max_in_flight):
     net = _net()
     params = _params(layers_dict(DSL), rng)
     # contiguous stream split into 6 dispatch items, 2 chunks each
     items = [_stream(rng, 2 * CAP) for _ in range(6)]
+    if wire == "ultra4":  # the pinned 2.5 B tier needs gaps < 16 µs
+        for ev in items:
+            ev[:, 2] = np.cumsum(rng.randint(1, 16, 2 * CAP))
     # keep timestamps monotone across items (one stream)
     t0 = 0
     for ev in items:
@@ -156,6 +160,27 @@ def test_pipeline_mixed_wire_group_falls_back(rng):
     outs = np.asarray(got[0].outputs)
     np.testing.assert_allclose(outs[0], want_a, rtol=0, atol=1e-6)
     np.testing.assert_allclose(outs[1], want_b, rtol=0, atol=1e-6)
+
+
+def test_pipeline_multistream_ultra4_exact(rng):
+    """streams=2 where both items fit the 2.5 B ultra4 tier: the stacked
+    [S, T, ceil(E/2)] nibble plane classifies and unpacks correctly and
+    every stream matches its independent chain; the dispatch's wire
+    bytes reflect the tier."""
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    a, b = _stream(rng, CAP), _stream(rng, CAP)
+    a[:, 2] = np.cumsum(rng.randint(1, 16, CAP))
+    b[:, 2] = np.cumsum(rng.randint(1, 16, CAP))
+    want_a, = _oracle(net, params, [a])
+    want_b, = _oracle(net, params, [b])
+    pipe = StreamingPipeline(net, params, capacity=CAP, streams=2)
+    got = list(pipe.serve([a, b]))
+    outs = np.asarray(got[0].outputs)
+    np.testing.assert_allclose(outs[0], want_a, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(outs[1], want_b, rtol=0, atol=1e-6)
+    # 2 streams x (CAP*2.5 B planes + 8 B base/counts)
+    assert pipe.stats["wire_bytes"] <= 2 * (CAP * 2.5 + 8)
 
 
 def test_pipeline_prepacked_mixed_group_unifies(rng):
