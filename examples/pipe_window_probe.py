@@ -36,6 +36,16 @@ stays ``window=200``.  Side finding: the same-day full-protocol run
 measured the pipe at 10.7-11.8M ev/s (32-36 MB/s link weather) — the
 ultra-wire pipe tracks the link rate, not a ~7.4M device ceiling as
 the round-5 ultra A/B (weak-link morning) had suggested.
+
+ULTRA4 RE-PROBE (2026-08-19 01:22, ad-hoc run of the same protocol
+with windows {200, 500, 1000} once `wire='auto'` negotiated the
+2.5 B/event ultra4 tier): W=200 11.09/11.61M, W=500 11.42/10.49M,
+W=1000 11.60/7.54M (weather degraded through rep 2) — medians
+11.35/10.96/9.57M, every leg at link_MBps/2.53.  Same conclusion at
+the thinner tier: the pipe is link-bound, W=200 stands, larger
+windows only add variance.  docs/performance.md "Ultra4 wire tier"
+has the write-up and the entropy-floor analysis that closes the wire
+chapter.
 """
 import json
 import sys
