@@ -690,7 +690,13 @@ def main():
     set_matmul_precision(HEADLINE_PRECISION)
 
     # CPU comparators first — they need no accelerator and must survive
-    # a degraded (outage) run so the JSON still carries the baselines
+    # a degraded (outage) run so the JSON still carries the baselines.
+    # Record the host load alongside: best-of-3 shields against a
+    # transient spike, but a SUSTAINED co-running load depresses all
+    # reps and silently inflates vs_baseline (observed 2026-08-19: a
+    # concurrent test suite halved the stand-in to 1.3k ev/s) — the
+    # load figure lets a reader tell a polluted draw from an idle one.
+    baseline_load = round(os.getloadavg()[0] / (os.cpu_count() or 1), 2)
     cpu_eps, cpu_dt = bench_cpu_dense_proxy(params, layer_defs, events)
     cpu_async_eps = bench_cpu_async_baseline(params, layer_defs, events)
 
@@ -712,6 +718,7 @@ def main():
             "reason": reason or "headline leg failed after backend retries",
             "wait_budget_s": BENCH_MAX_WAIT_S,
             "baseline_is_standin": True,
+            "baseline_host_load_per_cpu": baseline_load,
             "baseline_cpu_async_events_per_sec": round(cpu_async_eps, 1),
             "baseline_cpu_dense_numpy_events_per_sec": round(cpu_eps, 1),
             "config": "efcn_event (160x224, leak 5e-5, capacity-256-packed "
@@ -882,6 +889,7 @@ def main():
         "sustained_pipeline_4stream_events_per_sec":
             round(pipeline4[0], 1) if pipeline4 else None,
         "baseline_is_standin": True,
+        "baseline_host_load_per_cpu": baseline_load,
         "baseline_cpu_async_events_per_sec": round(cpu_async_eps, 1),
         "baseline_cpu_dense_numpy_events_per_sec": round(cpu_eps, 1),
         "vs_cpu_dense": round(tpu_eps / cpu_eps, 2),

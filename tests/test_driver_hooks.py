@@ -287,3 +287,5 @@ def test_main_degraded_emits_valid_json(bench_mod, monkeypatch, capsys):
     assert payload["value"] == 0.0
     assert "UNAVAILABLE" in payload["reason"]
     assert payload["baseline_cpu_async_events_per_sec"] == 500.0
+    # the load figure that flags a polluted (co-loaded) baseline draw
+    assert payload["baseline_host_load_per_cpu"] >= 0.0
