@@ -34,7 +34,14 @@ def _eval_transform(l, x, y, ts, p, bboxes, args):
             (args.example_h, args.example_w), (args.frame_h, args.frame_w),
         )
     events = np.stack([y, x, ts], axis=-1)
-    return l, events, np.asarray(bboxes, np.float32)
+    bboxes = np.asarray(bboxes, np.float32)
+    if len(bboxes):
+        # center_crop zeroes w/h of boxes whose center leaves the crop
+        # window; a zero-area ground truth can never be matched (IoU 0)
+        # and would permanently deflate recall/mAP — drop it here, like
+        # scripts/train.build_targets drops w/h <= 0 rows
+        bboxes = bboxes[(bboxes[:, 2] > 0) & (bboxes[:, 3] > 0)]
+    return l, events, bboxes
 
 
 def main(argv=None):

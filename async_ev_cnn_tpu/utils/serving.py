@@ -59,6 +59,11 @@ class PreparedItem(NamedTuple):
 
     wire: tuple
     deltas: np.ndarray  # int32 [2] prev_ts shift halves (zeros: no rebase)
+    #: wall-clock of :meth:`~StreamingPipeline.prepare` — the item's
+    #: events exist (packed, queued) from this moment, so event-age
+    #: staleness counts producer-queue residency from here.  ``None``
+    #: (hand-built items) falls back to the serve-loop pop time.
+    t_created: float | None = None
 
 
 class DispatchResult(NamedTuple):
@@ -289,7 +294,11 @@ class StreamingPipeline:
         ``dispatch_latency_ms``: enqueue -> proven-retired wall time per
         dispatch.  ``event_age_ms``: source-item arrival -> proven-retired
         (staleness of the dispatch's events: host pack + queueing +
-        device time).  Both are UPPER bounds — retirement is proven only
+        device time).  "Arrival" is the serve loop's pop for raw/wire
+        items and the :meth:`prepare` call for PreparedItems (whose
+        producer-queue residency is genuine staleness; the dispatch is
+        aged from its OLDEST item).  Both are UPPER bounds — retirement
+        is proven only
         at the watermark fetches (one per ``max_in_flight/2`` dispatches,
         the engine's backpressure design), so a dispatch that retired
         earlier is credited the fetch time.  Quantiles over the last
@@ -457,7 +466,7 @@ class StreamingPipeline:
         streams — satisfies this."""
         deltas = np.zeros(2, np.int32)
         ev = self._rebase_stream(np.asarray(events), stream, deltas)
-        return PreparedItem(self.pack(ev, t_chunks), deltas)
+        return PreparedItem(self.pack(ev, t_chunks), deltas, time.time())
 
     def serve(self, source: Iterable) -> Iterator[DispatchResult]:
         """Drive the pipeline over ``source`` — an iterable of host
@@ -508,8 +517,14 @@ class StreamingPipeline:
             # arrival is stamped AFTER the blocking next(it) calls: a
             # slow/sparse producer's idle time is not event staleness
             # (latency_stats' event_age measures pack+queue+device time
-            # of events that exist, not waiting-for-source time)
+            # of events that exist, not waiting-for-source time).  A
+            # PreparedItem's events DO exist from its prepare() call, so
+            # its producer-queue residency is genuine staleness — the
+            # dispatch's age baseline is the OLDEST such item.
             t_arrival = time.time()
+            for ev in group:
+                if isinstance(ev, PreparedItem) and ev.t_created is not None:
+                    t_arrival = min(t_arrival, ev.t_created)
             deltas = np.zeros((2, self._streams), np.int32)
             wires = []
             for i, ev in enumerate(group):

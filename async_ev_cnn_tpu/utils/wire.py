@@ -27,7 +27,10 @@ allow and falling back to the next (``StreamingPipeline(wire='auto')``):
   serving regime: count-packed chunks at >= ~4k ev/s/chunk-span);
 * **compact** (4 B/event): u16 yx + u16 ts deltas against a per-chunk
   base — gaps up to 65.5 ms;
-* **plain** (8 B/event): the int32 pair above — any coords, any int32 ts.
+* **plain** (8 B/event): the int32 pair above — any coords; ts must be
+  non-negative int32 µs (every tier validates the ingestion contract —
+  a negative or wrapped ts would silently corrupt the event-scatter
+  engine's dt payload downstream, so the packers fail loudly instead).
 
 ``pack_wire`` builds it on the host (vectorized numpy, no per-event
 loop); ``chunks_from_wire`` unpacks INSIDE jit on the device (three

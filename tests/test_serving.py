@@ -534,6 +534,32 @@ def test_pipeline_latency_stats(rng):
     assert age["p50"] >= lat["p50"]
 
 
+def test_prepared_item_age_counts_queue_residency(rng):
+    """A PreparedItem's events exist from prepare() — event_age must
+    count the producer-queue residency between prepare and serve, not
+    restart at the serve loop's pop (which collapses the stat to
+    ~dispatch latency for the recommended prepared-source shape)."""
+    import time as _time
+
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    pipe = StreamingPipeline(net, params, capacity=CAP)
+    ev = _stream(rng, CAP)
+    item = pipe.prepare(ev)
+    assert item.t_created is not None
+    _time.sleep(0.2)  # queue residency the age stat must not lose
+    list(pipe.serve([item]))
+    stats = pipe.latency_stats()
+    age = stats["event_age_ms"]["p50"]
+    lat = stats["dispatch_latency_ms"]["p50"]
+    assert age >= lat + 150  # the 200 ms residency shows up in age
+    # hand-built items without a timestamp keep the pop-time fallback
+    from async_ev_cnn_tpu.utils.serving import PreparedItem
+
+    bare = PreparedItem(item.wire, item.deltas)
+    assert bare.t_created is None
+
+
 def test_dispatch_result_counts_mark_padding(rng):
     """DispatchResult.counts exposes per-chunk valid-event counts so
     consumers can skip exact-no-op padding chunks (t_chunks padding used

@@ -93,3 +93,29 @@ def test_center_crop_drops_fully_cropped_out_boxes(rng):
     assert bb[0, 2] == 0 and bb[0, 3] == 0, "cropped-out box must zero w/h"
     assert bb[1, 2] > 0 and bb[1, 3] > 0
     assert 0 <= bb[1, 0] <= 1 and 0 <= bb[1, 1] <= 1
+
+
+def test_eval_transform_drops_zero_area_ground_truth():
+    """scripts/evaluate drops w/h<=0 rows after the crop: a zero-area
+    ground truth can never be matched (IoU 0) and would permanently
+    deflate recall/mAP for its class."""
+    from types import SimpleNamespace
+
+    from async_ev_cnn_tpu.scripts.evaluate import _eval_transform
+
+    rng = np.random.RandomState(0)
+    old_h = old_w = 40
+    args = SimpleNamespace(example_h=old_h, example_w=old_w,
+                           frame_h=10, frame_w=10)
+    n = 500
+    x = rng.randint(0, old_w, n).astype(np.int32)
+    y = rng.randint(0, old_h, n).astype(np.int32)
+    ts = np.sort(rng.randint(0, 1000, n)).astype(np.int32)
+    p = np.zeros(n, np.int32)
+    bboxes = np.array([
+        [2 / old_w, 2 / old_h, 8 / old_w, 8 / old_h, 0.0],  # cropped out
+        [0.5, 0.5, 8 / old_w, 8 / old_h, 1.0],              # survives
+    ], np.float32)
+    _, _, bb = _eval_transform(n, x, y, ts, p, bboxes, args)
+    assert bb.shape[0] == 1, "zero-area GT row must be dropped"
+    assert bb[0, 4] == 1.0 and bb[0, 2] > 0 and bb[0, 3] > 0
