@@ -112,6 +112,50 @@ def pack_wire(events: np.ndarray, capacity: int, keep_polarity: bool = False):
     return yx.reshape(t, capacity), tsp.reshape(t, capacity), counts
 
 
+def _pack_subplain(events, capacity, keep_polarity, ts_encoder,
+                   empty_ts_plane):
+    """Shared scaffolding of the three sub-plain packers (compact /
+    ultra / ultra4): empty-stream tuple, the <256 coordinate gate, the
+    padded ``[T, E]`` ts matrix, counts, and the optional bit-packed
+    polarity plane.  Only the ts-delta encoding differs per tier —
+    ``ts_encoder(tsp) -> (ts_plane, base) | None`` (None: stream does
+    not fit the tier; the int64 wrap guards live in the encoders) and
+    ``empty_ts_plane`` the tier's ``[1, w]`` zero plane for ``n == 0``.
+    A change to the shared parts lands in every tier at once."""
+    n = events.shape[0]
+    t = max(1, -(-n // capacity))
+    pad = t * capacity - n
+    y = np.asarray(events[:, 0], np.int32)
+    x = np.asarray(events[:, 1], np.int32)
+    ts = validate_int32_ts(events[:, 2])
+    pol_bytes = -(-capacity // 8)
+    if n == 0:
+        empty = (np.zeros((1, capacity), np.uint16), empty_ts_plane,
+                 np.zeros(1, np.int32), np.zeros(1, np.int32))
+        return empty + ((np.zeros((1, pol_bytes), np.uint8),)
+                        if keep_polarity else ())
+    if y.min() < 0 or x.min() < 0 or y.max() >= 256 or x.max() >= 256:
+        return None
+    tsp = np.concatenate([ts, np.full(pad, ts[-1], np.int32)]).reshape(
+        t, capacity)
+    enc = ts_encoder(tsp)
+    if enc is None:
+        return None
+    ts_plane, base = enc
+    yxp = np.concatenate(
+        [(y << 8) | x, np.zeros(pad, np.int32)]
+    ).reshape(t, capacity)
+    counts = np.full(t, capacity, np.int32)
+    counts[-1] = capacity - pad
+    out = (yxp.astype(np.uint16), ts_plane, base.astype(np.int32), counts)
+    if keep_polarity:
+        p = _polarity_col(events)
+        bits = np.concatenate([p, np.zeros(pad, np.int32)]).reshape(
+            t, capacity).astype(bool)
+        out += (np.packbits(bits, axis=1, bitorder="little"),)
+    return out
+
+
 def pack_wire_compact(events: np.ndarray, capacity: int,
                       keep_polarity: bool = False):
     """4 bytes/event wire: uint16 ``(y << 8) | x`` + uint16 ts deltas
@@ -132,42 +176,17 @@ def pack_wire_compact(events: np.ndarray, capacity: int,
     plane (1 bit/event) — unpack with :func:`chunks_from_wire_compact`'s
     five-argument form.
     """
-    n = events.shape[0]
-    t = max(1, -(-n // capacity))
-    pad = t * capacity - n
-    y = np.asarray(events[:, 0], np.int32)
-    x = np.asarray(events[:, 1], np.int32)
-    ts = validate_int32_ts(events[:, 2])
-    pol_bytes = -(-capacity // 8)
-    if n == 0:
-        empty = (np.zeros((1, capacity), np.uint16),
-                 np.zeros((1, capacity), np.uint16),
-                 np.zeros(1, np.int32), np.zeros(1, np.int32))
-        return empty + ((np.zeros((1, pol_bytes), np.uint8),)
-                        if keep_polarity else ())
-    if y.min() < 0 or x.min() < 0 or y.max() >= 256 or x.max() >= 256:
-        return None
-    tsp = np.concatenate([ts, np.full(pad, ts[-1], np.int32)]).reshape(
-        t, capacity)
-    base = tsp.min(axis=1)
-    # int64 diff: an int32 subtraction could wrap for adversarial spans
-    # (> 2**31) and sneak past the gate below
-    dts = tsp.astype(np.int64) - base[:, None]
-    if dts.max() >= 2**16:
-        return None
-    yxp = np.concatenate(
-        [(y << 8) | x, np.zeros(pad, np.int32)]
-    ).reshape(t, capacity)
-    counts = np.full(t, capacity, np.int32)
-    counts[-1] = capacity - pad
-    out = (yxp.astype(np.uint16), dts.astype(np.uint16),
-           base.astype(np.int32), counts)
-    if keep_polarity:
-        p = _polarity_col(events)
-        bits = np.concatenate([p, np.zeros(pad, np.int32)]).reshape(
-            t, capacity).astype(bool)
-        out += (np.packbits(bits, axis=1, bitorder="little"),)
-    return out
+    def encode(tsp):
+        base = tsp.min(axis=1)
+        # int64 diff: an int32 subtraction could wrap for adversarial
+        # spans (> 2**31) and sneak past the gate below
+        dts = tsp.astype(np.int64) - base[:, None]
+        if dts.max() >= 2**16:
+            return None
+        return dts.astype(np.uint16), base
+
+    return _pack_subplain(events, capacity, keep_polarity, encode,
+                          np.zeros((1, capacity), np.uint16))
 
 
 def pack_wire_ultra(events: np.ndarray, capacity: int,
@@ -191,42 +210,17 @@ def pack_wire_ultra(events: np.ndarray, capacity: int,
     With ``keep_polarity`` the same bit-packed polarity plane as the
     compact tier is appended (``pol`` uint8 ``[T, ceil(capacity/8)]``).
     """
-    n = events.shape[0]
-    t = max(1, -(-n // capacity))
-    pad = t * capacity - n
-    y = np.asarray(events[:, 0], np.int32)
-    x = np.asarray(events[:, 1], np.int32)
-    ts = validate_int32_ts(events[:, 2])
-    pol_bytes = -(-capacity // 8)
-    if n == 0:
-        empty = (np.zeros((1, capacity), np.uint16),
-                 np.zeros((1, capacity), np.uint8),
-                 np.zeros(1, np.int32), np.zeros(1, np.int32))
-        return empty + ((np.zeros((1, pol_bytes), np.uint8),)
-                        if keep_polarity else ())
-    if y.min() < 0 or x.min() < 0 or y.max() >= 256 or x.max() >= 256:
-        return None
-    tsp = np.concatenate([ts, np.full(pad, ts[-1], np.int32)]).reshape(
-        t, capacity)
-    base = tsp[:, 0]
-    # int64 diffs: adversarial int32-spanning gaps must not wrap past
-    # the gates below (same guard as the compact packer)
-    d = np.diff(tsp.astype(np.int64), axis=1, prepend=base[:, None])
-    if d.min() < 0 or d.max() >= 256 or d.sum(axis=1).max() >= 2**16:
-        return None
-    yxp = np.concatenate(
-        [(y << 8) | x, np.zeros(pad, np.int32)]
-    ).reshape(t, capacity)
-    counts = np.full(t, capacity, np.int32)
-    counts[-1] = capacity - pad
-    out = (yxp.astype(np.uint16), d.astype(np.uint8),
-           base.astype(np.int32), counts)
-    if keep_polarity:
-        p = _polarity_col(events)
-        bits = np.concatenate([p, np.zeros(pad, np.int32)]).reshape(
-            t, capacity).astype(bool)
-        out += (np.packbits(bits, axis=1, bitorder="little"),)
-    return out
+    def encode(tsp):
+        base = tsp[:, 0]
+        # int64 diffs: adversarial int32-spanning gaps must not wrap
+        # past the gates below (same guard as the compact packer)
+        d = np.diff(tsp.astype(np.int64), axis=1, prepend=base[:, None])
+        if d.min() < 0 or d.max() >= 256 or d.sum(axis=1).max() >= 2**16:
+            return None
+        return d.astype(np.uint8), base
+
+    return _pack_subplain(events, capacity, keep_polarity, encode,
+                          np.zeros((1, capacity), np.uint8))
 
 
 def pack_wire_ultra4(events: np.ndarray, capacity: int,
@@ -256,46 +250,23 @@ def pack_wire_ultra4(events: np.ndarray, capacity: int,
     """
     if capacity < 2:
         return None
-    n = events.shape[0]
-    t = max(1, -(-n // capacity))
-    pad = t * capacity - n
-    y = np.asarray(events[:, 0], np.int32)
-    x = np.asarray(events[:, 1], np.int32)
-    ts = validate_int32_ts(events[:, 2])
+
+    def encode(tsp):
+        base = tsp[:, 0]
+        # int64 diffs: adversarial int32-spanning gaps must not wrap
+        # past the gates below (same guard as the wider packers)
+        d = np.diff(tsp.astype(np.int64), axis=1, prepend=base[:, None])
+        if d.min() < 0 or d.max() >= 16 or d.sum(axis=1).max() >= 2**16:
+            return None
+        d8 = d.astype(np.uint8)
+        if capacity % 2:
+            d8 = np.concatenate(
+                [d8, np.zeros((len(d8), 1), np.uint8)], axis=1)
+        return d8[:, 0::2] | (d8[:, 1::2] << 4), base
+
     half = -(-capacity // 2)
-    pol_bytes = -(-capacity // 8)
-    if n == 0:
-        empty = (np.zeros((1, capacity), np.uint16),
-                 np.zeros((1, half), np.uint8),
-                 np.zeros(1, np.int32), np.zeros(1, np.int32))
-        return empty + ((np.zeros((1, pol_bytes), np.uint8),)
-                        if keep_polarity else ())
-    if y.min() < 0 or x.min() < 0 or y.max() >= 256 or x.max() >= 256:
-        return None
-    tsp = np.concatenate([ts, np.full(pad, ts[-1], np.int32)]).reshape(
-        t, capacity)
-    base = tsp[:, 0]
-    # int64 diffs: adversarial int32-spanning gaps must not wrap past
-    # the gates below (same guard as the wider packers)
-    d = np.diff(tsp.astype(np.int64), axis=1, prepend=base[:, None])
-    if d.min() < 0 or d.max() >= 16 or d.sum(axis=1).max() >= 2**16:
-        return None
-    d8 = d.astype(np.uint8)
-    if capacity % 2:
-        d8 = np.concatenate([d8, np.zeros((t, 1), np.uint8)], axis=1)
-    d4 = d8[:, 0::2] | (d8[:, 1::2] << 4)
-    yxp = np.concatenate(
-        [(y << 8) | x, np.zeros(pad, np.int32)]
-    ).reshape(t, capacity)
-    counts = np.full(t, capacity, np.int32)
-    counts[-1] = capacity - pad
-    out = (yxp.astype(np.uint16), d4, base.astype(np.int32), counts)
-    if keep_polarity:
-        p = _polarity_col(events)
-        bits = np.concatenate([p, np.zeros(pad, np.int32)]).reshape(
-            t, capacity).astype(bool)
-        out += (np.packbits(bits, axis=1, bitorder="little"),)
-    return out
+    return _pack_subplain(events, capacity, keep_polarity, encode,
+                          np.zeros((1, half), np.uint8))
 
 
 def wire_format(w) -> str:

@@ -134,10 +134,13 @@ def _wait_for_backend():
         time.sleep(wait)
 
 
-def _resilient(fn, *args, **kwargs):
+def _resilient(fn, *args, attempts=3, **kwargs):
     """Run a headline leg; on failure wait out the outage and retry.
-    Returns ``None`` only when the backend never came back."""
-    for attempt in range(3):
+    Returns ``None`` only when the backend never came back.  The
+    optional extras run through the same recovery protocol with
+    ``attempts=2`` (one retry) so a mid-run outage blanks as few rows
+    as possible without doubling the run length."""
+    for attempt in range(attempts):
         try:
             return fn(*args, **kwargs)
         except Exception as e:  # pragma: no cover - requires a real outage
@@ -729,20 +732,10 @@ def main():
     dense = _resilient(bench_tpu_dense_frame, params, layer_defs, events)
     dense_eps = dense[0] if dense else None
 
-    # optional extras must never cost the driver the headline JSON line;
-    # one outage-wait retry each so a mid-run outage blanks as few rows
-    # as possible
+    # optional extras must never cost the driver the headline JSON line:
+    # same recovery protocol as the headline legs, one retry each
     def _try(fn, *a, **kw):
-        for attempt in range(2):
-            try:
-                return fn(*a, **kw)
-            except Exception as e:  # pragma: no cover
-                print(f"bench extra failed (attempt {attempt + 1}): {e}",
-                      file=sys.stderr)
-                _reset_backend()
-                if _wait_for_backend() is not None:
-                    return None
-        return None
+        return _resilient(fn, *a, attempts=2, **kw)
 
     # the reference-semantics incremental path drifts past the 1e-4 gate
     # at bf16 (10k steps on-chip) — its rows stay at the tier it passes
