@@ -173,12 +173,15 @@ class EventNetwork:
         stem_fusion: bool = False,
         activation_dtype: str = "float32",
     ):
-        if activation_dtype != "float32" and stem_fusion:
-            raise ValueError(
-                "activation_dtype='bfloat16' does not compose with "
-                "stem_fusion (the s2d pair runs only at matmul precision "
-                "HIGHEST, where bf16 storage would defeat the tier)"
-            )
+        # stem_fusion composes with activation_dtype='bfloat16': the fused
+        # pair accumulates in f32 and casts ONCE at the pair's (pooled)
+        # output — the direct path casts conv1's full-resolution output to
+        # bf16 and pools that, so fused-vs-direct differ by at most one
+        # bf16 rounding at the pair boundary (the same deviation class as
+        # the act-dtype knob itself; gated in tests/test_act_dtype.py).
+        # An earlier guard forbade the combination while the fusion was
+        # HIGHEST-only; the bf16-tier measurement that lifted that gate is
+        # recorded at ops/stem.py::allow_demoted_precision.
         self.event_layers, self.dense_tail = build_layer_defs(
             layer_defs, frame_h, frame_w, leak, alpha, padding,
             conv_mode, capacity_frac, window_frac, activation_dtype,
@@ -188,11 +191,14 @@ class EventNetwork:
         # conv+pool pairs the time-batched path executes as one
         # space-to-depth fused op (ops/stem.py): indices into
         # event_layers[1:] of the conv whose following pool is folded in.
-        # DEFAULT OFF: on v5e the fusion measures between -0.13 and
-        # +0.50 ms/dispatch at T=200 across same-process A/Bs — no
-        # reliable win at eFCN scale (docs/performance.md); it remains an
-        # explicit opt-in for thinner-stem / larger-frame configs where
-        # the saved full-resolution activation actually dominates.
+        # Constructor default stays OFF for reference-shaped f32-HIGHEST
+        # runs, where the step is compute-bound and the fusion measured a
+        # wash on v5e (-0.13..+0.50 ms/dispatch at T=200, round 3); at the
+        # demoted bf16 matmul tier the step is HBM-bound and the fusion
+        # wins the whole step 1.15x (stem_bf16_retest.py, 2026-08-19) —
+        # the bench headline legs opt in there; the serve CLI keeps the
+        # explicit --stem_fusion flag (its default precision is HIGHEST,
+        # where the fusion measured a wash).
         from async_ev_cnn_tpu.ops.stem import s2d_pair_applicable, s2d_pair_wins
 
         self._s2d_pairs = frozenset(
@@ -478,9 +484,13 @@ class EventNetwork:
                     params[f"b_{ld.name}"], ld.spec.alpha,
                 )
                 _, oh, ow = pool_spec.out_shape
+                # inter-layer activation storage (act_dtype='bfloat16'):
+                # one cast at the pair's pooled output, mirroring
+                # _full_pool_io — the f32 conv accumulation never hits HBM
+                dt = jnp.dtype(getattr(pool_spec, "act_dtype", "float32"))
                 io = LayerIO(
-                    surface=fm,
-                    layer_actfn=jnp.ones((), jnp.float32),
+                    surface=fm.astype(dt),
+                    layer_actfn=jnp.ones((), dt),
                     conv_actfn=jnp.zeros((), jnp.float32),
                     mask=jnp.ones((oh, ow), bool),
                 )

@@ -42,19 +42,25 @@ from async_ev_cnn_tpu.ops.conv import leaky, matmul_precision
 
 
 # Allow the fused pair at demoted matmul precision (bf16 / bf16x3).
-# Hypothesis for relaxing the HIGHEST-only gate: bf16 operand rounding
-# is ELEMENTWISE, and s2d only permutes the operands (plus exact zero
-# taps), so the fused contraction multiplies the identical bf16-rounded
-# product set as the direct conv — the only difference is f32
-# accumulation order, the same ~1e-7 noise as at HIGHEST.  Flag default
-# follows the measurement (examples/stem_bf16_retest.py — pending, see
-# its STATUS note).
+# Rationale for relaxing the old HIGHEST-only gate: bf16 operand
+# rounding is ELEMENTWISE, and s2d only permutes the operands (plus
+# exact zero taps), so the fused contraction multiplies the identical
+# bf16-rounded product set as the direct conv — the only difference is
+# f32 accumulation order, the same ~1e-7 noise as at HIGHEST.
+#
+# MEASURED on v5e 2026-08-19 (examples/stem_bf16_retest.py): at the
+# bf16 headline tier the fused-vs-direct parity is EXACTLY 0.0 over a
+# 40-chunk scan, and the whole parallel-in-time step wins 1.15x
+# (8.27/8.16M vs 7.14/7.11M ev/s, interleaved A/B, spread <= 0.03) —
+# the bf16-tier step is HBM-bound and the fusion removes the network's
+# largest activation round trip (conv1's full-resolution [T, 16, H, W]
+# output).  Default True per that measurement.
 #
 # TRACE-TIME setting, like ops.conv.set_matmul_precision: the network
 # gate reads it while tracing and it is not part of any jit cache key —
 # toggling it after a program has compiled silently leaves that program
 # at its old fused/unfused state (rebuild the network objects to apply).
-allow_demoted_precision = False
+allow_demoted_precision = True
 
 
 def s2d_pair_applicable(conv_spec, pool_spec) -> bool:

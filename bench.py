@@ -310,11 +310,26 @@ def _pack_k(events, capacity, dispatches=DISPATCHES):
     return chunks_k, n_events
 
 
-def _net(layer_defs, conv_mode, activation_dtype="float32"):
+def _net(layer_defs, conv_mode, activation_dtype="float32",
+         stem_fusion=None):
+    """Bench nets run with the s2d stem fusion on for the f32-activation
+    legs: at the bf16 headline matmul tier the fusion is exact
+    (fused-vs-direct diff 0.0) and wins the whole parallel-in-time step
+    1.15x (examples/stem_bf16_retest.py, 2026-08-19 — the measurement
+    that flipped ``ops.stem.allow_demoted_precision``).  The bf16
+    ACTIVATION-storage leg stays unfused here: its published one-ulp
+    deviation bound (test_act_dtype) was measured on the direct path,
+    and the fused combination has a CPU parity gate but no on-chip A/B
+    yet.  Fusion only ever applies to 'full'-mode conv+pool stem pairs
+    (ops/stem.py), so passing it for the incremental modes is a no-op.
+    ``stem_fusion=None`` applies that policy; a bool overrides it (the
+    A/B scripts' hook)."""
     from async_ev_cnn_tpu.layers.network import EventNetwork
 
+    if stem_fusion is None:
+        stem_fusion = activation_dtype == "float32"
     return EventNetwork(layer_defs, H, W, leak=LEAK, alpha=0.1, padding="SAME",
-                        conv_mode=conv_mode,
+                        conv_mode=conv_mode, stem_fusion=stem_fusion,
                         activation_dtype=activation_dtype)
 
 
@@ -464,7 +479,8 @@ def bench_tpu_serving_saturation(params, layer_defs, events,
 def bench_sustained_pipeline(params, layer_defs, seconds=25,
                              files=24, chunks_per_dispatch=1000,
                              force_wire=None, max_in_flight=16,
-                             streams=1, window="t_parallel"):
+                             streams=1, window="t_parallel",
+                             stem_fusion=None):
     """Sustained FILE -> network pipeline: on-disk N-data tree -> native
     decode -> vectorized packing -> wire upload (utils/wire.py 'auto':
     2.5 B/event ultra4 -> 3 B ultra -> 4 B compact -> 8 B plain, the
@@ -527,7 +543,7 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
         # wire compression, chained dispatches, bounded in-flight window
         # with the one-fetch watermark drain (rationale + the measured
         # failure modes of the alternatives live in its module docstring)
-        net = _net(layer_defs, "full")
+        net = _net(layer_defs, "full", stem_fusion=stem_fusion)
         # pass through to StreamingPipeline's VALIDATED wire argument —
         # a silent anything-else->'plain' mapping turned force_wire='auto'
         # (or a typo) into the 8 B wire, halving the link-bound leg.

@@ -16,11 +16,22 @@ T=200 f32).  Re-test:
 2. whole-step A/B: fused vs unfused scan_parallel at `default`,
    interleaved same-process reps.
 
-STATUS: blocked on a TPU-service outage at round-4 close (2026-08-18);
-the flag default stays False (fusion only at HIGHEST, the historically
-measured configuration) until this runs.  When it runs: if parity holds
-and fused wins, flip ``allow_demoted_precision`` to True and record the
-A/B in docs/performance.md; if it loses or drifts, record the negative.
+STATUS: MEASURED on the v5e chip 2026-08-19.  Parity at the `default`
+tier: max_abs_diff **0.0** over the 40-chunk scan-vs-scan_parallel gate
+(the elementwise-rounding argument holds exactly, not just to 1e-7).
+Whole-step interleaved A/B (T=200, K=8 chained, two reps each):
+
+    fused=False  7.14M / 7.11M ev/s   (spread 0.013 / 0.008)
+    fused=True   8.27M / 8.16M ev/s   (spread 0.031 / 0.013)
+
+-> the fusion wins the whole parallel-in-time step **1.15x** at the
+bf16 matmul tier, where the step is HBM-bound and the pair's saved
+full-resolution conv1 activation round trip is the largest HBM term
+(examples/bf16_floor.py) — unlike f32 HIGHEST, where the step is
+compute-bound and the same fusion measured a wash (round 3).
+``ops.stem.allow_demoted_precision`` defaults True per this run and
+bench's f32-activation legs construct their nets with
+``stem_fusion=True``; recorded in docs/performance.md "Round 5".
 """
 import json
 import sys

@@ -93,11 +93,40 @@ def test_bf16_act_leaves_incremental_layers_f32(rng):
         assert ld.spec.act_dtype == "bfloat16"
 
 
-def test_bf16_act_rejects_stem_fusion():
-    with pytest.raises(ValueError, match="stem_fusion"):
-        EventNetwork(layers_dict(DSL), H, W, leak=1e-4, alpha=0.1,
-                     padding="SAME", conv_mode="full", stem_fusion=True,
-                     activation_dtype="bfloat16")
+def test_bf16_act_composes_with_stem_fusion(rng):
+    """stem_fusion + bf16 activation storage: the fused pair accumulates
+    in f32 and casts once at the pooled output, while the direct path
+    casts conv1's output to bf16 and pools that — so fused-vs-direct can
+    differ by at most one bf16 rounding at the pair boundary (the same
+    deviation class as the act-dtype knob itself), and the fused output
+    dtype contract (bf16 between layers, f32 at the head) must hold."""
+    params = _params(rng)
+    chunks = make_stream(rng, steps=40, events_per_step=20, h=H, w=W)
+    net_fused = EventNetwork(layers_dict(DSL), H, W, leak=1e-4, alpha=0.1,
+                             padding="SAME", conv_mode="full",
+                             stem_fusion=True, activation_dtype="bfloat16")
+    assert net_fused._s2d_pairs  # the stem pair must actually fuse
+    net_direct = _net("bfloat16")
+    outs = {}
+    for name, net in (("fused", net_fused), ("direct", net_direct)):
+        state = net.init_state(params)
+        _, o = jax.jit(
+            lambda s, c, n=net: n.scan_parallel(params, s, c))(state, chunks)
+        assert o.dtype == jnp.float32
+        outs[name] = np.asarray(o)
+    scale = np.abs(outs["direct"]).max()
+    assert np.abs(outs["fused"] - outs["direct"]).max() <= 2e-2 * max(
+        scale, 1.0)
+    # ... and the fused bf16-act run stays inside the bf16 deviation
+    # bound of the fused f32-act run (the cast is the only difference)
+    net_f32 = EventNetwork(layers_dict(DSL), H, W, leak=1e-4, alpha=0.1,
+                           padding="SAME", conv_mode="full",
+                           stem_fusion=True)
+    state = net_f32.init_state(params)
+    _, o32 = jax.jit(
+        lambda s, c: net_f32.scan_parallel(params, s, c))(state, chunks)
+    assert np.abs(outs["fused"] - np.asarray(o32)).max() <= 0.1 * max(
+        np.abs(np.asarray(o32)).max(), 1.0)
 
 
 def test_bad_activation_dtype_rejected():
