@@ -170,9 +170,14 @@ class EventNetwork:
         conv_mode: str = "dense",
         capacity_frac: float = 0.25,
         window_frac: float = 0.25,
-        stem_fusion: bool = False,
+        stem_fusion: bool | str = "auto",
         activation_dtype: str = "float32",
     ):
+        if stem_fusion not in (True, False, "auto"):
+            raise ValueError(
+                f"stem_fusion must be True, False or 'auto', got "
+                f"{stem_fusion!r}"
+            )
         # stem_fusion composes with activation_dtype='bfloat16': the fused
         # pair accumulates in f32 and casts ONCE at the pair's (pooled)
         # output — the direct path casts conv1's full-resolution output to
@@ -188,27 +193,54 @@ class EventNetwork:
         )
         self.alpha = alpha
         self.out_shape = self.event_layers[-1].spec.out_shape
-        # conv+pool pairs the time-batched path executes as one
+        # conv+pool pairs the time-batched path MAY execute as one
         # space-to-depth fused op (ops/stem.py): indices into
-        # event_layers[1:] of the conv whose following pool is folded in.
-        # Constructor default stays OFF for reference-shaped f32-HIGHEST
-        # runs, where the step is compute-bound and the fusion measured a
-        # wash on v5e (-0.13..+0.50 ms/dispatch at T=200, round 3); at the
-        # demoted bf16 matmul tier the step is HBM-bound and the fusion
-        # wins the whole step 1.15x (stem_bf16_retest.py, 2026-08-19) —
-        # the bench headline legs opt in there; the serve CLI keeps the
-        # explicit --stem_fusion flag (its default precision is HIGHEST,
-        # where the fusion measured a wash).
+        # event_layers[1:] of the conv whose following pool could fold in.
+        # Whether a candidate pair actually fuses is decided at TRACE time
+        # by :meth:`_fusion_active` from ``stem_fusion`` and the matmul
+        # precision, following the measurements: at f32 HIGHEST the step
+        # is compute-bound and the fusion is a wash on v5e
+        # (-0.13..+0.50 ms/dispatch at T=200, round 3); at the demoted
+        # bf16 matmul tier the step is HBM-bound and the fusion wins the
+        # whole step 1.15x bit-exactly (stem_bf16_retest.py, 2026-08-19).
+        # Hence the default 'auto' fuses exactly where it wins — demoted
+        # tiers only — and True/False force it on (any tier, subject to
+        # ops.stem.allow_demoted_precision) / off.
         from async_ev_cnn_tpu.ops.stem import s2d_pair_applicable, s2d_pair_wins
 
+        self._stem_fusion = stem_fusion
         self._s2d_pairs = frozenset(
             i
             for i, (c, p) in enumerate(
                 zip(self.event_layers[1:], self.event_layers[2:])
             )
-            if stem_fusion and c.kind == "conv" and p.kind == "pool"
+            if stem_fusion is not False and c.kind == "conv"
+            and p.kind == "pool"
             and s2d_pair_applicable(c.spec, p.spec) and s2d_pair_wins(c.spec)
         )
+
+    def _fusion_active(self) -> bool:
+        """TRACE-time decision whether the candidate ``_s2d_pairs`` fuse.
+
+        ``stem_fusion=True``: fuse at HIGHEST (historical opt-in) and at
+        demoted tiers when ``ops.stem.allow_demoted_precision`` stands.
+        ``'auto'`` (the default): fuse ONLY at demoted tiers — the regime
+        where the fusion measured a 1.15x whole-step win (HBM-bound; see
+        ops/stem.py) — again subject to ``allow_demoted_precision``.
+        Reads trace-time globals, so like ``set_matmul_precision`` it is
+        not part of any jit cache key (rebuild/re-jit to apply a toggle).
+        """
+        from jax.lax import Precision
+
+        from async_ev_cnn_tpu.ops import stem as _stem
+        from async_ev_cnn_tpu.ops.conv import matmul_precision
+
+        highest = matmul_precision() is Precision.HIGHEST
+        if self._stem_fusion is True:
+            return highest or _stem.allow_demoted_precision
+        if self._stem_fusion == "auto":
+            return (not highest) and _stem.allow_demoted_precision
+        return False
 
     # ---- memory model for the parallel-in-time path ---------------------
 
@@ -459,16 +491,9 @@ class EventNetwork:
             if upto is not None and i >= upto:
                 return io.featuremap
             ld, st = layers[i], states[i]
-            from jax.lax import Precision
-
-            from async_ev_cnn_tpu.ops.conv import matmul_precision
-
-            from async_ev_cnn_tpu.ops import stem as _stem
-
             if (
                 i in self._s2d_pairs
-                and (matmul_precision() is Precision.HIGHEST
-                     or _stem.allow_demoted_precision)
+                and self._fusion_active()
                 and (upto is None or upto >= i + 2)
             ):
                 # conv+pool executed as one space-to-depth op (ops/stem.py);

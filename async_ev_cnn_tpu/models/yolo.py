@@ -47,7 +47,7 @@ class _YoloBase:
         conv_mode: str = "dense",
         capacity_frac: float = 0.25,
         ts_window: int | None = None,
-        stem_fusion: bool = False,
+        stem_fusion: bool | str = "auto",
         window_budget_mb: float | None = None,
         activation_dtype: str = "float32",
     ):

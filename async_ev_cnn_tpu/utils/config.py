@@ -76,6 +76,15 @@ def boolean(v: str) -> bool:
     raise argparse.ArgumentTypeError("boolean value expected")
 
 
+def stem_fusion_mode(v: str):
+    """Tri-state for --stem_fusion: a boolean forces the fusion on/off at
+    any tier; 'auto' fuses only at demoted matmul tiers (the measured-win
+    regime — see EventNetwork._fusion_active)."""
+    if v.lower() == "auto":
+        return "auto"
+    return boolean(v)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="async-ev-cnn-tpu runner")
     p.add_argument("-c", "--config", default=None, help="YAML config file path")
@@ -143,11 +152,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(EventNetwork.auto_window) instead of the fixed "
                         "default window — bounded memory on arbitrarily "
                         "long streams.")
-    p.add_argument("--stem_fusion", type=boolean, default=False,
+    p.add_argument("--stem_fusion", type=stem_fusion_mode, default="auto",
                    help="parallel-in-time: execute thin-stem (Cin<=2) "
                         "conv+pool pairs as one space-to-depth conv "
-                        "(ops/stem.py) — measured neutral at eFCN scale, "
-                        "an opt-in for larger frames.")
+                        "(ops/stem.py).  'auto' (default) fuses only at "
+                        "demoted matmul tiers, where it measured a 1.15x "
+                        "whole-step win (bit-exact); at f32 HIGHEST it "
+                        "measured neutral at eFCN scale, so 'auto' leaves "
+                        "it off there — 'true'/'false' force it.")
     p.add_argument("--activation_dtype", type=str, default="float32",
                    help="inter-layer activation storage for 'full'-mode "
                         "layers: 'float32' (default) or 'bfloat16' (halves "

@@ -190,23 +190,12 @@ def profile_layers_parallel(net, params, chunks, reps: int = 3,
     prev = 0.0
     names = ["integrate"] + [ld.name for ld in net.event_layers[1:]]
     # conv+pool pairs the forward executes as ONE space-to-depth op
-    # (network._s2d_pairs, active at HIGHEST matmul precision) must be
-    # probed as one row: cutting between them would time an unfused conv
-    # variant production never runs and corrupt both marginals
-    from jax.lax import Precision
-
-    from async_ev_cnn_tpu.ops import stem as _stem
-    from async_ev_cnn_tpu.ops.conv import matmul_precision
-
-    # mirror full_frame_forward's gate EXACTLY (incl. the demoted-
-    # precision flag) or a probe cut inside a fused pair times an
-    # unfused variant production never runs
-    fused = (
-        net._s2d_pairs
-        if (matmul_precision() is Precision.HIGHEST
-            or _stem.allow_demoted_precision)
-        else frozenset()
-    )
+    # (network._s2d_pairs candidates, gated at trace time by
+    # network._fusion_active) must be probed as one row: cutting between
+    # them would time an unfused conv variant production never runs and
+    # corrupt both marginals — so mirror full_frame_forward's gate
+    # EXACTLY by calling the same trace-time predicate
+    fused = net._s2d_pairs if net._fusion_active() else frozenset()
     probes = []
     k = 0
     while k < len(names):

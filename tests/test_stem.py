@@ -100,10 +100,21 @@ def test_network_selects_pairs():
                        padding="SAME", conv_mode="full", stem_fusion=True)
     # event_layers[1:]: conv1@0 pool1@1 conv2@2 pool2@3 conv3@4 pool3@5 conv4@6
     assert net._s2d_pairs == frozenset({0})
-    # fusion is an explicit opt-in (measured no-reliable-win at eFCN scale)
+    # default 'auto': the pair is a CANDIDATE, but the trace-time gate
+    # fuses only at demoted matmul tiers (measured-win regime) — at the
+    # default HIGHEST precision nothing fuses
     net_default = EventNetwork(layers_dict(dsl), 160, 224, leak=5e-5,
                                alpha=0.1, padding="SAME", conv_mode="full")
-    assert net_default._s2d_pairs == frozenset()
+    assert net_default._s2d_pairs == frozenset({0})
+    assert not net_default._fusion_active()  # tests pin HIGHEST
+    # stem_fusion=False forces the fusion off at any tier
+    net_off = EventNetwork(layers_dict(dsl), 160, 224, leak=5e-5,
+                           alpha=0.1, padding="SAME", conv_mode="full",
+                           stem_fusion=False)
+    assert net_off._s2d_pairs == frozenset()
+    with pytest.raises(ValueError, match="stem_fusion"):
+        EventNetwork(layers_dict(dsl), 160, 224, leak=5e-5, alpha=0.1,
+                     padding="SAME", conv_mode="full", stem_fusion="yes")
     # odd input dims -> the stem pair can't fuse
     net_odd = EventNetwork(layers_dict(dsl), 161, 224, leak=5e-5, alpha=0.1,
                            padding="SAME", conv_mode="full", stem_fusion=True)
@@ -160,6 +171,57 @@ def test_demoted_precision_flag_controls_fusion(rng):
         assert fused_in_program()
         got = np.asarray(net.full_frame_forward(params, state, frame))
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+    finally:
+        stem.allow_demoted_precision = old_flag
+        set_matmul_precision("highest")
+
+
+def test_auto_mode_fuses_only_at_demoted_tiers(rng):
+    """stem_fusion='auto' (the default) follows the measurements: no
+    fusion at f32 HIGHEST (round-3 wash), fused at demoted tiers (the
+    1.15x bit-exact win, examples/stem_bf16_retest.py), off again if
+    ops.stem.allow_demoted_precision is cleared; outputs at the demoted
+    tier equal the direct path."""
+    import jax
+
+    from async_ev_cnn_tpu.layers.network import EventNetwork
+    from async_ev_cnn_tpu.ops import stem
+    from async_ev_cnn_tpu.ops.conv import set_matmul_precision
+    from async_ev_cnn_tpu.utils.config import layers_dict
+
+    dsl = "conv1=3,3,1,4 pool1=2,2 conv2=1,1,4,6"
+    layer_defs = layers_dict(dsl)
+    params = {}
+    for name, size in layer_defs.items():
+        if "conv" in name:
+            kh, kw, ci, co = size
+            params[f"w_{name}"] = jnp.asarray(
+                rng.randn(kh, kw, ci, co).astype(np.float32) * 0.3)
+            params[f"b_{name}"] = jnp.asarray(
+                rng.randn(co).astype(np.float32) * 0.1)
+    net = EventNetwork(layer_defs, 16, 16, leak=0.01, alpha=0.1,
+                       padding="SAME", conv_mode="full")  # default 'auto'
+    assert net._s2d_pairs == frozenset({0})
+    state = net.init_state(params)
+    frame = jnp.asarray(rng.rand(1, 16, 16).astype(np.float32))
+
+    def fused_in_program():
+        jx = jax.make_jaxpr(
+            lambda f: net.full_frame_forward(params, state, f))(frame)
+        return "(16, 4, 3, 3)" in str(jx)  # the rearranged s2d kernel
+
+    old_flag = stem.allow_demoted_precision
+    try:
+        set_matmul_precision("highest")
+        assert not net._fusion_active() and not fused_in_program()
+        ref = np.asarray(net.full_frame_forward(params, state, frame))
+        set_matmul_precision("default")
+        stem.allow_demoted_precision = True
+        assert net._fusion_active() and fused_in_program()
+        got = np.asarray(net.full_frame_forward(params, state, frame))
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+        stem.allow_demoted_precision = False
+        assert not net._fusion_active() and not fused_in_program()
     finally:
         stem.allow_demoted_precision = old_flag
         set_matmul_precision("highest")
