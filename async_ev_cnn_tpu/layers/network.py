@@ -202,13 +202,18 @@ class EventNetwork:
         # is compute-bound and the fusion is a wash on v5e
         # (-0.13..+0.50 ms/dispatch at T=200, round 3); at the demoted
         # bf16 matmul tier the step is HBM-bound and the fusion wins the
-        # whole step 1.15x bit-exactly (stem_bf16_retest.py, 2026-08-19).
-        # Hence the default 'auto' fuses exactly where it wins — demoted
-        # tiers only — and True/False force it on (any tier, subject to
+        # whole step 1.15x bit-exactly (stem_bf16_retest.py, 2026-08-19) —
+        # but only with f32 ACTIVATION storage: under
+        # activation_dtype='bfloat16' the storage cast already halves
+        # conv1's round trip and the fusion measures a slight loss
+        # (stem_bf16act_ab.py, same day).  Hence the default 'auto' fuses
+        # exactly where it wins — demoted tiers x f32 activations — and
+        # True/False force it on (any tier, subject to
         # ops.stem.allow_demoted_precision) / off.
         from async_ev_cnn_tpu.ops.stem import s2d_pair_applicable, s2d_pair_wins
 
         self._stem_fusion = stem_fusion
+        self._act_dtype = activation_dtype
         self._s2d_pairs = frozenset(
             i
             for i, (c, p) in enumerate(
@@ -224,9 +229,13 @@ class EventNetwork:
 
         ``stem_fusion=True``: fuse at HIGHEST (historical opt-in) and at
         demoted tiers when ``ops.stem.allow_demoted_precision`` stands.
-        ``'auto'`` (the default): fuse ONLY at demoted tiers — the regime
-        where the fusion measured a 1.15x whole-step win (HBM-bound; see
-        ops/stem.py) — again subject to ``allow_demoted_precision``.
+        ``'auto'`` (the default): fuse ONLY at demoted matmul tiers with
+        f32 activation storage — the one cell of the (tier x storage)
+        matrix where the fusion measured a win (1.15x whole-step,
+        HBM-bound; see ops/stem.py).  Under bf16 activation storage the
+        storage cast already halves the saved round trip and the fusion
+        measured a slight loss (examples/stem_bf16act_ab.py), so 'auto'
+        leaves it off there; again subject to ``allow_demoted_precision``.
         Reads trace-time globals, so like ``set_matmul_precision`` it is
         not part of any jit cache key (rebuild/re-jit to apply a toggle).
         """
@@ -239,7 +248,11 @@ class EventNetwork:
         if self._stem_fusion is True:
             return highest or _stem.allow_demoted_precision
         if self._stem_fusion == "auto":
-            return (not highest) and _stem.allow_demoted_precision
+            return (
+                (not highest)
+                and _stem.allow_demoted_precision
+                and self._act_dtype == "float32"
+            )
         return False
 
     # ---- memory model for the parallel-in-time path ---------------------

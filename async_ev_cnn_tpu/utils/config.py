@@ -156,10 +156,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="parallel-in-time: execute thin-stem (Cin<=2) "
                         "conv+pool pairs as one space-to-depth conv "
                         "(ops/stem.py).  'auto' (default) fuses only at "
-                        "demoted matmul tiers, where it measured a 1.15x "
-                        "whole-step win (bit-exact); at f32 HIGHEST it "
-                        "measured neutral at eFCN scale, so 'auto' leaves "
-                        "it off there — 'true'/'false' force it.")
+                        "demoted matmul tiers with f32 activation storage, "
+                        "where it measured a 1.15x whole-step win "
+                        "(bit-exact); at f32 HIGHEST it measured neutral "
+                        "at eFCN scale and under bf16 activation storage "
+                        "a slight loss, so 'auto' leaves it off there — "
+                        "'true'/'false' force it.")
     p.add_argument("--activation_dtype", type=str, default="float32",
                    help="inter-layer activation storage for 'full'-mode "
                         "layers: 'float32' (default) or 'bfloat16' (halves "

@@ -317,17 +317,21 @@ def _net(layer_defs, conv_mode, activation_dtype="float32",
     (fused-vs-direct diff 0.0) and wins the whole parallel-in-time step
     1.15x (examples/stem_bf16_retest.py, 2026-08-19 — the measurement
     that flipped ``ops.stem.allow_demoted_precision``).  The bf16
-    ACTIVATION-storage leg stays unfused here: its published one-ulp
-    deviation bound (test_act_dtype) was measured on the direct path,
-    and the fused combination has a CPU parity gate but no on-chip A/B
-    yet.  Fusion only ever applies to 'full'-mode conv+pool stem pairs
+    ACTIVATION-storage leg stays unfused: its own on-chip A/B
+    (examples/stem_bf16act_ab.py, 2026-08-19) measured the fusion a
+    slight LOSS there (9.27M fused vs 9.39-9.50M unfused ev/s — the
+    storage cast already halves conv1's round trip, so the fusion's
+    HBM saving no longer pays for the s2d reshuffle), with parity
+    exactly 0.0.  Fusion only ever applies to 'full'-mode conv+pool stem pairs
     (ops/stem.py), so passing it for the incremental modes is a no-op.
-    ``stem_fusion=None`` applies that policy; a bool overrides it (the
-    A/B scripts' hook)."""
+    ``stem_fusion=None`` uses the library's 'auto', whose trace-time
+    predicate encodes exactly that measured regime (demoted tier x f32
+    activations — EventNetwork._fusion_active); a bool overrides it
+    (the A/B scripts' hook)."""
     from async_ev_cnn_tpu.layers.network import EventNetwork
 
     if stem_fusion is None:
-        stem_fusion = activation_dtype == "float32"
+        stem_fusion = "auto"
     return EventNetwork(layer_defs, H, W, leak=LEAK, alpha=0.1, padding="SAME",
                         conv_mode=conv_mode, stem_fusion=stem_fusion,
                         activation_dtype=activation_dtype)
@@ -480,7 +484,7 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
                              files=24, chunks_per_dispatch=1000,
                              force_wire=None, max_in_flight=16,
                              streams=1, window="t_parallel",
-                             stem_fusion=None):
+                             stem_fusion=None, activation_dtype="float32"):
     """Sustained FILE -> network pipeline: on-disk N-data tree -> native
     decode -> vectorized packing -> wire upload (utils/wire.py 'auto':
     2.5 B/event ultra4 -> 3 B ultra -> 4 B compact -> 8 B plain, the
@@ -543,7 +547,8 @@ def bench_sustained_pipeline(params, layer_defs, seconds=25,
         # wire compression, chained dispatches, bounded in-flight window
         # with the one-fetch watermark drain (rationale + the measured
         # failure modes of the alternatives live in its module docstring)
-        net = _net(layer_defs, "full", stem_fusion=stem_fusion)
+        net = _net(layer_defs, "full", activation_dtype=activation_dtype,
+                   stem_fusion=stem_fusion)
         # pass through to StreamingPipeline's VALIDATED wire argument —
         # a silent anything-else->'plain' mapping turned force_wire='auto'
         # (or a typo) into the 8 B wire, halving the link-bound leg.
@@ -824,6 +829,13 @@ def main():
     pipeline4 = _try(bench_sustained_pipeline, params, layer_defs,
                      seconds=12, chunks_per_dispatch=500, streams=4,
                      files=32)
+    # the same single-stream pipe with the bf16 activation-storage knob:
+    # at the ultra4 wire tier the pipe is DEVICE-bound (the 2.5 B wire
+    # un-link-bound it), so the knob's ~1.3x device-rate win applies to
+    # the honest end-to-end number too (same one-ulp deviation bound as
+    # every other bf16-act row; NOT the headline)
+    pipeline16 = _try(bench_sustained_pipeline, params, layer_defs,
+                      seconds=12, activation_dtype="bfloat16")
 
     import jax
 
@@ -897,6 +909,10 @@ def main():
             pipeline[4].get("event_age_ms") if pipeline else None,
         "sustained_pipeline_4stream_events_per_sec":
             round(pipeline4[0], 1) if pipeline4 else None,
+        "sustained_pipeline_bf16_act_events_per_sec":
+            round(pipeline16[0], 1) if pipeline16 else None,
+        "sustained_pipeline_bf16_act_wire_MBps":
+            round(pipeline16[2], 2) if pipeline16 else None,
         "baseline_is_standin": True,
         "baseline_host_load_per_cpu": baseline_load,
         "baseline_cpu_async_events_per_sec": round(cpu_async_eps, 1),

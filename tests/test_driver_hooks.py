@@ -88,6 +88,23 @@ def test_bench_sustained_pipeline_smoke(bench_mod, monkeypatch, streams, wire):
     assert lat["event_age_ms"]["p99"] >= lat["event_age_ms"]["p50"]
 
 
+def test_bench_sustained_pipeline_bf16_act(bench_mod, monkeypatch):
+    """The bf16 activation-storage pipe leg (the knob's honest
+    end-to-end row) runs at toy scale on CPU."""
+    from async_ev_cnn_tpu.utils.config import layers_dict
+
+    monkeypatch.setattr(bench_mod, "T_PARALLEL", 4)
+    layer_defs = layers_dict(bench_mod.EFCN_DSL)
+    rng = np.random.RandomState(0)
+    params = bench_mod.make_params(layer_defs, rng)
+    eps, host_eps, mbps, n, lat = bench_mod.bench_sustained_pipeline(
+        params, layer_defs, seconds=1, files=3, chunks_per_dispatch=4,
+        max_in_flight=4, activation_dtype="bfloat16",
+    )
+    assert eps > 0 and host_eps > 0 and mbps > 0 and n >= 1
+    assert lat["n"] >= 1
+
+
 def test_graft_entry_single_chip():
     import jax
 

@@ -222,6 +222,21 @@ def test_auto_mode_fuses_only_at_demoted_tiers(rng):
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
         stem.allow_demoted_precision = False
         assert not net._fusion_active() and not fused_in_program()
+        # 'auto' also requires f32 activation storage: under bf16 storage
+        # the fusion measured a slight loss (examples/stem_bf16act_ab.py),
+        # so the candidate pair stays unfused at any tier...
+        stem.allow_demoted_precision = True
+        net16 = EventNetwork(layer_defs, 16, 16, leak=0.01, alpha=0.1,
+                             padding="SAME", conv_mode="full",
+                             activation_dtype="bfloat16")
+        assert net16._s2d_pairs == frozenset({0})
+        assert not net16._fusion_active()
+        # ...while an explicit True still forces it on
+        net16_f = EventNetwork(layer_defs, 16, 16, leak=0.01, alpha=0.1,
+                               padding="SAME", conv_mode="full",
+                               stem_fusion=True,
+                               activation_dtype="bfloat16")
+        assert net16_f._fusion_active()
     finally:
         stem.allow_demoted_precision = old_flag
         set_matmul_precision("highest")
