@@ -173,7 +173,12 @@ class EventNetwork:
         stem_fusion: bool | str = "auto",
         activation_dtype: str = "float32",
     ):
-        if stem_fusion not in (True, False, "auto"):
+        # identity checks, not ==: 1 == True and np.True_ == True would
+        # pass an `in (True, False, 'auto')` test but then fail the
+        # `is True` dispatch in _fusion_active — silently never fusing
+        # for a caller who forced it on.  Reject loudly instead.
+        if not (stem_fusion is True or stem_fusion is False
+                or stem_fusion == "auto"):
             raise ValueError(
                 f"stem_fusion must be True, False or 'auto', got "
                 f"{stem_fusion!r}"
@@ -207,8 +212,8 @@ class EventNetwork:
         # activation_dtype='bfloat16' the storage cast already halves
         # conv1's round trip and the fusion measures a slight loss
         # (stem_bf16act_ab.py, same day).  Hence the default 'auto' fuses
-        # exactly where it wins — demoted tiers x f32 activations — and
-        # True/False force it on (any tier, subject to
+        # exactly where it measured a win — the `default` tier x f32
+        # activations — and True/False force it on (any tier, subject to
         # ops.stem.allow_demoted_precision) / off.
         from async_ev_cnn_tpu.ops.stem import s2d_pair_applicable, s2d_pair_wins
 
@@ -229,13 +234,16 @@ class EventNetwork:
 
         ``stem_fusion=True``: fuse at HIGHEST (historical opt-in) and at
         demoted tiers when ``ops.stem.allow_demoted_precision`` stands.
-        ``'auto'`` (the default): fuse ONLY at demoted matmul tiers with
-        f32 activation storage — the one cell of the (tier x storage)
-        matrix where the fusion measured a win (1.15x whole-step,
-        HBM-bound; see ops/stem.py).  Under bf16 activation storage the
-        storage cast already halves the saved round trip and the fusion
-        measured a slight loss (examples/stem_bf16act_ab.py), so 'auto'
-        leaves it off there; again subject to ``allow_demoted_precision``.
+        ``'auto'`` (the default): fuse ONLY at the ``default`` (bf16)
+        matmul tier with f32 activation storage — the one cell of the
+        (tier x storage) matrix where the fusion measured a win (1.15x
+        whole-step, HBM-bound; see ops/stem.py).  Under bf16 activation
+        storage the storage cast already halves the saved round trip and
+        the fusion measured a slight loss (examples/stem_bf16act_ab.py);
+        at HIGHEST it is a wash (round 3); the HIGH (bf16x3) cell is
+        unmeasured, so 'auto' conservatively leaves it off there too
+        (examples/stem_fusion_followup_ab.py is the pending probe).
+        Again subject to ``allow_demoted_precision``.
         Reads trace-time globals, so like ``set_matmul_precision`` it is
         not part of any jit cache key (rebuild/re-jit to apply a toggle).
         """
@@ -244,12 +252,12 @@ class EventNetwork:
         from async_ev_cnn_tpu.ops import stem as _stem
         from async_ev_cnn_tpu.ops.conv import matmul_precision
 
-        highest = matmul_precision() is Precision.HIGHEST
+        prec = matmul_precision()
         if self._stem_fusion is True:
-            return highest or _stem.allow_demoted_precision
+            return prec is Precision.HIGHEST or _stem.allow_demoted_precision
         if self._stem_fusion == "auto":
             return (
-                (not highest)
+                prec is Precision.DEFAULT
                 and _stem.allow_demoted_precision
                 and self._act_dtype == "float32"
             )

@@ -78,8 +78,9 @@ def boolean(v: str) -> bool:
 
 def stem_fusion_mode(v: str):
     """Tri-state for --stem_fusion: a boolean forces the fusion on/off at
-    any tier; 'auto' fuses only at demoted matmul tiers (the measured-win
-    regime — see EventNetwork._fusion_active)."""
+    any tier; 'auto' fuses only in the measured-win regime ('default'
+    matmul tier x f32 activation storage — see
+    EventNetwork._fusion_active)."""
     if v.lower() == "auto":
         return "auto"
     return boolean(v)
@@ -156,12 +157,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="parallel-in-time: execute thin-stem (Cin<=2) "
                         "conv+pool pairs as one space-to-depth conv "
                         "(ops/stem.py).  'auto' (default) fuses only at "
-                        "demoted matmul tiers with f32 activation storage, "
-                        "where it measured a 1.15x whole-step win "
-                        "(bit-exact); at f32 HIGHEST it measured neutral "
-                        "at eFCN scale and under bf16 activation storage "
-                        "a slight loss, so 'auto' leaves it off there — "
-                        "'true'/'false' force it.")
+                        "the 'default' (bf16) matmul tier with f32 "
+                        "activation storage, where it measured a 1.15x "
+                        "whole-step win (bit-exact); at f32 HIGHEST it "
+                        "measured neutral at eFCN scale, under bf16 "
+                        "activation storage a slight loss, and the "
+                        "'high' cell is unmeasured, so 'auto' leaves it "
+                        "off there — 'true'/'false' force it.")
     p.add_argument("--activation_dtype", type=str, default="float32",
                    help="inter-layer activation storage for 'full'-mode "
                         "layers: 'float32' (default) or 'bfloat16' (halves "

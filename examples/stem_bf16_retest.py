@@ -30,8 +30,10 @@ full-resolution conv1 activation round trip is the largest HBM term
 (examples/bf16_floor.py) — unlike f32 HIGHEST, where the step is
 compute-bound and the same fusion measured a wash (round 3).
 ``ops.stem.allow_demoted_precision`` defaults True per this run and
-bench's f32-activation legs construct their nets with
-``stem_fusion=True``; recorded in docs/performance.md "Round 5".
+bench's nets use the library's ``stem_fusion='auto'``, whose
+trace-time predicate fuses exactly at this measured cell (`default`
+tier x f32 activation storage — EventNetwork._fusion_active); recorded
+in docs/performance.md "Round 5".
 """
 import json
 import sys

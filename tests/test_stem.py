@@ -115,6 +115,12 @@ def test_network_selects_pairs():
     with pytest.raises(ValueError, match="stem_fusion"):
         EventNetwork(layers_dict(dsl), 160, 224, leak=5e-5, alpha=0.1,
                      padding="SAME", conv_mode="full", stem_fusion="yes")
+    # 1 == True but 1 is not True: the constructor must reject it loudly
+    # (an equality check would accept it and _fusion_active would then
+    # silently never fuse)
+    with pytest.raises(ValueError, match="stem_fusion"):
+        EventNetwork(layers_dict(dsl), 160, 224, leak=5e-5, alpha=0.1,
+                     padding="SAME", conv_mode="full", stem_fusion=1)
     # odd input dims -> the stem pair can't fuse
     net_odd = EventNetwork(layers_dict(dsl), 161, 224, leak=5e-5, alpha=0.1,
                            padding="SAME", conv_mode="full", stem_fusion=True)
@@ -220,6 +226,11 @@ def test_auto_mode_fuses_only_at_demoted_tiers(rng):
         assert net._fusion_active() and fused_in_program()
         got = np.asarray(net.full_frame_forward(params, state, frame))
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+        # the 'high' (bf16x3) cell of the matrix is unmeasured — 'auto'
+        # conservatively leaves it unfused (stem_fusion=True forces it)
+        set_matmul_precision("high")
+        assert not net._fusion_active() and not fused_in_program()
+        set_matmul_precision("default")
         stem.allow_demoted_precision = False
         assert not net._fusion_active() and not fused_in_program()
         # 'auto' also requires f32 activation storage: under bf16 storage
