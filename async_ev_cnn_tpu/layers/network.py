@@ -224,10 +224,32 @@ class EventNetwork:
             for i, (c, p) in enumerate(
                 zip(self.event_layers[1:], self.event_layers[2:])
             )
-            if stem_fusion is not False and c.kind == "conv"
-            and p.kind == "pool"
+            if c.kind == "conv" and p.kind == "pool"
             and s2d_pair_applicable(c.spec, p.spec) and s2d_pair_wins(c.spec)
         )
+
+    def with_stem_fusion(self, stem_fusion: bool | str) -> "EventNetwork":
+        """A shallow clone with a different ``stem_fusion`` policy.
+
+        Specs, layer defs and the s2d candidate set are shared (all
+        immutable); only the trace-time fusion policy differs — the
+        cheap way for a consumer that knows its execution shape (e.g.
+        the vmapped multi-stream serving engine) to override the
+        single-stream-measured 'auto' default without rebuilding the
+        network.  Candidate pairs are computed unconditionally at
+        construction, so upgrading a ``stem_fusion=False`` net works.
+        """
+        if not (stem_fusion is True or stem_fusion is False
+                or stem_fusion == "auto"):
+            raise ValueError(
+                f"stem_fusion must be True, False or 'auto', got "
+                f"{stem_fusion!r}"
+            )
+        import copy
+
+        clone = copy.copy(self)
+        clone._stem_fusion = stem_fusion
+        return clone
 
     def _fusion_active(self) -> bool:
         """TRACE-time decision whether the candidate ``_s2d_pairs`` fuse.

@@ -417,18 +417,20 @@ def bench_tpu_async(params, layer_defs, events, conv_mode="dense"):
 
 
 def bench_tpu_serving(params, layer_defs, events, n_streams=8,
-                      activation_dtype="float32"):
+                      activation_dtype="float32", stem_fusion=None):
     """Multi-stream serving on one chip: S independent streams, each
     parallel-in-time, vmapped into one time*stream-batched program.
 
     Returns ``(aggregate_events_per_sec, latency_sec_per_dispatch, spread)``
     — latency is the median wall time of one chained batch step (T_CHUNKS
     chunks per stream), including ~1/dispatches of the tunnel round
-    trip."""
+    trip.  ``stem_fusion`` is the A/B hook (None = the library 'auto',
+    same contract as :func:`_net`)."""
     import jax
     import jax.numpy as jnp
 
-    net = _net(layer_defs, "full", activation_dtype=activation_dtype)
+    net = _net(layer_defs, "full", activation_dtype=activation_dtype,
+               stem_fusion=stem_fusion)
     jparams = {k: jnp.asarray(v) for k, v in params.items()}
     base = net.init_state(jparams)
     states = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_streams, *x.shape)), base)

@@ -107,11 +107,20 @@ def test_network_selects_pairs():
                                alpha=0.1, padding="SAME", conv_mode="full")
     assert net_default._s2d_pairs == frozenset({0})
     assert not net_default._fusion_active()  # tests pin HIGHEST
-    # stem_fusion=False forces the fusion off at any tier
+    # stem_fusion=False forces the fusion off at any tier; the CANDIDATE
+    # set is still computed (so with_stem_fusion can upgrade the clone)
     net_off = EventNetwork(layers_dict(dsl), 160, 224, leak=5e-5,
                            alpha=0.1, padding="SAME", conv_mode="full",
                            stem_fusion=False)
-    assert net_off._s2d_pairs == frozenset()
+    assert net_off._s2d_pairs == frozenset({0})
+    assert not net_off._fusion_active()
+    # with_stem_fusion: shallow clone flips only the trace-time policy
+    net_on = net_off.with_stem_fusion(True)
+    assert net_on._fusion_active()  # tests pin HIGHEST; True fuses there
+    assert not net_off._fusion_active()  # original untouched
+    assert net_on.event_layers is net_off.event_layers  # specs shared
+    with pytest.raises(ValueError, match="stem_fusion"):
+        net_off.with_stem_fusion(1)
     with pytest.raises(ValueError, match="stem_fusion"):
         EventNetwork(layers_dict(dsl), 160, 224, leak=5e-5, alpha=0.1,
                      padding="SAME", conv_mode="full", stem_fusion="yes")
