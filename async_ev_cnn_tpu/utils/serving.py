@@ -169,6 +169,21 @@ class StreamingPipeline:
                 "network — the first conv's in_channels must be 2, got "
                 f"{net.event_layers[0].spec.channels}"
             )
+        if streams > 1 and getattr(net, "_stem_fusion", None) == "auto":
+            # 'auto' means "the measured winner for this execution shape".
+            # Its trace-time predicate was measured on the SINGLE-stream
+            # parallel-in-time step (1.15x win at the demoted tier); under
+            # the vmapped multi-stream shape the same fusion REGRESSES
+            # 28-40% (2026-08-19 full-protocol capture: fused f32-act
+            # serving sweep 6.53-8.30M vs the unfused captures'
+            # 9.06-12.81M, with every unfused row of the same run
+            # in-band; docs/performance.md "Stem fusion x vmapped
+            # serving").  vmap traces with per-stream shapes, so the
+            # network itself cannot see the batching — the engine, which
+            # knows `streams`, overrides here.  An explicit
+            # stem_fusion=True/False on the net is always respected.
+            net = net.with_stem_fusion(False)
+        self._net = net
         self._capacity = capacity
         self._streams = streams
         self._max_in_flight = max_in_flight

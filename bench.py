@@ -424,13 +424,16 @@ def bench_tpu_serving(params, layer_defs, events, n_streams=8,
     Returns ``(aggregate_events_per_sec, latency_sec_per_dispatch, spread)``
     — latency is the median wall time of one chained batch step (T_CHUNKS
     chunks per stream), including ~1/dispatches of the tunnel round
-    trip.  ``stem_fusion`` is the A/B hook (None = the library 'auto',
-    same contract as :func:`_net`)."""
+    trip.  ``stem_fusion`` is the A/B hook; None (the default) matches
+    the library serving engine's policy — unfused under the vmapped
+    multi-stream shape, where the single-stream-measured fusion
+    regresses 28-40% (2026-08-19 capture; StreamingPipeline applies the
+    same override for streams > 1, utils/serving.py)."""
     import jax
     import jax.numpy as jnp
 
     net = _net(layer_defs, "full", activation_dtype=activation_dtype,
-               stem_fusion=stem_fusion)
+               stem_fusion=False if stem_fusion is None else stem_fusion)
     jparams = {k: jnp.asarray(v) for k, v in params.items()}
     base = net.init_state(jparams)
     states = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_streams, *x.shape)), base)

@@ -114,6 +114,28 @@ def test_pipeline_multistream_matches_independent_chains(rng):
         np.testing.assert_allclose(outs[1], want_b[i], rtol=0, atol=1e-6)
 
 
+def test_pipeline_multistream_overrides_auto_fusion(rng):
+    """streams > 1 flips a stem_fusion='auto' net to unfused: 'auto'
+    means the measured winner for the execution shape, and under the
+    vmapped multi-stream shape the single-stream-measured fusion
+    regresses 28-40% on chip (2026-08-19 capture, docs/performance.md
+    "Stem fusion x vmapped serving").  Explicit True/False and the
+    single-stream shape are untouched."""
+    params = _params(layers_dict(DSL), rng)
+    net = _net()  # default stem_fusion='auto'
+    assert net._stem_fusion == "auto"
+    multi = StreamingPipeline(net, params, capacity=CAP, streams=2)
+    assert multi._net._stem_fusion is False
+    assert net._stem_fusion == "auto"  # caller's net untouched
+    single = StreamingPipeline(net, params, capacity=CAP)
+    assert single._net._stem_fusion == "auto"
+    forced = EventNetwork(layers_dict(DSL), H, W, leak=1e-4, alpha=0.1,
+                          padding="SAME", conv_mode="full",
+                          stem_fusion=True)
+    pinned = StreamingPipeline(forced, params, capacity=CAP, streams=2)
+    assert pinned._net._stem_fusion is True
+
+
 def test_pipeline_state_persists_across_serve_calls(rng):
     """Stop/resume mid-stream: two serve() calls over the halves equal
     one call over the whole stream."""
