@@ -262,12 +262,19 @@ class EventNetwork:
         whole-step, HBM-bound; see ops/stem.py).  Under bf16 activation
         storage the storage cast already halves the saved round trip and
         the fusion measured a slight loss (examples/stem_bf16act_ab.py);
-        at HIGHEST it is a wash (round 3); the HIGH (bf16x3) cell is
-        unmeasured, so 'auto' conservatively leaves it off there too
-        (examples/stem_fusion_followup_ab.py is the pending probe).
+        at HIGHEST it is a wash (round 3); the HIGH (bf16x3) cell
+        measured a wash too (6.24-6.25M fused vs 6.25-6.29M unfused
+        ev/s, examples/stem_fusion_followup_ab.py 2026-08-19 — bf16x3
+        triples the MXU passes, so the step is compute-bound again like
+        HIGHEST), so 'auto' leaves it off there.
         Again subject to ``allow_demoted_precision``.
         Reads trace-time globals, so like ``set_matmul_precision`` it is
         not part of any jit cache key (rebuild/re-jit to apply a toggle).
+
+        This predicate was measured on the SINGLE-stream step; consumers
+        that vmap the step over streams must override via
+        :meth:`with_stem_fusion` — the multi-stream serving engine does
+        (the fusion regresses 28-40% under that shape, utils/serving.py).
         """
         from jax.lax import Precision
 

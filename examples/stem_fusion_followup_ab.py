@@ -16,9 +16,21 @@ leaves it unfused there).
 Chip discipline per CLAUDE.md: one script, chained dispatches, compile
 cache reused, interleaved reps, host fetch before reading the clock.
 
-STATUS: NOT YET MEASURED — run on the chip (after any concurrent bench
-finishes; two processes sharing the tunnel corrupt timing), then
-record the JSON lines here and in docs/performance.md "Round 5".
+MEASURED 2026-08-19 ~12:40 (after a ~45 min slow-compile service
+window):
+
+* pipe_ab (ultra4, link-bound): unfused 10.74M @ 27.2 MB/s / 8.75M @
+  22.2, fused 9.20M @ 23.3 / 9.63M @ 24.4 — every leg at 2.53 B/event
+  x its link draw, i.e. the tunnel's weather decides and the fusion is
+  invisible on the link-bound pipe.  The single-stream pipe keeps the
+  library 'auto' (the fused device side only binds on co-located
+  deployments, where the single-stream 1.15x applies).
+* high_tier_ab (T=200 parallel-in-time, Precision.HIGH): fused
+  6.25/6.24M vs unfused 6.25/6.29M ev/s (spreads 0.012-0.118) — a
+  WASH: bf16x3 triples the MXU passes, so the step is compute-bound
+  again like HIGHEST and the HBM saving buys nothing.  'auto' keeps
+  the HIGH cell unfused; the (tier x storage) matrix is now measured
+  at every cell.
 """
 import json
 import sys

@@ -235,8 +235,9 @@ def test_auto_mode_fuses_only_at_demoted_tiers(rng):
         assert net._fusion_active() and fused_in_program()
         got = np.asarray(net.full_frame_forward(params, state, frame))
         np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
-        # the 'high' (bf16x3) cell of the matrix is unmeasured — 'auto'
-        # conservatively leaves it unfused (stem_fusion=True forces it)
+        # the 'high' (bf16x3) cell measured a wash (fused 6.24-6.25M vs
+        # unfused 6.25-6.29M ev/s, examples/stem_fusion_followup_ab.py)
+        # — 'auto' leaves it unfused (stem_fusion=True forces it)
         set_matmul_precision("high")
         assert not net._fusion_active() and not fused_in_program()
         set_matmul_precision("default")
