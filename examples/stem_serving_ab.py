@@ -22,6 +22,21 @@ A/B: bench_tpu_serving (the exact bench leg) at S=32, default tier,
 f32 activations, fused vs unfused interleaved twice in one process.
 Chip discipline per CLAUDE.md: chained dispatches, compile cache,
 host fetch before reading the clock.
+
+MEASURED 2026-08-19 ~13:15 — CONFIRMED, decisively:
+
+* unfused 11.72M / 11.78M ev/s, 34.9/34.8 ms per 50-chunk dispatch
+  (spreads 0.023/0.018)
+* fused    8.33M /  8.34M ev/s, 49.2/49.1 ms (spreads 0.014/0.014)
+
+A 1.41x regression, interleaved, agreeing with the capture's
+cross-run numbers on both sides (fused 8.30M / unfused 12.05M at
+S=32).  The serving engine's streams>1 override of 'auto'
+(utils/serving.py) and bench_tpu_serving's unfused default are
+therefore measurement-backed.  Consistent with the HBM story: vmap
+batches the s2d reshape/transpose into per-stream relayouts XLA
+materializes through HBM, and at S x T lanes that extra pass costs
+more than the fused stem saves.
 """
 import json
 import sys
@@ -41,7 +56,10 @@ set_matmul_precision(bench.HEADLINE_PRECISION)
 layer_defs = layers_dict(bench.EFCN_DSL)
 rng = np.random.RandomState(0)
 params = bench.make_params(layer_defs, rng)
-events = bench.synth_stream(rng, bench.DISPATCHES * bench.T_PARALLEL,
+# the serving legs dispatch T_CHUNKS=50-chunk windows (bench.py:714 —
+# the T_PARALLEL=200 shape at S=32 overflows HBM, measured
+# RESOURCE_EXHAUSTED both fused and unfused)
+events = bench.synth_stream(rng, bench.DISPATCHES * bench.T_CHUNKS,
                             bench.CAPACITY)
 
 for fused in (False, True, False, True):
