@@ -159,11 +159,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(ops/stem.py).  'auto' (default) fuses only at "
                         "the 'default' (bf16) matmul tier with f32 "
                         "activation storage, where it measured a 1.15x "
-                        "whole-step win (bit-exact); at f32 HIGHEST it "
-                        "measured neutral at eFCN scale, under bf16 "
-                        "activation storage a slight loss, and the "
-                        "'high' cell is unmeasured, so 'auto' leaves it "
-                        "off there — 'true'/'false' force it.")
+                        "whole-step win (bit-exact); at f32 HIGHEST and "
+                        "'high' it measured neutral at eFCN scale, under "
+                        "bf16 activation storage a slight loss, and under "
+                        "vmapped multi-stream serving a 1.41x regression "
+                        "(the serving engine overrides 'auto' to off for "
+                        "streams > 1) — 'true'/'false' force it.")
     p.add_argument("--activation_dtype", type=str, default="float32",
                    help="inter-layer activation storage for 'full'-mode "
                         "layers: 'float32' (default) or 'bfloat16' (halves "
