@@ -152,6 +152,21 @@ def build_layer_defs(
     return event_layers, tail
 
 
+def _validate_stem_fusion(stem_fusion):
+    """Identity checks, not ==: 1 == True and np.True_ == True would
+    pass an ``in (True, False, 'auto')`` test but then fail the
+    ``is True`` dispatch in _fusion_active — silently never fusing for
+    a caller who forced it on.  Reject loudly instead (shared by the
+    constructor and :meth:`EventNetwork.with_stem_fusion` so the two
+    entry points cannot drift to different accepted value sets)."""
+    if not (stem_fusion is True or stem_fusion is False
+            or stem_fusion == "auto"):
+        raise ValueError(
+            f"stem_fusion must be True, False or 'auto', got "
+            f"{stem_fusion!r}"
+        )
+
+
 class EventNetwork:
     """The async event network: static specs + pure init/step over state.
 
@@ -173,16 +188,7 @@ class EventNetwork:
         stem_fusion: bool | str = "auto",
         activation_dtype: str = "float32",
     ):
-        # identity checks, not ==: 1 == True and np.True_ == True would
-        # pass an `in (True, False, 'auto')` test but then fail the
-        # `is True` dispatch in _fusion_active — silently never fusing
-        # for a caller who forced it on.  Reject loudly instead.
-        if not (stem_fusion is True or stem_fusion is False
-                or stem_fusion == "auto"):
-            raise ValueError(
-                f"stem_fusion must be True, False or 'auto', got "
-                f"{stem_fusion!r}"
-            )
+        _validate_stem_fusion(stem_fusion)
         # stem_fusion composes with activation_dtype='bfloat16': the fused
         # pair accumulates in f32 and casts ONCE at the pair's (pooled)
         # output — the direct path casts conv1's full-resolution output to
@@ -239,12 +245,7 @@ class EventNetwork:
         network.  Candidate pairs are computed unconditionally at
         construction, so upgrading a ``stem_fusion=False`` net works.
         """
-        if not (stem_fusion is True or stem_fusion is False
-                or stem_fusion == "auto"):
-            raise ValueError(
-                f"stem_fusion must be True, False or 'auto', got "
-                f"{stem_fusion!r}"
-            )
+        _validate_stem_fusion(stem_fusion)
         import copy
 
         clone = copy.copy(self)

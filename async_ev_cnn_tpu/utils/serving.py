@@ -64,6 +64,21 @@ class PreparedItem(NamedTuple):
     #: staleness counts producer-queue residency from here.  ``None``
     #: (hand-built items) falls back to the serve-loop pop time.
     t_created: float | None = None
+    #: stream index this item was prepared for — :meth:`serve` validates
+    #: it against the dispatch slot, so a shared multi-producer queue
+    #: that delivers streams out of round-robin order raises loudly
+    #: instead of silently cross-wiring stream states.  ``None``
+    #: (hand-built items): not validated.
+    stream: int | None = None
+    #: the stream's cumulative rebase epoch (µs) AFTER this item's
+    #: rebase.  :meth:`serve` derives the device ``prev_ts`` shift from
+    #: the gap between this and the stream's last DISPATCHED epoch, so
+    #: items dropped between prepare() and dispatch (a ragged
+    #: multi-stream tail, a consumer that exits serve() while the
+    #: producer queue still holds items) cannot desynchronize the device
+    #: clock from the host epoch.  ``None`` (hand-built items): the
+    #: item's ``deltas`` are applied verbatim, bypassing the ledger.
+    epoch: int | None = None
 
 
 class DispatchResult(NamedTuple):
@@ -194,6 +209,11 @@ class StreamingPipeline:
         #: per-stream int64 µs epoch subtracted from raw source
         #: timestamps (grows as the stream is rebased past int32)
         self._epochs = [0] * streams
+        #: per-stream epoch actually APPLIED on device (prev_ts shifted
+        #: at dispatch).  Trails ``_epochs`` when prepare()d items sit in
+        #: a producer queue; serve() closes the gap per dispatched item,
+        #: absorbing any items dropped in between.
+        self._applied_epochs = [0] * streams
         chunks_from_wire = functools.partial(
             chunks_from_wire, polarity=keep_polarity)
         _UNPACKERS = {"plain": chunks_from_wire,
@@ -475,13 +495,19 @@ class StreamingPipeline:
         and :meth:`serve` rejects it once the stream's epoch is nonzero.
 
         Items for one stream MUST be prepared in serve order by a single
-        thread (prepare advances the stream's epoch; out-of-order calls
-        desynchronize the rebase deltas from the dispatches that apply
-        them).  One producer thread per stream — or one thread for all
-        streams — satisfies this."""
+        thread (prepare advances the stream's epoch; the rebase
+        bookkeeping is sequential).  One producer thread per stream — or
+        one thread for all streams — satisfies this; violations are
+        LOUD, not silent: the item records its stream and cumulative
+        epoch, and :meth:`serve` raises on a slot/stream mismatch or an
+        epoch regression.  Items dropped between prepare and dispatch
+        (a ragged multi-stream tail, a consumer exiting serve() early)
+        are absorbed — the next dispatched item's epoch gap carries the
+        missed ``prev_ts`` shift."""
         deltas = np.zeros(2, np.int32)
         ev = self._rebase_stream(np.asarray(events), stream, deltas)
-        return PreparedItem(self.pack(ev, t_chunks), deltas, time.time())
+        return PreparedItem(self.pack(ev, t_chunks), deltas, time.time(),
+                            stream, self._epochs[stream])
 
     def serve(self, source: Iterable) -> Iterator[DispatchResult]:
         """Drive the pipeline over ``source`` — an iterable of host
@@ -545,8 +571,33 @@ class StreamingPipeline:
             for i, ev in enumerate(group):
                 if isinstance(ev, PreparedItem):
                     # producer-side prepare() already did the rebase
-                    # bookkeeping; its deltas ride with the item
-                    deltas[:, i] = ev.deltas
+                    # bookkeeping; the device prev_ts shift is derived
+                    # from the epoch ledger (not the item's own deltas)
+                    # so items dropped between prepare and dispatch
+                    # cannot desynchronize the stream clock
+                    if ev.stream is not None and ev.stream != i:
+                        raise ValueError(
+                            f"dispatch slot {i} received a PreparedItem "
+                            f"for stream {ev.stream}: a shared producer "
+                            "queue delivered streams out of round-robin "
+                            "order — keep one ordered source slot per "
+                            "stream"
+                        )
+                    if ev.epoch is None:  # hand-built: verbatim deltas
+                        deltas[:, i] = ev.deltas
+                    else:
+                        d = ev.epoch - self._applied_epochs[i]
+                        if d < 0:
+                            raise ValueError(
+                                f"stream {i} PreparedItem epoch "
+                                f"regressed ({ev.epoch} < "
+                                f"{self._applied_epochs[i]} µs): items "
+                                "were prepared out of serve order"
+                            )
+                        d_eff = min(d, 2**31)
+                        deltas[0, i] = d_eff // 2
+                        deltas[1, i] = d_eff - d_eff // 2
+                        self._applied_epochs[i] = ev.epoch
                     wires.append(ev.wire)
                     continue
                 if isinstance(ev, tuple):
@@ -562,6 +613,8 @@ class StreamingPipeline:
                     wires.append(ev)
                     continue
                 ev = self._rebase_stream(np.asarray(ev), i, deltas[:, i])
+                # inline rebase dispatches immediately: ledger stays flush
+                self._applied_epochs[i] = self._epochs[i]
                 wires.append(self.pack(ev))
             # Tier unification, exact and raw-events-free: every tier
             # re-encodes to any higher one on the host (wire_to_tier —

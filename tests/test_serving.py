@@ -666,6 +666,75 @@ def test_pipeline_prepare_multistream(rng):
                                    rtol=0, atol=0)
 
 
+def test_prepared_item_dropped_before_dispatch_is_absorbed(rng):
+    """An item dropped between prepare() and dispatch (ragged
+    multi-stream tail, consumer exiting serve() while the producer queue
+    holds items) must NOT desynchronize the stream clock: prepare()
+    advances the host epoch eagerly, but serve() derives the device
+    ``prev_ts`` shift from the epoch ledger, so the next dispatched item
+    carries any dropped item's shift.  Five prepared items where items
+    1-4 each trigger a rebase; serving the [0, 2, 3, 4] subset (item 1's
+    shift rides only inside the dropped item) must equal the raw-array
+    path over the same subset bit-exactly."""
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    B = 2**30  # item k starts at k*2**30: every item from 1 on rebases
+    items = []
+    for k in range(5):
+        steps = rng.randint(1, B // (2 * CAP), CAP).astype(np.int64)
+        ts = k * B + np.cumsum(steps)
+        y = rng.randint(0, H, CAP).astype(np.int64)
+        x = rng.randint(0, W, CAP).astype(np.int64)
+        items.append(np.stack([y, x, ts], axis=-1))
+
+    pipe = StreamingPipeline(net, params, capacity=CAP)
+    prepared = [pipe.prepare(ev) for ev in items]
+    assert prepared[1].epoch > prepared[0].epoch  # item 1 rebased
+    assert prepared[2].epoch > prepared[1].epoch  # and so did item 2
+
+    served = [prepared[0]] + prepared[2:]  # item 1 dropped after prepare
+    got = list(pipe.serve(served))
+    assert pipe._applied_epochs[0] == prepared[-1].epoch
+
+    raw = StreamingPipeline(net, params, capacity=CAP)
+    want = list(raw.serve([items[0]] + items[2:]))
+    for res, ref in zip(got, want):
+        np.testing.assert_allclose(np.asarray(res.outputs),
+                                   np.asarray(ref.outputs),
+                                   rtol=0, atol=0)  # bit-exact
+
+
+def test_prepared_item_cross_stream_raises(rng):
+    """A shared multi-producer queue that delivers two items of the
+    same stream adjacently must raise at the dispatch slot mismatch —
+    not silently apply one stream's events (and rebase) to the other's
+    vmapped state."""
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    pipe = StreamingPipeline(net, params, capacity=CAP, streams=2)
+    a = pipe.prepare(_stream(rng, CAP), stream=0)
+    b = pipe.prepare(_stream(rng, CAP), stream=0)
+    with pytest.raises(ValueError, match="PreparedItem for stream 0"):
+        list(pipe.serve([a, b]))
+
+
+def test_prepared_item_out_of_order_raises(rng):
+    """Rebased PreparedItems served out of prepare order regress the
+    epoch ledger — a loud error, not a silently wrong prev_ts shift."""
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+    pipe = StreamingPipeline(net, params, capacity=CAP)
+    ev1 = _stream(rng, CAP).astype(np.int64)
+    ev1[:, 2] += 2**30
+    ev2 = _stream(rng, CAP).astype(np.int64)
+    ev2[:, 2] += 2**31
+    p1 = pipe.prepare(ev1)
+    p2 = pipe.prepare(ev2)
+    assert p2.epoch > p1.epoch > 0
+    with pytest.raises(ValueError, match="regressed"):
+        list(pipe.serve([p2, p1]))
+
+
 def test_pack_respects_era_floor(rng):
     """Once serve() has promoted the tier era, pack() (and prepare())
     emit at the era's tier directly instead of packing low and paying
