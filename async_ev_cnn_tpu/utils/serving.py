@@ -368,7 +368,17 @@ class StreamingPipeline:
     def state(self, new):
         """Install a restored mid-stream state (e.g. from
         ``utils.checkpoint.restore_stream_state(path, pipe.state)``).
-        The pytree structure must match the pipeline's."""
+        The pytree structure must match the pipeline's.
+
+        Rebase epochs are NOT part of the state pytree: a fresh pipeline
+        starts at epoch 0, so a restored RAW endless feed whose absolute
+        clock kept running (>~2**30 µs) triggers one capped rebase whose
+        ``prev_ts`` shift saturates at the dispatch floor — bounded,
+        loud-in-docs behavior: the first dispatch sees a >=17.9-min
+        apparent gap (surfaces fully leak-decay, exactly as real
+        downtime of that length would), never a wrapped/negative ``dt``.
+        Sources whose items restart near ts 0 (file readers, the serve
+        CLI) resume exactly."""
         import jax
 
         if jax.tree.structure(new) != jax.tree.structure(self._state):
