@@ -666,6 +666,37 @@ def test_pipeline_prepare_multistream(rng):
                                    rtol=0, atol=0)
 
 
+def test_restored_state_raw_feed_at_huge_ts_saturates_cleanly(rng):
+    """Rebase epochs are not part of the checkpointed state pytree (see
+    the ``state`` setter docstring): a restored RAW feed whose absolute
+    clock kept running across the restart triggers one capped rebase
+    whose prev_ts shift saturates at the dispatch floor.  The contract:
+    the first dispatch sees a >=17.9-min apparent gap (surfaces fully
+    leak-decay, as real downtime would) — equal to a FRESH pipeline over
+    the item alone — never a wrapped/negative dt."""
+    net = _net()
+    params = _params(layers_dict(DSL), rng)
+
+    pipe_a = StreamingPipeline(net, params, capacity=CAP)
+    warm = _stream(rng, CAP).astype(np.int64)
+    warm[:, 2] += 2**30  # cross the rebase threshold mid-stream
+    list(pipe_a.serve([warm]))
+    assert pipe_a._epochs[0] > 0
+    saved = jax.tree.map(np.asarray, pipe_a.state)
+
+    pipe_b = StreamingPipeline(net, params, capacity=CAP)  # epochs reset
+    pipe_b.state = saved
+    cont = _stream(rng, CAP).astype(np.int64)
+    cont[:, 2] += 2**33  # the feed's absolute clock, post-restart
+    got = np.asarray(list(pipe_b.serve([cont]))[0].outputs)
+
+    fresh = StreamingPipeline(net, params, capacity=CAP)
+    ev0 = cont.copy()
+    ev0[:, 2] -= ev0[0, 2] - 1  # rebased to ~0, same differences
+    want = np.asarray(list(fresh.serve([ev0]))[0].outputs)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
 def test_prepared_item_dropped_before_dispatch_is_absorbed(rng):
     """An item dropped between prepare() and dispatch (ragged
     multi-stream tail, consumer exiting serve() while the producer queue
